@@ -1,0 +1,66 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: the reference pipeline's core queries + the scale-sensitive
+# LLM-pipeline operators. Names must exist in the registry.
+HEADLINE = [
+    "ucl_grouped",
+    "ucl_windowed",
+    "lookup_build",
+    "fraud_score_events",
+    "pricing_summary",
+    "revenue_by_nation",
+    "topk_per_supplier",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    by_name = {q.name: q for q in registry()}
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = by_name[name]
+        t0 = time.time()
+        # Full execution without driver collect: count() forces every
+        # operator; results stay distributed.
+        q.fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Source readers (SURVEY.md 2.1, S1-S4, S11, S14).
+
+All reads are schema-explicit and declarative so Catalyst can push filters
+and prune columns into the scan. The Sqoop JDBC imports (S1/S2) become
+`spark.read.jdbc` with partitioned reads -- strictly more parallel than the
+reference's single-mapper Sqoop job (README.md:79).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.session import normalize_runtime_conf
+
+# Testdata columns stored as INT64 TIMESTAMP(NANOS), which Spark reads as
+# LongType only under spark.sql.legacy.parquet.nanosAsLong (see session.py).
+_NANO_TS_COLUMNS = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table, normalizing timestamp encodings.
+
+    `events.ts` arrives as int64 nanoseconds -> TimestampType (micros,
+    truncated exactly like DuckDB truncates nanos). Other tables'
+    timestamps arrive as timestamp_ntz and pass through unchanged.
+    """
+    normalize_runtime_conf(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for col in _NANO_TS_COLUMNS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            # Integer DIV, not float division: nanos ~1.7e18 lose sub-micro
+            # precision as doubles.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    return df
+
+
+def read_csv_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+    drop_malformed: bool = False,
+) -> DataFrame:
+    """Delimited-text table scan (S4): Hive external CSV table equivalent
+    (FDProcBatch.txt:70-86 -- explicit schema, skip.header.line.count=1).
+
+    `drop_malformed` mirrors the reference's silent skip of rows with the
+    wrong field count (FraudDistMetric.java:43) via DROPMALFORMED.
+    """
+    reader = spark.read.schema(schema).option("header", str(header).lower())
+    if drop_malformed:
+        reader = reader.option("mode", "DROPMALFORMED")
+    return reader.csv(path)
+
+
+def read_zip_geo(spark: SparkSession, path: str) -> DataFrame:
+    """Zip geo reference (S14): the 17,409-row CSV the reference loads into
+    a JVM-singleton HashMap (FraudDistMetric.java:31-57). Here it is just a
+    small DataFrame -- consumers broadcast-join it (Catalyst auto-broadcasts
+    under the threshold), which is the distributed equivalent of the
+    reference's in-memory map.
+    """
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.schemas import ZIP_GEO
+
+    return read_csv_table(spark, path, ZIP_GEO, header=False, drop_malformed=True)
+
+
+def read_jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int = 8,
+    **options: str,
+) -> DataFrame:
+    """JDBC full import (S1): Sqoop `--table t` equivalent
+    (FDProcBatch.txt:13-26). Partitioned read replaces Sqoop's `--m 1`.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_jdbc_incremental(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    check_column: str,
+    last_value,
+    **options: str,
+) -> DataFrame:
+    """JDBC incremental import (S2/P5): Sqoop `--incremental append
+    --check-column c --last-value v` (README.md:81-99). The high-watermark
+    predicate is applied as a DataFrame filter so Catalyst pushes it into
+    the JDBC query (observable as PushedFilters in the scan).
+    """
+    df = read_jdbc_table(spark, url, table, **options)
+    return df.filter(F.col(check_column) > F.lit(last_value))
+
+
+def incremental_filter(df: DataFrame, check_column: str, last_value) -> DataFrame:
+    """File-source variant of the S2 high-watermark predicate; pushes down
+    to parquet scans (PushedFilters) the same way."""
+    return df.filter(F.col(check_column) > F.lit(last_value))

