@@ -1,0 +1,212 @@
+"""Streaming tests (SURVEY.md 5.4): file-source replay driving the
+foreachBatch scorer, and the exact stateful fold -- state evolution per
+card across and within micro-batches."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.scorer import (
+    read_payload_file_stream,
+    run_scorer,
+)
+from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.stateful import (
+    fold_events,
+    score_stream_stateful,
+)
+
+NYC = (40.7128, -74.0060)
+LA = (34.0522, -118.2437)
+
+
+@pytest.fixture(scope="module")
+def zip_geo(spark):
+    rows = [
+        Row(zip="100", lat=NYC[0], lon=NYC[1], city="NYC", state="NY", pos_id="1"),
+        Row(zip="200", lat=LA[0], lon=LA[1], city="LA", state="CA", pos_id="2"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def _payload(card_id, amount, postcode, ts, pos_id=1):
+    return {
+        "card_id": card_id, "member_id": card_id, "amount": float(amount),
+        "pos_id": pos_id, "postcode": postcode, "transaction_dt": ts,
+    }
+
+
+def test_foreach_batch_scorer_state_advances(spark, tmp_path_factory, zip_geo):
+    """Two micro-batches: a GENUINE move to LA in batch 1 must update the
+    lookup so a same-place LA event in batch 2 scores GENUINE (it would be
+    a 3936 km teleport against the original NYC state)."""
+    base = tmp_path_factory.mktemp("stream")
+    stream_dir, lookup_dir = base / "in", base / "lookup"
+    master_dir, ckpt_dir = base / "master", base / "ckpt"
+    stream_dir.mkdir()
+
+    lookup = spark.createDataFrame(
+        [Row(card_id=1, ucl=100.0, postcode=100, transaction_dt="2024-01-01 10:00:00", score=500)]
+    )
+    lookup.coalesce(1).write.parquet(str(lookup_dir))
+
+    # batch 1: slow (10-day) genuine relocation NYC -> LA
+    (stream_dir / "b1.json").write_text(
+        json.dumps(_payload(1, 50, 200, "2024-01-11 10:00:00")) + "\n"
+    )
+    # batch 2: LA again 1h later -- genuine ONLY if batch 1 updated state
+    (stream_dir / "b2.json").write_text(
+        json.dumps(_payload(1, 50, 200, "2024-01-11 11:00:00")) + "\n"
+    )
+
+    stream = read_payload_file_stream(spark, str(stream_dir))
+    q = run_scorer(stream, str(lookup_dir), zip_geo, str(master_dir), str(ckpt_dir))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    master = {r.transaction_dt: r for r in spark.read.parquet(str(master_dir)).collect()}
+    assert master["2024-01-11 10:00:00"].status == "GENUINE"
+    assert master["2024-01-11 11:00:00"].status == "GENUINE"
+    assert master["2024-01-11 11:00:00"].dist_km == 0.0
+
+    final = spark.read.parquet(str(lookup_dir)).collect()[0]
+    assert final.postcode == 200
+    assert final.transaction_dt == "2024-01-11 11:00:00"
+    assert final.ucl == 100.0  # batch-layer fields untouched
+
+
+def test_foreach_batch_fraud_does_not_advance_state(spark, tmp_path_factory, zip_geo):
+    """A FRAUD event must not move the card's lookup state
+    (HBaseTransLink.java:76-81 updates only on GENUINE)."""
+    base = tmp_path_factory.mktemp("stream2")
+    stream_dir, lookup_dir = base / "in", base / "lookup"
+    master_dir, ckpt_dir = base / "master", base / "ckpt"
+    stream_dir.mkdir()
+
+    lookup = spark.createDataFrame(
+        [Row(card_id=1, ucl=100.0, postcode=100, transaction_dt="2024-01-01 10:00:00", score=500)]
+    )
+    lookup.coalesce(1).write.parquet(str(lookup_dir))
+
+    # amount 500 > ucl 100 -> FRAUD, even though location is fine
+    (stream_dir / "b1.json").write_text(
+        json.dumps(_payload(1, 500, 100, "2024-01-01 12:00:00")) + "\n"
+    )
+    stream = read_payload_file_stream(spark, str(stream_dir))
+    q = run_scorer(stream, str(lookup_dir), zip_geo, str(master_dir), str(ckpt_dir))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert spark.read.parquet(str(master_dir)).collect()[0].status == "FRAUD"
+    final = spark.read.parquet(str(lookup_dir)).collect()[0]
+    assert final.postcode == 100  # unchanged
+    assert final.transaction_dt == "2024-01-01 10:00:00"
+
+
+def test_fold_intra_batch_read_your_writes():
+    """SURVEY.md 2.10: two same-card events in ONE batch -- the second must
+    see the state written by the first (GENUINE) event."""
+    lookup = {1: (100.0, 500)}
+    geo = {"100": NYC, "200": LA}
+    events = [
+        _payload(1, 50, 200, "2024-01-11 10:00:00"),  # slow move NYC->LA: GENUINE
+        _payload(1, 50, 200, "2024-01-11 11:00:00"),  # same place 1h later
+    ]
+    statuses, state = fold_events(events, (100, "2024-01-01 10:00:00"), lookup, geo)
+    assert statuses == ["GENUINE", "GENUINE"]
+    assert state == (200, "2024-01-11 11:00:00")
+
+    # Against PREVIOUS-batch-only visibility the second event would be a
+    # 3936 km jump in 1h (1.09 km/s > 0.25) -> the fold semantics matter.
+    statuses_stale, _ = fold_events(
+        [events[1]], (100, "2024-01-01 10:00:00"), lookup, geo
+    )
+    assert statuses_stale == ["GENUINE"]  # 10 days elapsed -> slow enough
+    statuses_fast, _ = fold_events(
+        [_payload(1, 50, 200, "2024-01-01 11:00:00")], (100, "2024-01-01 10:00:00"), lookup, geo
+    )
+    assert statuses_fast == ["FRAUD"]
+
+
+def test_fold_edge_cases():
+    lookup = {1: (100.0, 500)}
+    geo = {"100": NYC, "200": LA}
+    # new card: no lookup row -> no rule can prove fraud
+    statuses, _ = fold_events(
+        [_payload(99, 1e9, 100, "2024-01-01 10:00:00")], (None, None), lookup, geo
+    )
+    assert statuses == ["GENUINE"]
+    # zero dt -> speed rule fires
+    statuses, _ = fold_events(
+        [_payload(1, 50, 200, "2024-01-01 10:00:00")], (100, "2024-01-01 10:00:00"), lookup, geo
+    )
+    assert statuses == ["FRAUD"]
+    # unknown zip -> speed rule passes
+    statuses, _ = fold_events(
+        [_payload(1, 50, 999, "2024-01-01 12:00:00")], (100, "2024-01-01 10:00:00"), lookup, geo
+    )
+    assert statuses == ["GENUINE"]
+    # out-of-order event (negative dt) -> speed rule fires
+    statuses, _ = fold_events(
+        [_payload(1, 50, 200, "2023-12-31 10:00:00")], (100, "2024-01-01 10:00:00"), lookup, geo
+    )
+    assert statuses == ["FRAUD"]
+
+
+def test_stateful_streaming_matches_fold_oracle(spark, tmp_path_factory, zip_geo):
+    """applyInPandasWithState output == pure-Python fold, including state
+    carried across micro-batches and intra-batch sequencing."""
+    base = tmp_path_factory.mktemp("stateful")
+    stream_dir = base / "in"
+    stream_dir.mkdir()
+
+    b1 = [
+        _payload(1, 50, 200, "2024-01-11 10:00:00", pos_id=1),
+        _payload(1, 50, 200, "2024-01-11 11:00:00", pos_id=2),
+        _payload(2, 500, 100, "2024-01-01 12:00:00", pos_id=3),
+    ]
+    b2 = [
+        _payload(1, 50, 100, "2024-01-11 11:30:00", pos_id=4),  # LA->NYC in 30min: FRAUD
+        _payload(2, 50, 100, "2024-01-01 13:00:00", pos_id=5),
+    ]
+    (stream_dir / "b1.json").write_text("\n".join(json.dumps(e) for e in b1))
+    (stream_dir / "b2.json").write_text("\n".join(json.dumps(e) for e in b2))
+
+    lookup = {1: (100.0, 500), 2: (100.0, 500)}
+    geo = {"100": NYC, "200": LA}
+    lookup_bc = spark.sparkContext.broadcast(lookup)
+    geo_bc = spark.sparkContext.broadcast(geo)
+
+    stream = read_payload_file_stream(spark, str(stream_dir))
+    out = score_stream_stateful(stream, lookup_bc, geo_bc)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.pos_id: r.status for r in spark.sql("SELECT * FROM stateful_out").collect()
+        }
+    finally:
+        q.stop()
+
+    # oracle: fold per card across both batches in order
+    state1 = (None, None)
+    s1, state1 = fold_events([b1[0], b1[1]], state1, lookup, geo)
+    s1b, state1 = fold_events([b2[0]], state1, lookup, geo)
+    state2 = (None, None)
+    s2, state2 = fold_events([b1[2]], state2, lookup, geo)
+    s2b, state2 = fold_events([b2[1]], state2, lookup, geo)
+
+    expected = {1: s1[0], 2: s1[1], 3: s2[0], 4: s1b[0], 5: s2b[0]}
+    assert got == expected
+    assert got[4] == "FRAUD"  # LA->NYC teleport caught via state from batch 1
