@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers:
+  cosine_topk        -- brute-force exact top-k (the correctness baseline;
+                        broadcast the query set, scan the base once)
+  lsh_cosine_topk    -- random-hyperplane LSH bucketing (the scale path:
+                        prune the base to matching sign-buckets first)
+
+All arithmetic is DOUBLE with a left-to-right fold (F.aggregate), which is
+bit-reproducible across engines -- the oracle computes the same dot
+products serially.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(x: Column, y: Column) -> Column:
+    """Sequential-fold dot product of two array<double> columns."""
+    return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z)
+
+
+def cosine(x: Column, y: Column) -> Column:
+    return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+def cosine_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Plan: broadcast the (small) query set against one scan of the base --
+    a map-side nested loop with no shuffle until the final per-query top-k,
+    which Catalyst runs as WindowGroupLimit (no full sort). For a large
+    query set, switch to lsh_cosine_topk or chunk the queries.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    sims = (
+        base.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component sign
+    from md5 bits -- reproducible everywhere, no RNG state."""
+    import hashlib
+
+    comps: list[float] = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane_idx}:{j}".encode()).digest()[0]
+        comps.append(1.0 if h & 1 else -1.0)
+    return comps
+
+
+def signature_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane signature: bit b = sign(vec . plane_b). Vectors
+    with equal signatures lie in the same angular wedge."""
+    bits = []
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        bits.append(F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_cosine_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+    n_planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: compare only vectors whose hyperplane signature
+    matches the query's. Recall < 1.0 by construction (documented); at
+    scale this turns the O(|base| * |queries|) scan into per-bucket work.
+    The bucket join shuffles on the (small-int) bucket id; heavily skewed
+    buckets split under AQE.
+    """
+    bb = base.withColumn("bucket", signature_bucket(F.col(vec_col), dim, n_planes))
+    qq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    ).withColumn("bucket", signature_bucket(F.col("qv"), dim, n_planes))
+    sims = (
+        bb.join(F.broadcast(qq), "bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

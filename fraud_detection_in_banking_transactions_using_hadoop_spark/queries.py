@@ -59,7 +59,10 @@ def register(name: str, sql: Optional[str], tags: tuple[str, ...] = ()):
 
 def registry() -> list[Query]:
     # Import side-effect modules that register additional queries.
-    from fraud_detection_in_banking_transactions_using_hadoop_spark import queries_llm  # noqa: F401
+    from fraud_detection_in_banking_transactions_using_hadoop_spark import (  # noqa: F401
+        queries_ext,
+        queries_llm,
+    )
 
     return list(_REGISTRY)
 

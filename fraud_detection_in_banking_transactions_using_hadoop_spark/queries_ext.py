@@ -1,0 +1,286 @@
+"""Extended operator coverage: as-of join, sessionization, grouping sets,
+pivot, distinct/approx aggregates, SimHash, embedding similarity pairs,
+and regex token statistics. Same registry + oracle discipline as
+queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.asof import asof_join_backward
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.dedup import simhash64
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import _FMT_D, _FMT_S, register
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each event matched to the user's latest order at event time.
+# DuckDB has native ASOF JOIN; our engine composes it (operators/asof.py).
+# ---------------------------------------------------------------------------
+@register(
+    "asof_join",
+    f"""
+    WITH latest_per_day AS (
+      SELECT o_custkey, o_orderdate,
+             max(o_orderkey) AS last_order_id,
+             arg_max(o_totalprice, o_orderkey) AS last_order_price
+      FROM orders GROUP BY o_custkey, o_orderdate),
+    e AS (SELECT event_id, user_id, ts FROM events)
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '{_FMT_D}') AS event_ts,
+           l.last_order_id, l.last_order_price
+    FROM e ASOF LEFT JOIN latest_per_day l
+      ON e.user_id = l.o_custkey AND e.ts >= l.o_orderdate
+    """,
+    tags=("asof", "J4"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    events = read_table(spark, sf_dir, "events")
+    # Pre-reduce right side to one row per (key, ts) for determinism.
+    latest_per_day = orders.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("last_order_id"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+    )
+    e = events.select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    r = latest_per_day.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ots"),
+        "last_order_id",
+        "last_order_price",
+    )
+    joined = asof_join_backward(
+        e, r, key="user_id", left_ts="ts", right_ts="ots",
+        payload=["last_order_id", "last_order_price"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", _FMT_S).alias("event_ts"),
+        "last_order_id",
+        "last_order_price",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: gap > 30 min starts a new session (lag + running sum).
+# ---------------------------------------------------------------------------
+@register(
+    "sessionize",
+    f"""
+    WITH l AS (
+      SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    f AS (
+      SELECT *, CASE WHEN prev_ts IS NULL
+                       OR (epoch_us(ts) - epoch_us(prev_ts)) > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS is_new
+      FROM l),
+    s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM f)
+    SELECT user_id, session_id, count(*) AS n_events,
+           strftime(min(ts), '{_FMT_D}') AS start_ts,
+           round((epoch_us(max(ts)) - epoch_us(min(ts))) / 1000000.0, 6) AS duration_s
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("session", "W1"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.date_format(F.min("ts"), _FMT_S).alias("start_ts"),
+        F.round(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / F.lit(1_000_000.0), 6
+        ).alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP grouping sets
+# ---------------------------------------------------------------------------
+@register(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("rollup", "A1"),
+)
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide aggregation)
+# ---------------------------------------------------------------------------
+@register(
+    "pivot_agg",
+    """
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("pivot", "A1"),
+)
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregation (exact)
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_counts",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_cust,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("A1", "distinct"),
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates: engine-specific sketches (HLL++/T-digest in
+# Spark) -- values are estimator-dependent by design, so the oracle is
+# rows-only; the pytest suite asserts accuracy bounds against exact counts.
+# ---------------------------------------------------------------------------
+@register("approx_aggs", None, tags=("A1", "approx"))
+def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_cust"),
+        F.percentile_approx("o_totalprice", 0.5).alias("p50_price"),
+        F.percentile_approx("o_totalprice", 0.99).alias("p99_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit document fingerprint; oracle via hex-cast + bit ops)
+# ---------------------------------------------------------------------------
+@register(
+    "simhash_docs",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents),
+    th AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS th
+      FROM toks),
+    bits AS (
+      SELECT doc_id, b.bit,
+             CASE WHEN (th >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+      FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit) b),
+    pb AS (SELECT doc_id, bit, sum(contrib) AS s FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM pb GROUP BY doc_id
+    """,
+    tags=("dedup", "simhash"),
+)
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash64(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup pairs above a cosine threshold
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_dup_pairs",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 6) AS cosine
+    FROM v a, v b
+    WHERE a.vec_id < b.vec_id
+      AND list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.5
+    """,
+    tags=("similarity", "dedup"),
+)
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import cosine
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") >= 0.5)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex token statistics (BPE-ish token classes)
+# ---------------------------------------------------------------------------
+@register(
+    "token_stats",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_numbers,
+           CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_symbols,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("n_words"),
+        F.regexp_count("text", F.lit("[0-9]+")).cast("long").alias("n_numbers"),
+        F.regexp_count("text", F.lit("[^a-z0-9 ]")).cast("long").alias("n_symbols"),
+        F.length("text").cast("long").alias("n_chars"),
+    )

@@ -202,42 +202,14 @@ _BAND_SIZE = 4
     tags=("dedup", "minhash", "lsh"),
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
-    idx = spark.range(_N_HASHES).select(F.col("id").cast("int").alias("i"))
-    hashed = (
-        toks.crossJoin(F.broadcast(idx))
-        .groupBy("doc_id", "i")
-        .agg(F.min(F.substring(F.md5(F.concat_ws(":", "i", "tok")), 1, 16)).alias("h"))
-    )
-    bands = (
-        hashed.withColumn("band_id", (F.col("i") / _BAND_SIZE).cast("int"))
-        .groupBy("doc_id", "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("i", "h"))), lambda s: s["h"]
-                    ),
-                    "|",
-                )
-            ).alias("band_hash")
-        )
-    )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=_N_HASHES)
+    return lsh_candidate_pairs(sigs, "doc_id", n_hashes=_N_HASHES, band_size=_BAND_SIZE)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,179 @@
+"""Unit tests for the beyond-reference operator modules: as-of join edge
+cases, dedup tiers, similarity LSH recall, multimodal plumbing, approx
+aggregate accuracy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.asof import asof_join_backward
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import (
+    dedup_by_content,
+    extract_features,
+    frame_sample_plan,
+)
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+
+
+# ----------------------------------------------------------------- as-of --
+def test_asof_backward_basic(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, lts=10, x="a"), Row(k=1, lts=25, x="b"), Row(k=1, lts=5, x="c"),
+         Row(k=2, lts=10, x="d")]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, rts=10, p=100), Row(k=1, rts=20, p=200), Row(k=3, rts=1, p=999)]
+    )
+    got = {
+        (r.k, r.lts): r.p
+        for r in asof_join_backward(left, right, "k", "lts", "rts", ["p"]).collect()
+    }
+    assert got[(1, 10)] == 100   # equality matches (ts >= right ts)
+    assert got[(1, 25)] == 200   # latest preceding
+    assert got[(1, 5)] is None   # nothing precedes
+    assert got[(2, 10)] is None  # key with no right rows
+
+
+# ----------------------------------------------------------------- dedup --
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [Row(id=3, text="aa bb"), Row(id=1, text="aa bb"), Row(id=2, text="cc")]
+    )
+    got = {r.keep_id: r.n_copies for r in exact_dedup(df, "id", "text").collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, text="x y z"), Row(id=2, text="z y x"), Row(id=3, text="totally different words")]
+    )
+    sigs = minhash_signatures(df, "id", "text", n_hashes=8)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(sigs, "id", n_hashes=8, band_size=2).collect()
+    }
+    assert (1, 2) in pairs           # token-set-identical docs always collide
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_jaccard_pairs_exact_value(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, text="a b c d", blk="x"), Row(id=2, text="a b c e", blk="x"),
+         Row(id=3, text="a b", blk="y")]
+    )
+    got = ngram_jaccard_pairs(df, "id", "text", "blk", threshold=0.5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.jaccard == 0.6  # |{a,b,c}| / |{a,b,c,d,e}|
+
+
+def test_simhash_similar_docs_close_in_hamming(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, text="the quick brown fox jumps over the lazy dog today"),
+         Row(id=2, text="the quick brown fox jumps over the lazy cat today"),
+         Row(id=3, text="completely unrelated content about spark executors and shuffles")]
+    )
+    sh = {r.id: r.simhash for r in simhash64(df, "id", "text").collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(sh[1], sh[2]) < hamming(sh[1], sh[3])
+    assert hamming(sh[1], sh[2]) < hamming(sh[2], sh[3])
+
+
+# ------------------------------------------------------------ similarity --
+@pytest.fixture(scope="module")
+def vectors(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .cache()
+    )
+
+
+def test_lsh_topk_subset_of_bruteforce_space(vectors):
+    queries = vectors.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(vectors, queries, k=3).collect()
+    approx = lsh_cosine_topk(vectors, queries, dim=64, k=3, n_planes=4).collect()
+    exact_map = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    # LSH cosines must agree with brute force wherever both report a pair.
+    for r in approx:
+        if (r.query_id, r.neighbor_id) in exact_map:
+            assert abs(r.cosine - exact_map[(r.query_id, r.neighbor_id)]) < 1e-9
+    # recall over the 5 queries should be nontrivial (same-bucket wedge)
+    hits = sum(1 for r in approx if (r.query_id, r.neighbor_id) in exact_map)
+    assert hits >= 1
+
+
+# ------------------------------------------------------------ multimodal --
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.lit("image/fake").alias("mime_type"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+    )
+
+
+def test_extract_features_shapes(media):
+    out = extract_features(media)
+    rows = out.collect()
+    assert len(rows) == media.count()
+    r = rows[0]
+    assert r.n_bytes > 0
+    assert len(r.digest) == 32
+    assert len(r.feature) == 8
+    assert all(0.0 <= f <= 1.0 for f in r.feature)
+
+
+def test_extract_features_null_content_survives(spark):
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(b"abc"), mime_type="x", width=1, height=1),
+         Row(media_id=2, content=None, mime_type="x", width=1, height=1)]
+    )
+    got = {r.media_id: r for r in extract_features(df).collect()}
+    assert got[1].feature is not None
+    assert got[2].feature is None and got[2].digest is None  # bad shard tolerated
+
+
+def test_media_dedup_jvm_side(spark):
+    df = spark.createDataFrame(
+        [Row(media_id=1, content=bytearray(b"same")), Row(media_id=2, content=bytearray(b"same")),
+         Row(media_id=3, content=bytearray(b"other"))]
+    )
+    got = {r.keep_id: r.n_copies for r in dedup_by_content(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_frame_sample_plan_shape(media):
+    plan = frame_sample_plan(media.limit(5), every_n=10)
+    rows = plan.collect()
+    assert {c for c in plan.columns} == {"media_id", "frame_idx"}
+    assert all(r.frame_idx % 10 == 0 for r in rows)
+
+
+# ----------------------------------------------------------------- approx --
+def test_approx_count_distinct_within_bounds(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.countDistinct("o_custkey").alias("exact"),
+    ).collect()[0]
+    assert abs(got.approx - got.exact) / got.exact < 0.1  # HLL++ default rsd 5%
