@@ -38,6 +38,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
+    # JVM/codegen warmup so the first query's timing is query cost, not
+    # session startup. No table data is cached -- parquet IO stays in the
+    # measured path.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
     by_name = {q.name: q for q in registry()}
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,90 @@
+"""Source/sink tests (SURVEY.md 2.1): CSV scans with header + malformed
+rows, the zip-geo reader, incremental watermark pushdown, and writer
+round-trips."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.schemas import CARD_TRANSACTIONS
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import (
+    incremental_filter,
+    read_csv_table,
+    read_table,
+    read_zip_geo,
+)
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.writers import (
+    append_parquet,
+    overwrite_keyed_table,
+    overwrite_parquet,
+)
+
+
+def test_csv_scan_with_header(spark, tmp_path):
+    p = tmp_path / "txns.csv"
+    p.write_text(
+        "card_id,member_id,amount,postcode,pos_id,transaction_dt,status\n"
+        "1,1,10.5,100,1,2024-01-01 10:00:00,GENUINE\n"
+        "2,1,20.0,200,2,2024-01-02 11:00:00,FRAUDULENT\n"
+    )
+    df = read_csv_table(spark, str(p), CARD_TRANSACTIONS)
+    rows = {r.card_id: r for r in df.collect()}
+    assert len(rows) == 2
+    assert rows[1].amount == 10.5
+    assert rows[2].status == "FRAUDULENT"
+    assert df.schema["card_id"].dataType.simpleString() == "bigint"
+
+
+def test_zip_geo_drops_malformed_rows(spark, tmp_path):
+    # FraudDistMetric.java:43 silently skips rows with != 6 fields.
+    p = tmp_path / "geo.csv"
+    p.write_text(
+        "100,40.71,-74.00,NYC,NY,111111111111111\n"
+        "bad,row\n"
+        "200,34.05,-118.24,LA,CA,222222222222222\n"
+        "201,34.05\n"
+    )
+    df = read_zip_geo(spark, str(p))
+    got = {r.zip: (r.lat, r.city) for r in df.collect()}
+    assert set(got) == {"100", "200"}
+    assert got["100"] == (40.71, "NYC")
+
+
+def test_incremental_filter_pushes_down(spark, sf_dir):
+    ev = read_table(spark, sf_dir, "events")
+    inc = incremental_filter(ev.select("event_id", "user_id", "value"), "event_id", 500)
+    assert inc.count() == ev.filter(F.col("event_id") > 500).count()
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(event_id,500)" in plan  # reached the parquet scan
+
+
+def test_overwrite_append_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "t")
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    overwrite_parquet(df1, out)
+    assert spark.read.parquet(out).count() == 5
+    overwrite_parquet(df1, out)  # INSERT OVERWRITE: full replace, not append
+    assert spark.read.parquet(out).count() == 5
+    append_parquet(df1, out)
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    out = str(tmp_path / "part")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "k long, dt string"
+    )
+    overwrite_parquet(df, out, partition_by=["dt"])
+    scan = spark.read.parquet(out).filter(F.col("dt") == "2024-01-01")
+    assert scan.count() == 1
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    # partition filter, not a data filter: dt never reaches the row scan
+    assert "PartitionFilters" in plan
+
+
+def test_keyed_table_overwrite(spark, tmp_path):
+    out = str(tmp_path / "keyed")
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "card_id long, ucl double")
+    overwrite_keyed_table(df, out, key="card_id")
+    got = {r.card_id: r.ucl for r in spark.read.parquet(out).collect()}
+    assert got == {1: 10.0, 2: 20.0}
