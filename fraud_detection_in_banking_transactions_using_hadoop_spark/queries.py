@@ -61,6 +61,7 @@ def registry() -> list[Query]:
     # Import side-effect modules that register additional queries.
     from fraud_detection_in_banking_transactions_using_hadoop_spark import (  # noqa: F401
         queries_ext,
+        queries_ext2,
         queries_llm,
     )
 
