@@ -86,6 +86,15 @@ def lsh_candidate_pairs(
     bucket population -- the standard LSH guarantee. Skewed buckets (e.g.
     empty docs) can be salted or length-blocked upstream.
     """
+    # The banded table feeds BOTH sides of the self-join; the broadcast
+    # side cannot reuse the streamed side's exchange (different exchange
+    # types), so without persistence the whole signature pipeline computes
+    # twice. MEMORY_AND_DISK keeps the fix safe when signatures outgrow
+    # executor memory.
+    from pyspark import StorageLevel
+
+    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+
     n_bands = n_hashes // band_size
     bands = []
     for b in range(n_bands):

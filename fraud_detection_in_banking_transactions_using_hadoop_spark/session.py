@@ -48,6 +48,8 @@ def get_spark(app_name: str = "fraud-engine", cpus: int | None = None) -> SparkS
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     shuffle_parts = max(cpus, 4)
+    import tempfile
+
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -55,6 +57,8 @@ def get_spark(app_name: str = "fraud-engine", cpus: int | None = None) -> SparkS
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # static conf: managed (bucketed) tables go to a scratch dir, not CWD
+        .config("spark.sql.warehouse.dir", tempfile.mkdtemp(prefix="spark-warehouse-"))
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)

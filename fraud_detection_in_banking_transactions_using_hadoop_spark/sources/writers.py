@@ -32,6 +32,25 @@ def append_parquet(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    key: str,
+    num_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(key) at WRITE time so
+    later equi-joins/aggregations on `key` between same-bucketed tables run
+    with NO shuffle exchange -- the 100 TB answer to 'this join runs every
+    hour on the same key'. (Directory-partitioning splits by VALUE for
+    pruning; bucketing splits by HASH for join co-location.)
+    """
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, key)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def overwrite_keyed_table(df: DataFrame, path: str, key: str, num_buckets: int | None = None) -> None:
     """Keyed-table overwrite (S9/S15): replaces the HBase lookup table
     (FDProcBatch.txt:158-169). The table is small relative to the fact

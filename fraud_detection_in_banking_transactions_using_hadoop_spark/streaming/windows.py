@@ -1,0 +1,63 @@
+"""Event-time windowed aggregation + streaming dedup.
+
+The reference has NO watermarks, event-time windows, or dedup (SURVEY.md
+2.9 'absent'); out-of-order events silently produce negative dt. These are
+engine features Structured Streaming provides nearly free, with the
+reference's no-watermark behavior as the default elsewhere.
+
+Scale: windowed aggregation state is (keys x open windows) rows in the
+state store; the watermark bounds 'open windows', which is what makes the
+operator runnable forever. dropDuplicates state is likewise bounded only
+if a watermark is set -- unbounded dedup on an infinite stream is a leak,
+so `dedup_stream` requires one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str | None = "10 minutes",
+    keys: Sequence[str] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Tumbling (or sliding, if `slide` differs from `window`) event-time
+    counts per key, tolerating late data up to the watermark.
+
+    watermark=None means an upstream operator (e.g. dedup_stream) already
+    set one -- redefining a watermark kills the query at runtime.
+    """
+    w = stream.withWatermark(ts_col, watermark) if watermark else stream
+    grouping = [F.window(F.col(ts_col), window, slide or window), *keys]
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total"))
+    out = w.groupBy(*grouping).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        *[c for c in ("n", "total") if c in out.columns],
+    )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    ts_col: str,
+    id_cols: Sequence[str],
+    watermark: str | None = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-id event stream: drops replays/duplicates of the
+    id columns arriving within the watermark horizon. State is purged past
+    the watermark, so memory is bounded by (arrival rate x horizon).
+    watermark=None: one was already set upstream (never redefine)."""
+    w = stream.withWatermark(ts_col, watermark) if watermark else stream
+    return w.dropDuplicates([*id_cols, ts_col])

@@ -1,0 +1,119 @@
+"""Watermarked windowed aggregation + streaming dedup + bucketed joins."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.writers import write_bucketed_table
+from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.windows import (
+    dedup_stream,
+    windowed_event_counts,
+)
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _write_events(path, events):
+    path.write_text("\n".join(json.dumps(e) for e in events))
+
+
+def test_windowed_counts_tumbling(spark, tmp_path):
+    events = [
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 10:01:00", "value": 1.0},
+        {"event_id": 2, "user_id": 1, "ts": "2024-01-01 10:04:00", "value": 2.0},
+        {"event_id": 3, "user_id": 1, "ts": "2024-01-01 10:07:00", "value": 4.0},
+        {"event_id": 4, "user_id": 2, "ts": "2024-01-01 10:01:30", "value": 8.0},
+    ]
+    _write_events(tmp_path / "b1.json", events)
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(tmp_path))
+    agg = windowed_event_counts(
+        stream, "ts", window="5 minutes", keys=["user_id"], value_col="value"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM win_out").collect()
+    finally:
+        q.stop()
+    got = {(r.window_start.minute, r.user_id): (r.n, r.total) for r in rows}
+    assert got[(0, 1)] == (2, 3.0)   # 10:00-10:05 window for user 1
+    assert got[(5, 1)] == (1, 4.0)   # 10:05-10:10
+    assert got[(0, 2)] == (1, 8.0)
+
+
+def test_dedup_stream_drops_replays(spark, tmp_path):
+    events = [
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 10:00:00", "value": 1.0},
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 10:00:00", "value": 1.0},  # replay
+        {"event_id": 2, "user_id": 1, "ts": "2024-01-01 10:01:00", "value": 2.0},
+    ]
+    _write_events(tmp_path / "b1.json", events)
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(tmp_path))
+    out = dedup_stream(stream, "ts", ["event_id"])
+    q = out.writeStream.outputMode("append").format("memory").queryName("dd_out").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id FROM dd_out").collect()
+    finally:
+        q.stop()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+
+
+def test_dedup_then_window_composes(spark, tmp_path):
+    """Chained stateful operators must not redefine the watermark
+    (regression: doing so kills the query at runtime)."""
+    events = [
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 10:01:00", "value": 1.0},
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 10:01:00", "value": 1.0},
+        {"event_id": 2, "user_id": 1, "ts": "2024-01-01 10:08:00", "value": 4.0},
+    ]
+    _write_events(tmp_path / "b1.json", events)
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(tmp_path))
+    agg = windowed_event_counts(
+        dedup_stream(stream, "ts", ["event_id"]),
+        "ts", window="5 minutes", watermark=None, value_col="value",
+    )
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("ddw").start()
+    try:
+        q.processAllAvailable()
+        rows = {r.window_start.minute: r.n for r in spark.sql("SELECT * FROM ddw").collect()}
+    finally:
+        q.stop()
+    assert rows == {0: 1, 5: 1}  # replay dropped before windowing
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # warehouse dir is a static conf (set in session.get_spark); managed
+    # tables land there and are dropped below.
+    left = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    write_bucketed_table(left, "bl", "k", num_buckets=8, sort_col="k")
+    write_bucketed_table(right, "br", "k", num_buckets=8, sort_col="k")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bl").join(spark.table("br"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located buckets: a shuffle-free sort-merge join
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bl")
+        spark.sql("DROP TABLE IF EXISTS br")
