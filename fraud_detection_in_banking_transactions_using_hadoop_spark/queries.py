@@ -62,6 +62,7 @@ def registry() -> list[Query]:
     from fraud_detection_in_banking_transactions_using_hadoop_spark import (  # noqa: F401
         queries_ext,
         queries_ext2,
+        queries_ext3,
         queries_llm,
     )
 
@@ -614,7 +615,8 @@ def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_type, count(*) AS n,
            round(sum(value), 4) AS total_value,
-           strftime(max(ts), '{_FMT_D}') AS max_ts
+           strftime(max(ts), '{_FMT_D}') AS max_ts,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS max_epoch
     FROM events
     WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
     GROUP BY event_type
@@ -630,5 +632,6 @@ def q_incremental_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
             F.date_format(F.max("ts"), _FMT_S).alias("max_ts"),
+            F.unix_timestamp(F.max("ts")).alias("max_epoch"),
         )
     )

@@ -1,0 +1,137 @@
+"""Unpivot, cube grouping sets, and a genuine Structured Streaming replay
+exposed through the batch query contract (rows-only check -- the stateful
+fold is not SQL-expressible; its correctness gate is the pure-Python
+oracle in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+
+
+# ---------------------------------------------------------------------------
+# Unpivot (stack): wide per-status sums back to long form
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_sums",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o,
+             round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'O' AS linestatus, qty_o AS qty FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'F' AS linestatus, qty_f AS qty FROM wide
+    """,
+    tags=("unpivot",),
+)
+def q_unpivot_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+    )
+    return wide.selectExpr(
+        "l_returnflag",
+        "stack(2, 'O', qty_o, 'F', qty_f) AS (linestatus, qty)",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets (all 4 combinations)
+# ---------------------------------------------------------------------------
+@register(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("cube", "A1"),
+)
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming replay through the batch contract: payload-ize the
+# events table, stream it file-by-file through the stateful per-card fold,
+# return the scored table. Rows-only: the sequential read-your-writes fold
+# has no SQL equivalent (tests carry the python-oracle gate).
+# ---------------------------------------------------------------------------
+@register("streaming_stateful_replay", None, tags=("T2", "T4", "streaming"))
+def q_streaming_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.scorer import (
+        read_payload_file_stream,
+    )
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.stateful import (
+        score_stream_stateful,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .select(
+            F.col("user_id").alias("card_id"),
+            F.col("user_id").alias("member_id"),
+            F.col("value").alias("amount"),
+            F.col("event_id").alias("pos_id"),
+            (F.col("k") % 4 + 100).alias("postcode"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("transaction_dt"),
+            (F.col("event_id") % 2).alias("half"),
+        )
+        .limit(2000)  # bound replay size; semantics, not throughput, is under test
+    )
+    rows = ev.collect()
+
+    replay_dir = Path(tempfile.mkdtemp(prefix="stream_replay_"))
+    for half in (0, 1):  # two deterministic micro-batches
+        with open(replay_dir / f"b{half}.json", "w") as f:
+            for r in rows:
+                if r.half == half:
+                    f.write(
+                        json.dumps(
+                            {
+                                "card_id": r.card_id,
+                                "member_id": r.member_id,
+                                "amount": r.amount,
+                                "pos_id": r.pos_id,
+                                "postcode": r.postcode,
+                                "transaction_dt": r.transaction_dt,
+                            }
+                        )
+                        + "\n"
+                    )
+
+    lookup = {cid: (300.0, 500) for cid in {r.card_id for r in rows}}
+    geo = {
+        "100": (40.7128, -74.0060), "101": (34.0522, -118.2437),
+        "102": (51.5074, -0.1278), "103": (35.6762, 139.6503),
+    }
+    lookup_bc = spark.sparkContext.broadcast(lookup)
+    geo_bc = spark.sparkContext.broadcast(geo)
+
+    stream = read_payload_file_stream(spark, str(replay_dir))
+    out = score_stream_stateful(stream, lookup_bc, geo_bc)
+    name = "stream_replay_out"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

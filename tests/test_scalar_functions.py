@@ -63,6 +63,16 @@ def test_speed_guards_nonpositive_dt(spark):
     assert got[2].s is None
 
 
+def test_row_uuid_shape(spark):
+    # F3: uuid() with dashes stripped (FDProcBatch.txt:125) -- 32 hex chars,
+    # unique per row, nondeterministic (excluded from oracle queries).
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.functions.scalar import row_uuid
+
+    got = spark.range(100).select(row_uuid().alias("u")).collect()
+    assert all(len(r.u) == 32 and "-" not in r.u for r in got)
+    assert len({r.u for r in got}) == 100
+
+
 def test_parse_ts_multi_accepts_both_reference_formats(spark):
     # SURVEY.md 1.4(1): batch yyyy-MM-dd vs streaming dd-MM-yyyy.
     df = spark.createDataFrame(
