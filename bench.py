@@ -27,6 +27,10 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "ann_cosine_topk",
+    "asof_join",
+    "sessionize",
+    "window_suite",
+    "left_join_nulls",
 ]
 
 

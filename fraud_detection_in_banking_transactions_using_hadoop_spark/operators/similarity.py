@@ -85,6 +85,72 @@ def signature_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return out
 
 
+def ivf_cosine_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the base
+    into n_cells Voronoi cells, then search each query only in its n_probe
+    nearest cells.
+
+    Scale: the coarse quantizer is tiny (n_cells centroids broadcast);
+    cell assignment is one map-side pass; the search join touches
+    |base| * n_probe / n_cells of the pairs a brute-force scan would.
+    Recall rises with n_probe (== n_cells gives exact results).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    base_v = base.select(id_col, vec_col).withColumn("_fv", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell")
+    model = km.fit(base_v)
+    assigned = model.transform(base_v).select(id_col, vec_col, "_cell")
+
+    # Rank each query's cells by centroid distance; probe the top n_probe.
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cent_df = queries.sparkSession.createDataFrame(centroids, ["_cell", "_centroid"]).select(
+        "_cell", F.col("_centroid").cast("array<double>").alias("_centroid")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    from pyspark.sql import Window
+
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("_centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("_cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_d2", dist2)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "_cell")
+    )
+
+    sims = (
+        assigned.join(F.broadcast(probes), "_cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def lsh_cosine_topk(
     base: DataFrame,
     queries: DataFrame,

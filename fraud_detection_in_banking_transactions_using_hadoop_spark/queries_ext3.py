@@ -65,6 +65,21 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF approximate nearest neighbors (rows-only: cell assignment depends on
+# MLlib KMeans internals; exactness/recall gates live in tests/test_merge_ivf)
+# ---------------------------------------------------------------------------
+@register("ann_ivf_topk", None, tags=("similarity", "ann", "ivf"))
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import ivf_cosine_topk
+
+    vecs = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = vecs.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(vecs, queries, k=5, n_cells=8, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
 # Structured Streaming replay through the batch contract: payload-ize the
 # events table, stream it file-by-file through the stateful per-card fold,
 # return the scored table. Rows-only: the sequential read-your-writes fold
