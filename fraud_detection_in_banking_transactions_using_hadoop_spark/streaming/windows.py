@@ -49,6 +49,32 @@ def windowed_event_counts(
     )
 
 
+def session_windows(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str | None = "10 minutes",
+    keys: Sequence[str] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Native streaming sessionization: `session_window(ts, gap)` merges
+    events separated by less than `gap` into one session per key (the
+    streaming twin of the batch lag+cumsum sessionize query). Sessions
+    close -- and emit, in append mode -- once the watermark passes the
+    session end."""
+    w = stream.withWatermark(ts_col, watermark) if watermark else stream
+    aggs = [F.count("*").alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("total"))
+    out = w.groupBy(F.session_window(F.col(ts_col), gap), *keys).agg(*aggs)
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *keys,
+        *[c for c in ("n", "total") if c in out.columns],
+    )
+
+
 def dedup_stream(
     stream: DataFrame,
     ts_col: str,

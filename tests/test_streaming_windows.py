@@ -72,6 +72,32 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
     assert sorted(r.event_id for r in rows) == [1, 2]
 
 
+def test_session_windows_merge_by_gap(spark, tmp_path):
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.windows import session_windows
+
+    events = [
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 10:00:00", "value": 1.0},
+        {"event_id": 2, "user_id": 1, "ts": "2024-01-01 10:10:00", "value": 2.0},  # same session
+        {"event_id": 3, "user_id": 1, "ts": "2024-01-01 12:00:00", "value": 4.0},  # new session
+    ]
+    _write_events(tmp_path / "b1.json", events)
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(tmp_path))
+    agg = session_windows(stream, "ts", gap="30 minutes", keys=["user_id"], value_col="value")
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("sess_out").start()
+    try:
+        q.processAllAvailable()
+        rows = sorted(
+            spark.sql("SELECT * FROM sess_out").collect(), key=lambda r: r.session_start
+        )
+    finally:
+        q.stop()
+    assert len(rows) == 2
+    assert (rows[0].n, rows[0].total) == (2, 3.0)
+    assert (rows[1].n, rows[1].total) == (1, 4.0)
+    # session end = last event + gap
+    assert rows[0].session_end.minute == 40
+
+
 def test_dedup_then_window_composes(spark, tmp_path):
     """Chained stateful operators must not redefine the watermark
     (regression: doing so kills the query at runtime)."""
