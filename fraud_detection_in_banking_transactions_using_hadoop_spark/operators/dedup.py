@@ -47,8 +47,26 @@ def _token_hash_array(tok: Column, n_hashes: int) -> Column:
     )
 
 
+def shingles(text: Column, w: int = 3) -> Column:
+    """Word w-shingles as an array column: overlapping windows of w
+    consecutive tokens. Pure expression (transform over a sequence of
+    offsets), so it runs JVM-side; docs shorter than w yield their whole
+    token string as the single shingle."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
+    # try_element_at: docs shorter than w index past the end -- NULL there
+    # (concat_ws skips it) instead of an ANSI-mode error.
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, i + F.lit(j)) for j in range(w)]
+        ),
+    )
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_w: int = 1
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over tokens of h_i(tok).
 
@@ -61,11 +79,19 @@ def minhash_signatures(
     shuffle key is doc id (even) and partial aggregation collapses each
     partition to one row per doc before the exchange.
 
+    shingle_w > 1 hashes overlapping word w-shingles instead of unigrams
+    (the standard near-dup unit). Note the shingle vocabulary grows toward
+    corpus size -- if the distinct-shingle table stops fitting broadcast,
+    drop the vocab join and hash shingles directly in the explode.
+
     Returns (id_col, h0 .. h{n-1}).
     """
-    toks = df.select(
-        F.col(id_col), F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
+    units = (
+        F.array_distinct(F.split(text_col, " "))
+        if shingle_w <= 1
+        else F.array_distinct(shingles(F.col(text_col), shingle_w))
     )
+    toks = df.select(F.col(id_col), F.explode(units).alias("tok"))
     vocab = toks.select("tok").distinct().select(
         "tok", _token_hash_array(F.col("tok"), n_hashes).alias("harr")
     )

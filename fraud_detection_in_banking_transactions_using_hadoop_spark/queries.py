@@ -64,6 +64,7 @@ def registry() -> list[Query]:
         queries_ext2,
         queries_ext3,
         queries_llm,
+        queries_llm2,
     )
 
     return list(_REGISTRY)

@@ -1,0 +1,125 @@
+"""Second LLM-pipeline batch: shingle MinHash, TF-IDF top terms, exact
+quantiles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+
+
+# ---------------------------------------------------------------------------
+# Word-3-shingle MinHash LSH: the standard near-dup unit (unigram variant
+# in minhash_lsh_pairs). Same md5-prefix hash family -> fully oracled.
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_shingle_pairs",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(
+               list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+                              i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]))
+             )) AS tok
+      FROM t),
+    hashed AS (
+      SELECT doc_id, i.i, min(substr(md5(i.i || ':' || tok), 1, 16)) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) i
+      GROUP BY doc_id, i.i),
+    bands AS (
+      SELECT doc_id, CAST(i // 2 AS INTEGER) AS band_id,
+             md5(string_agg(h, '|' ORDER BY i)) AS band_hash
+      FROM hashed GROUP BY doc_id, CAST(i // 2 AS INTEGER)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b FROM pairs
+    """,
+    tags=("dedup", "minhash", "shingle"),
+)
+def q_minhash_shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=8, shingle_w=3)
+    return lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top-3 most characteristic terms per document
+# ---------------------------------------------------------------------------
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    tf_counts AS (
+      SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY doc_id, tok),
+    df_counts AS (
+      SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+    total AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, tok,
+             round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+      FROM tf_counts JOIN df_counts USING (tok) CROSS JOIN total),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, tok) AS INTEGER) AS rk
+      FROM scored)
+    SELECT doc_id, tok, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfc = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.count()  # scalar driver-side: one tiny count, broadcast as literal
+    scored = tf.join(F.broadcast(dfc), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(F.col("tf") * F.log(F.lit(float(n)) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles (percentile_cont semantics: linear interpolation)
+# ---------------------------------------------------------------------------
+@register(
+    "quantile_stats",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("A1", "quantile"),
+)
+def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )

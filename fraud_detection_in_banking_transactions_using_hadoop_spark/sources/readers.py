@@ -114,3 +114,45 @@ def incremental_filter(df: DataFrame, check_column: str, last_value) -> DataFram
     """File-source variant of the S2 high-watermark predicate; pushes down
     to parquet scans (PushedFilters) the same way."""
     return df.filter(F.col(check_column) > F.lit(last_value))
+
+
+class HighWatermarkLoader:
+    """Stateful incremental loader: the engine's version of a Sqoop saved
+    job (`sqoop job --create ... --incremental append`, README.md:114-122),
+    which persists the last seen check-column value between runs.
+
+    State is one tiny JSON file next to the data (swap for a metastore
+    table on a real deployment). Usage per scheduled run:
+
+        loader = HighWatermarkLoader(state_path, "member_joining_dt")
+        delta = loader.increment(df)      # rows past the watermark
+        ... process/write delta ...
+        loader.commit(delta)              # advance watermark to max seen
+    """
+
+    def __init__(self, state_path: str, check_column: str):
+        self.state_path = state_path
+        self.check_column = check_column
+
+    def last_value(self):
+        import json
+        import os
+
+        if not os.path.exists(self.state_path):
+            return None
+        with open(self.state_path) as f:
+            return json.load(f).get("last_value")
+
+    def increment(self, df: DataFrame) -> DataFrame:
+        last = self.last_value()
+        return df if last is None else incremental_filter(df, self.check_column, last)
+
+    def commit(self, processed: DataFrame) -> None:
+        import json
+
+        row = processed.agg(F.max(self.check_column).alias("m")).collect()[0]
+        if row.m is None:
+            return  # empty increment: watermark unchanged
+        new_last = row.m if not hasattr(row.m, "isoformat") else row.m.isoformat(" ")
+        with open(self.state_path, "w") as f:
+            json.dump({"last_value": new_last, "check_column": self.check_column}, f)

@@ -58,6 +58,31 @@ def test_incremental_filter_pushes_down(spark, sf_dir):
     assert "GreaterThan(event_id,500)" in plan  # reached the parquet scan
 
 
+def test_high_watermark_loader_cycles(spark, tmp_path):
+    # Sqoop-saved-job equivalent: first run takes everything, commit
+    # advances the watermark, next run sees only newer rows.
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import HighWatermarkLoader
+
+    state = str(tmp_path / "wm.json")
+    loader = HighWatermarkLoader(state, "joined")
+    df1 = spark.createDataFrame([(1, "2024-01-01"), (2, "2024-01-02")], "id long, joined string")
+    inc1 = loader.increment(df1)
+    assert inc1.count() == 2
+    loader.commit(inc1)
+    assert loader.last_value() == "2024-01-02"
+
+    df2 = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03")], "id long, joined string"
+    )
+    inc2 = loader.increment(df2)
+    assert [r.id for r in inc2.collect()] == [3]
+    loader.commit(inc2)
+    assert loader.last_value() == "2024-01-03"
+    # empty increment leaves the watermark untouched
+    loader.commit(loader.increment(df2))
+    assert loader.last_value() == "2024-01-03"
+
+
 def test_overwrite_append_roundtrip(spark, tmp_path):
     out = str(tmp_path / "t")
     df1 = spark.range(5).withColumnRenamed("id", "k")
