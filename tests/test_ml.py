@@ -38,6 +38,15 @@ def test_logistic_trains_and_evaluates(scored):
     assert 0.5 < trained.metrics["auc"] <= 1.0
 
 
+def test_gbt_trains_and_beats_chance(scored):
+    trained = train_fraud_classifier(
+        scored.limit(2000),
+        feature_cols=("dist_km", "dt_seconds", "speed_kms"),
+        algorithm="gbt",
+    )
+    assert trained.metrics["auc"] > 0.75
+
+
 def test_score_with_model_keeps_identity_columns(scored):
     trained = train_fraud_classifier(
         scored, feature_cols=("dist_km", "dt_seconds", "speed_kms"), algorithm="tree"

@@ -1,0 +1,54 @@
+"""Physical-plan regression tests: the scale properties (pushdown,
+broadcast joins, window-limit, exchange counts) asserted so a refactor
+cannot silently trade them away."""
+
+from __future__ import annotations
+
+import pytest
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import (
+    q_filter_project,
+    q_revenue_by_nation,
+    q_ucl_grouped,
+)
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries_ext import q_sessionize
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ucl_grouped_single_shuffle_with_window_limit(spark, sf_dir):
+    plan = _plan(q_ucl_grouped(spark, sf_dir))
+    # top-10 pushed into the window operator (no full per-group sort)
+    assert "WindowGroupLimit" in plan
+    # window and groupBy share one hash exchange on the same key
+    assert plan.count("Exchange hashpartitioning") == 1
+    # status filter reached the parquet scan
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_filter_project_pushdown_and_pruning(spark, sf_dir):
+    plan = _plan(q_filter_project(spark, sf_dir))
+    # (plan strings truncate PushedFilters with '...'; the Filter node
+    # carries the full predicate)
+    assert "= R)" in plan and "l_shipdate" in plan
+    # column pruning: only the 5 needed columns reach the scan
+    assert "l_quantity" not in plan and "l_tax" not in plan
+
+
+def test_revenue_join_tree_is_all_broadcast(spark, sf_dir):
+    plan = _plan(q_revenue_by_nation(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    # the only hash exchange is the final aggregation
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    plan = _plan(q_sessionize(spark, sf_dir))
+    # lag window, running sum, and the session groupBy all partition by
+    # user_id -- one exchange total... plus the final agg keyed by
+    # (user_id, session_id), which cannot reuse the user_id-only
+    # partitioning. 2 is the floor; >2 means a regression.
+    assert plan.count("Exchange hashpartitioning") <= 2
