@@ -58,6 +58,43 @@ def test_incremental_filter_pushes_down(spark, sf_dir):
     assert "GreaterThan(event_id,500)" in plan  # reached the parquet scan
 
 
+def test_jdbc_full_and_incremental_import(spark):
+    # S1/S2 against embedded Derby (on Spark's classpath for the
+    # metastore): full read, partitioned read, and the Sqoop-style
+    # incremental predicate pushed into the JDBC query.
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import (
+        read_jdbc_incremental,
+        read_jdbc_table,
+    )
+
+    url = "jdbc:derby:memory:srcdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    src = spark.range(100).selectExpr("id AS member_id", "id % 7 AS score")
+    src.write.format("jdbc").option("url", url).option("dbtable", "member_score").option(
+        "driver", driver
+    ).mode("overwrite").save()
+
+    full = read_jdbc_table(spark, url, "member_score", driver=driver)
+    assert full.count() == 100
+
+    partitioned = read_jdbc_table(
+        spark, url, "member_score",
+        partition_column="member_id", lower_bound=0, upper_bound=100,
+        num_partitions=4, driver=driver,
+    )
+    assert partitioned.rdd.getNumPartitions() == 4
+    assert partitioned.count() == 100
+
+    inc = read_jdbc_incremental(
+        spark, url, "member_score", check_column="member_id", last_value=89, driver=driver
+    )
+    assert inc.count() == 10
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThan(MEMBER_ID,89)" in plan.replace(
+        "member_id", "MEMBER_ID"
+    )
+
+
 def test_high_watermark_loader_cycles(spark, tmp_path):
     # Sqoop-saved-job equivalent: first run takes everything, commit
     # advances the watermark, next run sees only newer rows.
