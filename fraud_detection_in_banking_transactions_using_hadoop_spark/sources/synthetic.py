@@ -23,7 +23,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 def _h(seed: int, i: int, field: str) -> int:
@@ -47,6 +52,9 @@ class FraudSynthDataSource(DataSource):
 
     def reader(self, schema) -> "FraudSynthReader":
         return FraudSynthReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "FraudSynthStreamReader":
+        return FraudSynthStreamReader(self.options)
 
 
 class _Range(InputPartition):
@@ -81,6 +89,55 @@ class FraudSynthReader(DataSourceReader):
                 ts.strftime("%Y-%m-%d %H:%M:%S"),
                 "GENUINE" if _h(self.seed, i, "st") % 10 else "FRAUDULENT",
             )
+
+
+def _gen_row(seed: int, n_cards: int, i: int):
+    t0 = datetime(2024, 1, 1)
+    zips = [100, 200, 300, 400, 999]
+    card = _h(seed, i, "card") % n_cards + 1
+    ts = t0 + timedelta(seconds=_h(seed, i, "ts") % (30 * 86400))
+    return (
+        card,
+        (card - 1) // 2 + 1,
+        round((_h(seed, i, "amt") % 50000) / 100.0 + 1.0, 2),
+        zips[_h(seed, i, "zip") % len(zips)],
+        i,
+        ts.strftime("%Y-%m-%d %H:%M:%S"),
+        "GENUINE" if _h(seed, i, "st") % 10 else "FRAUDULENT",
+    )
+
+
+class FraudSynthStreamReader(SimpleDataSourceStreamReader):
+    """Streaming variant: offset = next row index; each micro-batch emits
+    `rows_per_batch` rows, stopping at `max_rows` (0 = unbounded soak).
+
+    Exactly-once comes for free from determinism: `readBetweenOffsets`
+    regenerates any replayed range bit-identically, so recovery after a
+    crash re-produces the same rows the failed batch contained.
+    """
+
+    def __init__(self, options):
+        self.rows_per_batch = int(options.get("rows_per_batch", 100))
+        self.max_rows = int(options.get("max_rows", 0))
+        self.seed = int(options.get("seed", 42))
+        self.n_cards = int(options.get("cards", 100))
+
+    def initialOffset(self):
+        return {"index": 0}
+
+    def read(self, start):
+        i0 = int(start["index"])
+        i1 = i0 + self.rows_per_batch
+        if self.max_rows:
+            i1 = min(i1, self.max_rows)
+        end = {"index": i1}
+        return iter([_gen_row(self.seed, self.n_cards, i) for i in range(i0, i1)]), end
+
+    def readBetweenOffsets(self, start, end):
+        return iter(
+            [_gen_row(self.seed, self.n_cards, i)
+             for i in range(int(start["index"]), int(end["index"]))]
+        )
 
 
 def register_synthetic_source(spark) -> None:

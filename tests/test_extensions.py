@@ -40,6 +40,63 @@ def test_synthetic_source_feeds_lookup_build(spark):
     assert lookup.filter(F.col("ucl").isNull()).count() == 0
 
 
+def test_synthetic_stream_source_bounded_replay(spark):
+    """Streaming variant: micro-batches of rows_per_batch until max_rows,
+    then drains; content identical to the batch source rows."""
+    register_synthetic_source(spark)
+    stream = (
+        spark.readStream.format("fraud_synth")
+        .option("rows_per_batch", 40)
+        .option("max_rows", 120)
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("synth_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM synth_stream").collect()
+    finally:
+        q.stop()
+    assert len(got) == 120
+    batch = spark.read.format("fraud_synth").option("rows", 120).load().collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, batch))
+
+
+def test_synthetic_stream_drives_stateful_scorer(spark):
+    """Soak path: streaming synthetic payloads straight into the stateful
+    per-card scorer (no files anywhere)."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.stateful import score_stream_stateful
+
+    register_synthetic_source(spark)
+    payloads = (
+        spark.readStream.format("fraud_synth")
+        .option("rows_per_batch", 100)
+        .option("max_rows", 300)
+        .option("cards", 10)
+        .load()
+        .drop("status")
+    )
+    lookup_bc = spark.sparkContext.broadcast({c: (300.0, 500) for c in range(1, 11)})
+    geo_bc = spark.sparkContext.broadcast(
+        {"100": (40.7, -74.0), "200": (34.0, -118.2), "300": (51.5, -0.1),
+         "400": (35.6, 139.6)}
+    )
+    out = score_stream_stateful(payloads, lookup_bc, geo_bc)
+    q = out.writeStream.outputMode("append").format("memory").queryName("synth_scored").start()
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM synth_scored").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 300
+    statuses = {r.status for r in rows}
+    assert statuses <= {"GENUINE", "FRAUD"} and len(statuses) == 2
+
+
 def test_shingles_udtf_lateral_join(spark):
     register_udtfs(spark)
     spark.createDataFrame([(1, "a b c d")], "id long, text string").createOrReplaceTempView(
