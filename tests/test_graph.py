@@ -1,0 +1,36 @@
+"""Connected-components operator: multi-hop chains, separate components,
+and the iteration fixpoint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.graph import connected_components
+
+
+def test_chain_collapses_to_min_label(spark):
+    # 1-2-3-4-5 chain (diameter 4: takes several propagation rounds) + 8-9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8}
+
+
+def test_direction_and_duplicates_ignored(spark):
+    pairs = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (3, 2)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_max_iter_bounds_work(spark):
+    # a long chain with max_iter too small must still return labels
+    # (possibly unconverged) without error; with enough iterations it
+    # converges. Chain 0..10.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+    )
+    converged = connected_components(pairs, max_iter=20)
+    assert {r.cluster for r in converged.collect()} == {0}
