@@ -36,6 +36,21 @@ def read_payload_file_stream(spark: SparkSession, path: str, max_files_per_trigg
     )
 
 
+def decode_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """JSON decode -> typed record (S12, FinFraudGuard.java:61-65 /
+    TransFraudModel.java): the Jackson ObjectMapper equivalent as one
+    `from_json` against the declared payload schema. Malformed JSON rows
+    decode to all-NULL payloads (Jackson would throw; we keep the batch
+    alive and let the null-policy score them, SURVEY.md 1.4(7)).
+
+    Works identically on a Kafka stream's value column (binary) and any
+    batch frame carrying JSON strings -- which is how it is unit-tested
+    without a broker."""
+    return raw.select(
+        F.from_json(F.col(value_col).cast("string"), TXN_PAYLOAD).alias("data")
+    ).select("data.*")
+
+
 def read_kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -53,9 +68,7 @@ def read_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return raw.select(
-        F.from_json(F.col("value").cast("string"), TXN_PAYLOAD).alias("data")
-    ).select("data.*")
+    return decode_payload(raw)
 
 
 def run_scorer(

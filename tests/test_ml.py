@@ -47,6 +47,35 @@ def test_gbt_trains_and_beats_chance(scored):
     assert trained.metrics["auc"] > 0.75
 
 
+def test_model_save_load_roundtrip(scored, tmp_path):
+    # production path: batch layer trains and persists; scorer loads
+    from pyspark.ml import PipelineModel
+
+    trained = train_fraud_classifier(
+        scored, feature_cols=("dist_km", "dt_seconds", "speed_kms"), algorithm="tree"
+    )
+    path = str(tmp_path / "model")
+    trained.model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+
+    sample = scored.limit(50)
+    orig = trained.model.transform(
+        sample.selectExpr(
+            "coalesce(dist_km, -1.0) AS dist_km",
+            "coalesce(dt_seconds, -1.0) AS dt_seconds",
+            "coalesce(speed_kms, -1.0) AS speed_kms",
+        )
+    ).select("prediction").collect()
+    again = reloaded.transform(
+        sample.selectExpr(
+            "coalesce(dist_km, -1.0) AS dist_km",
+            "coalesce(dt_seconds, -1.0) AS dt_seconds",
+            "coalesce(speed_kms, -1.0) AS speed_kms",
+        )
+    ).select("prediction").collect()
+    assert [r.prediction for r in orig] == [r.prediction for r in again]
+
+
 def test_score_with_model_keeps_identity_columns(scored):
     trained = train_fraud_classifier(
         scored, feature_cols=("dist_km", "dt_seconds", "speed_kms"), algorithm="tree"

@@ -109,6 +109,27 @@ def test_foreach_batch_fraud_does_not_advance_state(spark, tmp_path_factory, zip
     assert final.transaction_dt == "2024-01-01 10:00:00"
 
 
+def test_decode_payload_typed_and_malformed(spark):
+    """S12: JSON value -> typed payload; malformed rows become all-NULL
+    records instead of killing the batch."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.scorer import decode_payload
+
+    raw = spark.createDataFrame(
+        [
+            ('{"card_id": 7, "member_id": 1, "amount": 12.5, "pos_id": 9, '
+             '"postcode": 100, "transaction_dt": "2024-01-01 10:00:00"}',),
+            ("not json at all",),
+        ],
+        "value string",
+    )
+    rows = decode_payload(raw).collect()
+    good = next(r for r in rows if r.card_id is not None)
+    assert (good.card_id, good.amount, good.postcode) == (7, 12.5, 100)
+    assert good.transaction_dt == "2024-01-01 10:00:00"
+    bad = next(r for r in rows if r.card_id is None)
+    assert all(v is None for v in bad.asDict().values())
+
+
 def test_fold_intra_batch_read_your_writes():
     """SURVEY.md 2.10: two same-card events in ONE batch -- the second must
     see the state written by the first (GENUINE) event."""
