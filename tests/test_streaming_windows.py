@@ -72,6 +72,27 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
     assert sorted(r.event_id for r in rows) == [1, 2]
 
 
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """Trigger.AvailableNow: process everything present, then stop --
+    the scheduled-batch-over-streaming-source pattern (T1 variant)."""
+    events = [
+        {"event_id": i, "user_id": 1, "ts": f"2024-01-01 10:{i:02d}:00", "value": 1.0}
+        for i in range(5)
+    ]
+    _write_events(tmp_path / "b1.json", events)
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(tmp_path))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("avnow")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)  # self-terminates after draining
+    assert not q.isActive
+    assert spark.sql("SELECT count(*) AS n FROM avnow").collect()[0].n == 5
+
+
 def test_session_windows_merge_by_gap(spark, tmp_path):
     from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.windows import session_windows
 
