@@ -65,6 +65,69 @@ def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Watermarked tumbling-window aggregation over a genuine stream (file
+# micro-batch replay of the events table). The aggregation itself is
+# SQL-expressible, so unlike the stateful fold this one gets an oracle:
+# tumbling windows are deterministic given the same events.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_windowed_counts",
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type
+    """,
+    tags=("T1", "window", "streaming"),
+)
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the watermarked windowed aggregation as a REAL streaming query
+    (readStream over the events parquet, memory sink, complete mode), then
+    returns the drained result -- proving the streaming operator computes
+    exactly what the batch SQL says."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.session import normalize_runtime_conf
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.windows import windowed_event_counts
+
+    from pyspark.sql import types as T
+
+    normalize_runtime_conf(spark)
+    # Declare ts as the raw int64 nanos it is on disk (matching the
+    # nanosAsLong batch read), then convert -- handing the reader a
+    # TimestampType schema would misinterpret the nanos as micros.
+    raw_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
+            for f in read_table(spark, sf_dir, "events").schema.fields
+        ]
+    )
+    # streaming file source needs a DIRECTORY; glob-filter to one table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_event_counts(
+        stream, "ts", window="1 hour", watermark="1 hour",
+        keys=["event_type"], value_col="value",
+    )
+    out = agg.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        F.round("total", 4).alias("total"),
+    )
+    name = "stream_windowed_counts_out"
+    q = out.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 # IVF approximate nearest neighbors (rows-only: cell assignment depends on
 # MLlib KMeans internals; exactness/recall gates live in tests/test_merge_ivf)
 # ---------------------------------------------------------------------------

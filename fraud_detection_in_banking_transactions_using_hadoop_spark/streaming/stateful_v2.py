@@ -1,0 +1,86 @@
+"""Second stateful backend: the same per-card fold on Spark 4's
+transformWithStateInPandas (StatefulProcessor) API.
+
+applyInPandasWithState (streaming/stateful.py) is the stable API;
+transformWithState is its successor with typed state handles, timers, and
+(on a real cluster) RocksDB-backed state with changelog checkpointing.
+Both backends share `fold_events`, so their semantics are identical by
+construction -- the test asserts both produce the same output on the
+same replay.
+
+Requires the RocksDB state store provider (transformWithState rejects the
+default HDFS provider); `score_stream_stateful_v2` sets it on the session.
+Also requires a working `google.protobuf` for the state-server protocol --
+absent in this test image (the test skips), functional on a standard
+Spark 4.x deployment.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor, StatefulProcessorHandle
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.config import DEFAULT_CONFIG, EngineConfig
+from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.stateful import (
+    OUTPUT_SCHEMA,
+    _parse_ts,
+    fold_events,
+)
+
+
+class CardScoringProcessor(StatefulProcessor):
+    """Per-card state: (last_postcode, last_ts) advanced only by GENUINE
+    events -- identical semantics to the applyInPandasWithState backend."""
+
+    def __init__(self, lookup: dict, geo: dict, cfg: EngineConfig = DEFAULT_CONFIG):
+        self._lookup = lookup
+        self._geo = geo
+        self._cfg = cfg
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(
+            "card_geo_state", "last_postcode integer, last_ts string"
+        )
+
+    def handleInputRows(self, key, rows: Iterator[pd.DataFrame], timerValues) -> Iterator[pd.DataFrame]:
+        state = self._state.get() if self._state.exists() else (None, None)
+        last_postcode, last_ts = state
+        for pdf in rows:
+            pdf = (
+                pdf.assign(_ts=pdf["transaction_dt"].map(_parse_ts))
+                .sort_values(["_ts", "pos_id"], kind="mergesort")
+                .drop(columns="_ts")
+                .reset_index(drop=True)
+            )
+            statuses, (last_postcode, last_ts) = fold_events(
+                pdf.to_dict("records"), (last_postcode, last_ts),
+                self._lookup, self._geo, self._cfg,
+            )
+            pdf["status"] = statuses
+            yield pdf[[f.name for f in OUTPUT_SCHEMA.fields]]
+        self._state.update((last_postcode, last_ts))
+
+    def close(self) -> None:
+        pass
+
+
+def score_stream_stateful_v2(
+    stream: DataFrame,
+    lookup: dict,
+    geo: dict,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    spark = stream.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return stream.groupBy("card_id").transformWithStateInPandas(
+        statefulProcessor=CardScoringProcessor(lookup, geo, cfg),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
