@@ -63,6 +63,7 @@ def registry() -> list[Query]:
         queries_ext,
         queries_ext2,
         queries_ext3,
+        queries_ext4,
         queries_funcs,
         queries_graph,
         queries_llm,

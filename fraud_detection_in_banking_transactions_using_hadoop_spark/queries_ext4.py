@@ -1,0 +1,131 @@
+"""Further coverage: streaming dedup proven against a DISTINCT oracle,
+explicit GROUPING SETS, and a time-range self-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup replay: dropDuplicates over a live stream == DISTINCT SQL
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_dedup_replay",
+    """
+    SELECT CAST(user_id % 100 AS BIGINT) AS dedup_key, count(*) AS n_first
+    FROM (SELECT DISTINCT user_id % 100 AS user_mod, event_type, user_id
+          FROM events) t
+    GROUP BY CAST(user_id % 100 AS BIGINT)
+    """,
+    tags=("streaming", "dedup"),
+)
+def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streams the events table and dropDuplicates on a coarsened key
+    (user_mod, event_type, user_id), then aggregates -- the streaming
+    result must equal batch DISTINCT. (No watermark: bounded replay; a
+    live deployment adds one via dedup_stream.)"""
+    from pyspark.sql import types as T
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.session import normalize_runtime_conf
+
+    normalize_runtime_conf(spark)
+    raw_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
+            for f in read_table(spark, sf_dir, "events").schema.fields
+        ]
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+    )
+    deduped = stream.withColumn("user_mod", F.col("user_id") % 100).dropDuplicates(
+        ["user_mod", "event_type", "user_id"]
+    )
+    agg = deduped.groupBy((F.col("user_id") % 100).cast("long").alias("dedup_key")).agg(
+        F.count("*").alias("n_first")
+    )
+    name = "stream_dedup_out"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with grouping() indicator
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio,
+           count(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+    tags=("rollup", "A1"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-range self-join: bursts -- pairs of events of one user within 60 s
+# ---------------------------------------------------------------------------
+@register(
+    "range_join_bursts",
+    """
+    SELECT a.event_id AS id_a, b.event_id AS id_b,
+           round((epoch_us(b.ts) - epoch_us(a.ts)) / 1000000.0, 6) AS gap_s
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_id > a.event_id
+     AND b.ts >= a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 60 * 1000000
+    """,
+    tags=("range-join", "J4"),
+)
+def q_range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join on the user + time-range predicate: Catalyst plans the
+    equi part as the join key and evaluates the range as a post-join
+    filter -- the practical range-join shape (bucketize the time axis for
+    the extreme-scale variant)."""
+    ev = read_table(spark, sf_dir, "events")
+    a, b = ev.alias("a"), ev.alias("b")
+    gap_us = F.unix_micros(F.col("b.ts")) - F.unix_micros(F.col("a.ts"))
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.event_id") > F.col("a.event_id"))
+            & (F.col("b.ts") >= F.col("a.ts"))
+            & (gap_us <= 60 * 1_000_000),
+        )
+        .select(
+            F.col("a.event_id").alias("id_a"),
+            F.col("b.event_id").alias("id_b"),
+            F.round(gap_us / F.lit(1_000_000.0), 6).alias("gap_s"),
+        )
+    )
