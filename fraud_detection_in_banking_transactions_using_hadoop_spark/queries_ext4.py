@@ -92,6 +92,73 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RANGE frame window: 30-day sliding spend per customer (value-range frame,
+# not row-count -- a different window engine path than ROWS BETWEEN)
+# ---------------------------------------------------------------------------
+@register(
+    "range_frame_window",
+    """
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+             AS spend_30d
+    FROM orders
+    """,
+    tags=("W4", "range-frame"),
+)
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    epoch_s = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch_s)
+        .rangeBetween(-2592000, Window.currentRow)  # 30 days in seconds
+    )
+    return orders.select(
+        "o_orderkey", F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS window navigation: last known non-null per partition
+# ---------------------------------------------------------------------------
+@register(
+    "ignore_nulls_window",
+    """
+    WITH x AS (
+      SELECT o_orderkey, o_custkey, o_orderdate,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END
+               AS settled_price
+      FROM orders)
+    SELECT o_orderkey,
+           round(last_value(settled_price IGNORE NULLS) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS last_settled
+    FROM x
+    """,
+    tags=("W4", "ignore-nulls"),
+)
+def q_ignore_nulls_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    settled = F.when(F.col("o_orderstatus") == "O", None).otherwise(F.col("o_totalprice"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.withColumn("settled_price", settled).select(
+        "o_orderkey",
+        F.round(F.last("settled_price", ignorenulls=True).over(w), 2).alias("last_settled"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-range self-join: bursts -- pairs of events of one user within 60 s
 # ---------------------------------------------------------------------------
 @register(
