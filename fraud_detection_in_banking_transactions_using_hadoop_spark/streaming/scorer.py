@@ -98,7 +98,17 @@ def run_scorer(
         lookup = spark.read.parquet(lookup_path)
         scored = score_transactions(batch_df, lookup, zip_geo, cfg).cache()
         try:
-            scored.write.mode("append").parquet(master_path)
+            # Idempotent append: partition by batch id + dynamic partition
+            # overwrite, so a replayed batch (restart between sink writes
+            # and checkpoint commit) REPLACES its own partition instead of
+            # duplicating rows -- plain append is only at-least-once.
+            (
+                scored.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(master_path)
+            )
             if console:
                 # Must print BEFORE the lookup rewrite below: scored reads
                 # lookup lazily, and a cache miss after the overwrite would

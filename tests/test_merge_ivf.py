@@ -125,6 +125,18 @@ def test_checkpoint_restart_no_reprocessing(spark, tmp_path):
     assert len(rows) == 2  # 1 old + 1 new, no duplicates
     assert {r.transaction_dt for r in rows} == {"2024-01-01 12:00:00", "2024-01-01 13:00:00"}
 
+    # full REPLAY (checkpoint wiped, master kept): batches rerun with the
+    # same ids and overwrite their own partitions -- master must not grow
+    # (idempotent sink, not plain append)
+    import shutil
+
+    shutil.rmtree(ckpt)
+    q3 = run_scorer(read_payload_file_stream(spark, str(stream_dir)), lookup_dir, zip_geo,
+                    master_dir, ckpt)
+    q3.processAllAvailable()
+    q3.stop()
+    assert spark.read.parquet(master_dir).count() == 2
+
 
 # ---------------------------------------------------------------- orc/fmt --
 def test_orc_roundtrip(spark, tmp_path):
