@@ -36,6 +36,14 @@ def normalize_runtime_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, v)
         except Exception:
             pass  # non-settable on this build: keep going, reads may still work
+    try:
+        # Spark's 200-partition default over-parallelizes local test scales
+        # (pure scheduling overhead on iterative queries). Only replace the
+        # untouched default -- an explicit caller choice is preserved.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
     return spark
 
 
