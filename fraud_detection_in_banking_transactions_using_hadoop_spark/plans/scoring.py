@@ -40,9 +40,8 @@ def fraud_rules(
     """
     rule_score = F.coalesce(score < cfg.score_threshold, F.lit(False))
     rule_amount = F.coalesce(amount > ucl, F.lit(False))
-    rule_speed = F.coalesce(
-        (dt_seconds <= 0) | (speed > cfg.speed_threshold_kms), F.lit(False)
-    )
+    dt_trigger = (dt_seconds <= 0) if cfg.nonpositive_dt_is_fraud else F.lit(False)
+    rule_speed = F.coalesce(dt_trigger | (speed > cfg.speed_threshold_kms), F.lit(False))
     return F.when(rule_score | rule_amount | rule_speed, cfg.status_fraud).otherwise(
         cfg.status_genuine
     )

@@ -99,6 +99,35 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Document length histogram (fixed-width buckets -- corpus shape profile)
+# ---------------------------------------------------------------------------
+@register(
+    "doc_length_histogram",
+    """
+    SELECT CAST(floor(n_chars / 50) AS BIGINT) AS bucket,
+           CAST(floor(n_chars / 50) * 50 AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           round(avg(n_chars), 4) AS avg_chars
+    FROM documents
+    GROUP BY floor(n_chars / 50)
+    """,
+    tags=("text", "histogram"),
+)
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 50)
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    ).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("bucket") * 50).cast("long").alias("bucket_lo"),
+        "n_docs",
+        "avg_chars",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact quantiles (percentile_cont semantics: linear interpolation)
 # ---------------------------------------------------------------------------
 @register(

@@ -1,0 +1,56 @@
+"""EngineConfig knobs actually steer the rules (SURVEY.md 1.4 decisions
+are configurable, not hard-coded)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.config import EngineConfig
+from fraud_detection_in_banking_transactions_using_hadoop_spark.plans.scoring import fraud_rules
+
+
+def _verdict(spark, cfg, score=500, amount=50.0, ucl=100.0, speed=0.1, dt=60.0):
+    df = spark.createDataFrame(
+        [(score, amount, ucl, speed, dt)],
+        "score int, amount double, ucl double, speed double, dt double",
+    )
+    return df.select(
+        fraud_rules(
+            F.col("score"), F.col("amount"), F.col("ucl"),
+            F.col("speed"), F.col("dt"), cfg,
+        ).alias("s")
+    ).collect()[0].s
+
+
+def test_score_threshold_configurable(spark):
+    assert _verdict(spark, EngineConfig(), score=250) == "GENUINE"
+    assert _verdict(spark, EngineConfig(score_threshold=300), score=250) == "FRAUD"
+
+
+def test_speed_threshold_configurable(spark):
+    # README's 500 km/h variant (0.1389 km/s) vs the code's 0.25 km/s
+    assert _verdict(spark, EngineConfig(), speed=0.2) == "GENUINE"
+    assert _verdict(spark, EngineConfig(speed_threshold_kms=500 / 3600), speed=0.2) == "FRAUD"
+
+
+def test_status_vocabulary_configurable(spark):
+    cfg = EngineConfig(status_fraud="FRAUDULENT", status_genuine="OK")
+    assert _verdict(spark, cfg, amount=999.0) == "FRAUDULENT"
+    assert _verdict(spark, cfg) == "OK"
+
+
+def test_nonpositive_dt_policy_configurable(spark):
+    # reference behavior: dt <= 0 divides by zero -> Inf -> FRAUD
+    assert _verdict(spark, EngineConfig(), dt=0.0, speed=None) == "FRAUD"
+    # policy off: a zero/negative dt alone cannot prove fraud
+    cfg = EngineConfig(nonpositive_dt_is_fraud=False)
+    assert _verdict(spark, cfg, dt=0.0, speed=None) == "GENUINE"
+
+
+def test_ucl_sigma_configurable(spark):
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.agg_ops import ucl_agg
+
+    df = spark.createDataFrame([(1, 10.0), (1, 20.0), (1, 30.0)], "k int, amount double")
+    two = df.groupBy("k").agg(ucl_agg(F.col("amount"), sigma=2.0).alias("u")).collect()[0].u
+    three = df.groupBy("k").agg(ucl_agg(F.col("amount"), sigma=3.0).alias("u")).collect()[0].u
+    assert three > two > 20.0
