@@ -51,7 +51,8 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list_sort(list_distinct(toks))[1:5], ',') AS first_tokens,
            CAST(list_contains(toks, 'spark') AS INTEGER) AS has_spark,
            CAST(len(list_filter(toks, x -> length(x) > 5)) AS BIGINT) AS n_long,
-           list_sort(list_distinct(list_transform(toks, x -> length(x))))
+           array_to_string(
+             list_sort(list_distinct(list_transform(toks, x -> length(x)))), ',')
              AS len_profile
     FROM t
     """,
@@ -68,9 +69,10 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_contains(toks, "spark").cast("int").alias("has_spark"),
         F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("long").alias("n_long"),
-        F.array_sort(F.array_distinct(F.transform(toks, lambda x: F.length(x)))).alias(
-            "len_profile"
-        ),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.transform(toks, lambda x: F.length(x)))),
+            ",",
+        ).alias("len_profile"),
     )
 
 

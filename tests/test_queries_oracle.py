@@ -11,6 +11,7 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import r
 from tools.oracle_check import TABLES, canon_rows
 
 _QUERIES = registry()
+_ORACLED = [q for q in _QUERIES if q.sql is not None]
 
 
 @pytest.fixture(scope="module")
@@ -35,3 +36,20 @@ def test_query_matches_oracle(q, spark, sf_dir, oracle):
     assert len(s_rows) == len(d_rows)
     mismatches = [(a, b) for a, b in zip(s_rows, d_rows) if a != b]
     assert not mismatches, f"{len(mismatches)} rows differ; first: {mismatches[0]}"
+
+
+@pytest.mark.parametrize("q", _ORACLED, ids=[q.name for q in _ORACLED])
+def test_no_complex_output_columns(q, spark, sf_dir):
+    """The driver's canonicalizer sorts result cells with pandas; array/
+    struct/map cells raise `unhashable type` there (this is what broke
+    array_funcs in round 1). Every oracled query must emit scalars only --
+    stringify (array_join) any list-shaped output."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = q.fn(spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, f"non-scalar output columns in oracled query: {bad}"
