@@ -26,16 +26,75 @@ def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
     return surviving.unionByName(updates.select(*target.columns))
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
+
+
+def atomic_overwrite(df: DataFrame, target_path: str, token: str) -> None:
+    """Crash-safe overwrite of a Parquet directory.
+
+    The naive `read staging -> mode('overwrite') target` deletes the target
+    and then spends the whole rewrite window with no table on disk -- a
+    crash there loses the table and a checkpoint replay reruns against
+    nothing. Instead: write the new version to a token-unique staging dir
+    (two concurrent callers or a leftover dir can't collide), then swap it
+    in with two FS renames -- metadata-only operations, so the
+    no-current-table window shrinks from "full rewrite" to "one rename".
+    `recover_table` heals the rename window at next read.
+    """
+    spark = df.sparkSession
+    target = target_path.rstrip("/")
+    staging = f"{target}__stage_{token}"
+    df.write.mode("overwrite").parquet(staging)
+    fs, jvm = _hadoop_fs(spark, target)
+    P = jvm.org.apache.hadoop.fs.Path
+    old = P(target + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(P(target)):
+        fs.rename(P(target), old)
+    fs.rename(P(staging), P(target))
+    fs.delete(old, True)
+
+
+def recover_table(spark: SparkSession, target_path: str) -> bool:
+    """Heal an interrupted `atomic_overwrite` swap. If the target exists,
+    no-op. Otherwise promote the newest COMPLETE staging dir (_SUCCESS
+    marker present -- it finished writing before the swap began), else the
+    `__old` backup. Returns True if a recovery action was taken."""
+    target = target_path.rstrip("/")
+    fs, jvm = _hadoop_fs(spark, target)
+    P = jvm.org.apache.hadoop.fs.Path
+    if fs.exists(P(target)):
+        return False
+    stages = fs.globStatus(P(target + "__stage_*")) or []
+    complete = [s for s in stages if fs.exists(P(str(s.getPath()) + "/_SUCCESS"))]
+    if complete:
+        best = max(complete, key=lambda s: s.getModificationTime())
+        fs.rename(best.getPath(), P(target))
+        # the backup is superseded; a stale __old would corrupt the next
+        # swap's rename-aside
+        if fs.exists(P(target + "__old")):
+            fs.delete(P(target + "__old"), True)
+    elif fs.exists(P(target + "__old")):
+        fs.rename(P(target + "__old"), P(target))
+    else:
+        raise FileNotFoundError(f"no table, staging, or backup at {target}")
+    return True
+
+
 def merge_upsert_path(
-    spark: SparkSession, target_path: str, updates: DataFrame, key: str
+    spark: SparkSession, target_path: str, updates: DataFrame, key: str,
+    token: str = "merge",
 ) -> None:
-    """Upsert into a keyed Parquet table in place via staging write-then-
-    swap (parquet cannot be overwritten while being read)."""
+    """Upsert into a keyed Parquet table in place (parquet cannot be
+    overwritten while being read) via the crash-safe rename swap."""
+    recover_table(spark, target_path)
     target = spark.read.parquet(target_path)
     merged = merge_upsert(target, updates, key)
-    staging = target_path.rstrip("/") + "_staging"
-    merged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+    atomic_overwrite(merged, target_path, token)
 
 
 def scd2_apply(

@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.config import DEFAULT_CONFIG, EngineConfig
+from fraud_detection_in_banking_transactions_using_hadoop_spark.functions.scalar import parse_ts_multi
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.merge import atomic_overwrite, recover_table
 from fraud_detection_in_banking_transactions_using_hadoop_spark.plans.scoring import score_transactions
 from fraud_detection_in_banking_transactions_using_hadoop_spark.schemas import TXN_PAYLOAD
 
@@ -95,6 +97,7 @@ def run_scorer(
     spark = stream.sparkSession
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        recover_table(spark, lookup_path)  # heal an interrupted swap
         lookup = spark.read.parquet(lookup_path)
         scored = score_transactions(batch_df, lookup, zip_geo, cfg).cache()
         try:
@@ -116,15 +119,23 @@ def run_scorer(
                 scored.select("card_id", "transaction_dt", "status").show(truncate=False)
 
             genuine = scored.filter(F.col("status") == cfg.status_genuine)
+            # Order by the MULTI-format parsed ts (payloads legitimately
+            # carry dd-MM-yyyy, FinFraudGuard.java SimpleDateFormat; a
+            # strict to_timestamp would throw under ANSI mode), with pos_id
+            # as the tiebreak -- the same deterministic (ts, pos_id) order
+            # the exact stateful fold uses (streaming/stateful.py).
             latest = genuine.groupBy("card_id").agg(
                 F.max_by(
                     F.struct("postcode", "transaction_dt"),
-                    F.to_timestamp("transaction_dt", cfg.ts_format),
+                    F.struct(
+                        parse_ts_multi(F.col("transaction_dt"), cfg.input_ts_formats),
+                        F.col("pos_id"),
+                    ),
                 ).alias("s")
             ).select("card_id", F.col("s.postcode").alias("new_postcode"),
                      F.col("s.transaction_dt").alias("new_txn_dt"))
 
-            merged = (
+            updated = (
                 lookup.join(F.broadcast(latest), "card_id", "left")
                 .select(
                     "card_id",
@@ -134,13 +145,26 @@ def run_scorer(
                     "score",
                 )
             )
-            # Write-then-swap via a staging dir: parquet can't overwrite a
-            # table being read in the same job, and collecting the lookup to
-            # the driver would cap the table at driver memory. Two
-            # distributed writes keep the merge scale-free.
-            staging = lookup_path.rstrip("/") + "_staging"
-            merged.write.mode("overwrite").parquet(staging)
-            spark.read.parquet(staging).write.mode("overwrite").parquet(lookup_path)
+            # GENUINE events for cards not yet in the lookup CREATE state
+            # (the reference's HBase Put is unconditional,
+            # HBaseTransLink.java:77-81): union them in with NULL ucl/score
+            # until the next batch recompute supplies history-based values.
+            new_cards = (
+                latest.join(lookup.select("card_id"), "card_id", "left_anti")
+                .select(
+                    "card_id",
+                    F.lit(None).cast("double").alias("ucl"),
+                    F.col("new_postcode").alias("postcode"),
+                    F.col("new_txn_dt").alias("transaction_dt"),
+                    F.lit(None).cast("int").alias("score"),
+                )
+            )
+            merged = updated.unionByName(new_cards)
+            # Crash-safe keyed overwrite: batch-id-unique staging dir, then
+            # a metadata-only rename swap (operators/merge.py). Collecting
+            # the lookup to the driver would cap the table at driver
+            # memory; two distributed writes keep the merge scale-free.
+            atomic_overwrite(merged, lookup_path, f"b{batch_id}")
         finally:
             scored.unpersist()
 

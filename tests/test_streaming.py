@@ -109,6 +109,115 @@ def test_foreach_batch_fraud_does_not_advance_state(spark, tmp_path_factory, zip
     assert final.transaction_dt == "2024-01-01 10:00:00"
 
 
+def test_foreach_batch_ddmmyyyy_payload_orders_state(spark, tmp_path_factory, zip_geo):
+    """ADVICE r1 (high): the reference's streaming payloads use
+    dd-MM-yyyy HH:mm:ss (FinFraudGuard.java SimpleDateFormat). The lookup
+    advance must parse it (ANSI to_timestamp would kill the query) AND
+    order it correctly against a canonical-format event in the same batch:
+    25-06-2024 is LATER than 2024-06-10 even though it sorts earlier as a
+    string."""
+    base = tmp_path_factory.mktemp("stream_fmt")
+    stream_dir, lookup_dir = base / "in", base / "lookup"
+    master_dir, ckpt_dir = base / "master", base / "ckpt"
+    stream_dir.mkdir()
+
+    lookup = spark.createDataFrame(
+        [Row(card_id=1, ucl=100.0, postcode=100, transaction_dt="2024-01-01 10:00:00", score=500)]
+    )
+    lookup.coalesce(1).write.parquet(str(lookup_dir))
+
+    # One batch, two GENUINE events: canonical format June 10, then the
+    # reference dd-MM-yyyy format June 25 (moves to LA slowly -> GENUINE).
+    (stream_dir / "b1.json").write_text(
+        json.dumps(_payload(1, 50, 100, "2024-06-10 10:00:00")) + "\n"
+        + json.dumps(_payload(1, 50, 200, "25-06-2024 10:00:00", pos_id=2)) + "\n"
+    )
+    stream = read_payload_file_stream(spark, str(stream_dir))
+    q = run_scorer(stream, str(lookup_dir), zip_geo, str(master_dir), str(ckpt_dir))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.read.parquet(str(lookup_dir)).collect()[0]
+    # string max would pick "2024-06-10..."; parsed max picks June 25
+    assert final.transaction_dt == "25-06-2024 10:00:00"
+    assert final.postcode == 200
+
+
+def test_foreach_batch_new_card_creates_state(spark, tmp_path_factory, zip_geo):
+    """ADVICE r1 (medium): a GENUINE event for a card NOT in the lookup
+    must create its state row (the reference's HBase Put is unconditional,
+    HBaseTransLink.java:77-81), so the card's next event scores against
+    real last-location state instead of NULL forever."""
+    base = tmp_path_factory.mktemp("stream_new")
+    stream_dir, lookup_dir = base / "in", base / "lookup"
+    master_dir, ckpt_dir = base / "master", base / "ckpt"
+    stream_dir.mkdir()
+
+    lookup = spark.createDataFrame(
+        [Row(card_id=1, ucl=100.0, postcode=100, transaction_dt="2024-01-01 10:00:00", score=500)]
+    )
+    lookup.coalesce(1).write.parquet(str(lookup_dir))
+
+    # batch 1: unseen card 99 in NYC (NULL state -> all rules False -> GENUINE)
+    (stream_dir / "b1.json").write_text(
+        json.dumps(_payload(99, 50, 100, "2024-01-05 10:00:00")) + "\n"
+    )
+    # batch 2: card 99 "teleports" to LA 1h later -- FRAUD only if batch 1
+    # created state for it
+    (stream_dir / "b2.json").write_text(
+        json.dumps(_payload(99, 50, 200, "2024-01-05 11:00:00")) + "\n"
+    )
+    stream = read_payload_file_stream(spark, str(stream_dir))
+    q = run_scorer(stream, str(lookup_dir), zip_geo, str(master_dir), str(ckpt_dir))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {r.card_id: r for r in spark.read.parquet(str(lookup_dir)).collect()}
+    assert 99 in final, "GENUINE event for a new card must create lookup state"
+    assert final[99].ucl is None and final[99].score is None
+    assert final[99].postcode == 100  # FRAUD teleport did not advance it
+    master = {r.transaction_dt: r for r in spark.read.parquet(str(master_dir)).collect()}
+    assert master["2024-01-05 10:00:00"].status == "GENUINE"
+    assert master["2024-01-05 11:00:00"].status == "FRAUD"
+    assert final[1].transaction_dt == "2024-01-01 10:00:00"  # untouched card intact
+
+
+def test_atomic_overwrite_and_recovery(spark, tmp_path):
+    """ADVICE r1 (medium): the lookup swap must not lose the table on a
+    crash. Simulate the two crash windows and check recover_table heals
+    both: (a) staging written, target renamed away (promote staging);
+    (b) no complete staging (restore the __old backup)."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.merge import (
+        atomic_overwrite,
+        recover_table,
+    )
+
+    target = str(tmp_path / "tbl")
+    spark.range(5).write.parquet(target)
+    atomic_overwrite(spark.range(10), target, "b1")
+    assert spark.read.parquet(target).count() == 10
+    assert not recover_table(spark, target)  # healthy -> no-op
+
+    # crash window (a): complete staging exists, target vanished mid-swap
+    spark.range(20).write.parquet(target + "__stage_b2")
+    import shutil
+
+    shutil.move(target, target + "__old")
+    assert recover_table(spark, target)
+    assert spark.read.parquet(target).count() == 20  # staging promoted
+
+    # crash window (b): incomplete staging (no _SUCCESS) -> restore backup
+    spark.range(30).write.parquet(target + "__stage_b3")
+    (tmp_path / "tbl__stage_b3" / "_SUCCESS").unlink()
+    shutil.move(target, target + "__old")
+    assert recover_table(spark, target)
+    assert spark.read.parquet(target).count() == 20  # backup restored
+
+
 def test_decode_payload_typed_and_malformed(spark):
     """S12: JSON value -> typed payload; malformed rows become all-NULL
     records instead of killing the batch."""
