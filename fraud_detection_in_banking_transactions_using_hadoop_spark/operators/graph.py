@@ -2,17 +2,25 @@
 into dedup CLUSTERS (the step every large-scale dedup pipeline needs
 after LSH: pick one canonical doc per component).
 
-Algorithm: iterative min-label propagation (the DataFrame rendering of
-Pregel-style CC): every node starts labeled with itself; each round a
-node takes the min label among itself and its neighbors; fixpoint in
-O(graph diameter) rounds. Near-dup graphs are unions of small cliques,
-so diameter -- and round count -- is tiny in practice.
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) -- each
+iteration rewires edges toward the component minimum; the edge set
+converges to a star forest (every node -> component min) in
+O(log diameter) iterations, vs O(diameter) for plain min-label
+propagation. Both stars are a groupBy + join on the node id over the
+current edge set, so each iteration is shuffle-bounded by |edges|.
 
-Scale: each round is one join + one groupBy on the node id (same key ->
-exchange reuse), data volume |edges|; lineage is truncated per round
-with localCheckpoint so 20 rounds don't build a 20-deep plan. This is
-the engine's template for iterative algorithms (PageRank, label prop)
-without needing GraphX/GraphFrames jars.
+Scale notes (the things that killed the naive loop at 100 TB):
+- O(log d) rounds instead of O(d): a 1M-node chain needs ~20 rounds,
+  not 1M.
+- Convergence is checked every `check_every` iterations (one isEmpty
+  action), not every round -- driver actions are the per-round tax.
+- Lineage is truncated once per iteration with localCheckpoint so the
+  plan stays flat; on a real cluster use reliable checkpoint dirs to
+  also drop the shuffle files.
+
+This is the engine's template for iterative algorithms without
+GraphX/GraphFrames jars.
 """
 
 from __future__ import annotations
@@ -21,42 +29,82 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    m = min(neighbors ∪ {u}). Emitted edges (v, m) always have v > m."""
+    und = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = (
+        und.groupBy("a")
+        .agg(F.min("b").alias("mb"))
+        .select("a", F.least("mb", "a").alias("m"))
+    )
+    return (
+        und.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Orient edges toward the smaller endpoint; for each node u connect
+    all its smaller neighbors AND u itself to m = min(neighbors)."""
+    oriented = edges.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    mins = oriented.groupBy("a").agg(F.min("b").alias("m"))
+    rewired = oriented.join(mins, "a").select(
+        F.col("b").alias("a"), F.col("m").alias("b")
+    )
+    self_edges = mins.select(F.col("a"), F.col("m").alias("b"))
+    return (
+        rewired.union(self_edges)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """Returns (node, cluster): cluster = min node id in the component.
     Nodes = every id appearing in `pairs`; join singletons back with
     coalesce(cluster, id) at the call site."""
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    edges = edges.localCheckpoint(eager=True)
-
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+    # Checkpoint the raw pair projection ONCE: `pairs` is typically the
+    # tail of an expensive LSH pipeline, and deriving nodes and edges
+    # from the un-checkpointed frame would run that pipeline twice.
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
     )
-    for _ in range(max_iter):
-        neighbor_labels = edges.join(
-            labels, edges.b == labels.node, "inner"
-        ).select(F.col("a").alias("node"), "label")
-        new_labels = (
-            neighbor_labels.unionByName(labels)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    edges = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+
+    for i in range(max_iter):
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        converged = False
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            # star forest is a fixpoint of the composition, so set
+            # equality of two distinct frames == converged
+            converged = (
+                new_edges.exceptAll(edges)
+                .union(edges.exceptAll(new_edges))
+                .isEmpty()
+            )
+        edges = new_edges
+        if converged:
             break
-    return labels.select("node", F.col("label").alias("cluster"))
+
+    # At the fixpoint every edge is (child, root) with root = component
+    # min; the min() guards the max_iter-without-convergence fallback.
+    stars = edges.groupBy(F.col("a").alias("node")).agg(F.min("b").alias("cluster"))
+    return nodes.join(stars, "node", "left").select(
+        "node", F.coalesce("cluster", F.col("node")).alias("cluster")
+    )
