@@ -26,7 +26,10 @@ HEADLINE = [
     "topk_per_supplier",
     "dedup_exact",
     "minhash_lsh_pairs",
-    "ann_cosine_topk",
+    "ann_cosine_topk",  # exact brute-force baseline for the tier below
+    "ann_ivf_topk",  # the approximate (scale-path) ANN tier
+    "dedup_clusters",  # pairs -> connected components (iterative template)
+    "simhash_docs",
     "asof_join",
     "sessionize",
     "window_suite",
@@ -49,6 +52,17 @@ def main() -> None:
     from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
     read_table(spark, sf_dir, "region").count()
+
+    # MLlib warmup (class loading + codegen for the KMeans path): the IVF
+    # headline query should measure quantizer+search cost, not one-time
+    # JVM class loading. Two synthetic points, no measured data touched.
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    _w = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], ["id", "v"]
+    ).withColumn("_fv", array_to_vector("v"))
+    KMeans(k=2, seed=1, maxIter=1, featuresCol="_fv").fit(_w)
 
     by_name = {q.name: q for q in registry()}
     timings: dict[str, float] = {}

@@ -65,61 +65,120 @@ def shingles(text: Column, w: int = 3) -> Column:
     )
 
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, w: int = 3) -> DataFrame:
+    """(id, tok) rows of word w-shingles -- the codegen-friendly form.
+
+    The array form (shingles()) is map-side but built from higher-order
+    functions, which are CodegenFallback in Spark: every element goes
+    through interpreted lambda eval (measured ~5x slower per token than
+    this plan locally). Here: posexplode tokens (codegen Generate),
+    window-lead the next w-1 tokens, filter to valid start positions --
+    everything stays JVM-compiled at the cost of one (id, pos)
+    shuffle-sort over the token stream. Docs shorter than w yield their
+    whole token string as the single shingle (concat_ws skips the NULL
+    leads), matching shingles().
+
+    Duplicate shingles are NOT deduped: min-agg consumers (MinHash) are
+    insensitive to multiplicity; dedupe downstream if set semantics are
+    needed.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    t = df.select(
+        F.col(id_col), F.size(toks).alias("_n"), F.posexplode(toks).alias("_p", "_tok")
+    )
+    win = Window.partitionBy(id_col).orderBy("_p")
+    sh = F.concat_ws(
+        " ", F.col("_tok"), *[F.lead("_tok", j).over(win) for j in range(1, w)]
+    )
+    return (
+        t.withColumn("tok", sh)
+        .filter(F.col("_p") <= F.greatest(F.col("_n") - w, F.lit(0)))
+        .select(id_col, "tok")
+    )
+
+
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 16, shingle_w: int = 1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    shingle_w: int = 1,
+    vocab_broadcast: bool | None = None,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over tokens of h_i(tok).
 
-    Plan shape (chosen over the naive tokens x n_hashes explode):
-      distinct tokens -> per-VOCAB-TOKEN hash array (tiny, computed once per
-      distinct token in the batch) -> explode doc tokens -> broadcast join
-      the vocab hash table -> ONE groupBy(doc) with n_hashes min() aggs.
-    The doc-token rows carry only (id, 16 short strings); the md5 work is
-    proportional to |vocabulary|, not |corpus|. At 100 TB the single
-    shuffle key is doc id (even) and partial aggregation collapses each
-    partition to one row per doc before the exchange.
+    Two plan shapes, picked by vocabulary size (auto: unigrams -> vocab
+    join, shingles -> direct):
 
-    shingle_w > 1 hashes overlapping word w-shingles instead of unigrams
-    (the standard near-dup unit). Note the shingle vocabulary grows toward
-    corpus size -- if the distinct-shingle table stops fitting broadcast,
-    drop the vocab join and hash shingles directly in the explode.
+    vocab_broadcast=True -- distinct tokens -> per-VOCAB-TOKEN hash array
+      (computed once per distinct token) -> explode doc tokens ->
+      broadcast join the vocab hash table -> ONE groupBy(doc) with
+      n_hashes min() aggs. md5 work proportional to |vocabulary|, not
+      |corpus|: the right plan when vocabulary << corpus (natural-language
+      unigrams). Costs an extra pass over the explode to build the vocab.
 
-    Returns (id_col, h0 .. h{n-1}).
+    vocab_broadcast=False -- hash each exploded unit directly, no vocab
+      table. md5 work proportional to corpus, but single-pass and no
+      broadcast: the right plan for w-shingles, whose vocabulary grows
+      toward corpus size (a broadcast that big would stop fitting anyway).
+
+    Either way the single shuffle key is doc id (even) and partial
+    aggregation collapses each partition to one row per doc before the
+    exchange. Returns (id_col, h0 .. h{n-1}).
     """
-    units = (
-        F.array_distinct(F.split(text_col, " "))
-        if shingle_w <= 1
-        else F.array_distinct(shingles(F.col(text_col), shingle_w))
-    )
-    toks = df.select(F.col(id_col), F.explode(units).alias("tok"))
-    vocab = toks.select("tok").distinct().select(
-        "tok", _token_hash_array(F.col("tok"), n_hashes).alias("harr")
-    )
-    joined = toks.join(F.broadcast(vocab), "tok")
+    if vocab_broadcast is None:
+        vocab_broadcast = shingle_w <= 1
+    if shingle_w <= 1:
+        toks = df.select(
+            F.col(id_col), F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
+        )
+    else:
+        toks = shingle_rows(df, id_col, text_col, shingle_w)
+    if vocab_broadcast:
+        vocab = toks.select("tok").distinct().select(
+            "tok", _token_hash_array(F.col("tok"), n_hashes).alias("harr")
+        )
+        joined = toks.join(F.broadcast(vocab), "tok")
+    else:
+        joined = toks.withColumn("harr", _token_hash_array(F.col("tok"), n_hashes))
     return joined.groupBy(id_col).agg(
         *[F.min(F.col("harr")[i]).alias(f"h{i}") for i in range(n_hashes)]
     )
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_hashes: int = 16, band_size: int = 4
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    band_size: int = 4,
+    max_bucket_size: int | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """LSH banding over minhash signatures: docs sharing any band bucket
     become a candidate pair (doc_a < doc_b).
 
     Scale: the band table is (doc, band_id, band_hash); the self-join hits
     only equal (band_id, band_hash) buckets, so fan-out is bounded by
-    bucket population -- the standard LSH guarantee. Skewed buckets (e.g.
-    empty docs) can be salted or length-blocked upstream.
-    """
-    # The banded table feeds BOTH sides of the self-join; the broadcast
-    # side cannot reuse the streamed side's exchange (different exchange
-    # types), so without persistence the whole signature pipeline computes
-    # twice. MEMORY_AND_DISK keeps the fix safe when signatures outgrow
-    # executor memory.
-    from pyspark import StorageLevel
+    bucket population -- the standard LSH guarantee. That guarantee fails
+    on degenerate corpora (boilerplate/empty docs, tiny vocabularies)
+    where one hot bucket degrades toward all-pairs: `max_bucket_size`
+    drops buckets over the cap BEFORE the self-join (candidate count from
+    a bucket is quadratic, so an over-cap bucket contributes noise, not
+    recall -- near-identical docs still meet in their other, smaller
+    bands). The documented tradeoff: pairs whose ONLY shared bucket is
+    over-cap are missed.
 
-    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
+    With eager=True (default) the pair table is materialized via
+    localCheckpoint before returning and the intermediate cache is
+    released -- the band table feeds both sides of the self-join, and
+    without persistence the whole signature pipeline computes twice;
+    without the unpersist, repeated calls leak cached blocks. Pass
+    eager=False to keep the frame lazy (caller owns the double-compute).
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
 
     n_bands = n_hashes // band_size
     bands = []
@@ -131,9 +190,19 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("band")
     ).select(id_col, "band.band_id", "band.band_hash")
+    if max_bucket_size is not None:
+        # window count shares the (band_id, band_hash) shuffle the
+        # self-join needs anyway -- the guard costs no extra exchange
+        w = Window.partitionBy("band_id", "band_hash")
+        banded = (
+            banded.withColumn("_bsz", F.count("*").over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -143,6 +212,10 @@ def lsh_candidate_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
+    if eager:
+        pairs = pairs.localCheckpoint(eager=True)
+        banded.unpersist()
+    return pairs
 
 
 def ngram_jaccard_pairs(
@@ -192,36 +265,38 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document: sum +/-1 per bit over token hashes,
-    take the sign. Near-dup docs differ in few bits (compare via hamming
-    distance downstream).
+def simhash64(df: DataFrame, id_col: str, text_col: str, n_bits: int = 60) -> DataFrame:
+    """SimHash per document: sum +/-1 per bit over token hashes, take the
+    sign. Near-dup docs differ in few bits (compare via hamming distance
+    downstream). Width is 60 bits, not 64: the token hash is the first 15
+    hex chars of md5 (conv() maps hex to BIGINT JVM-side), which keeps the
+    value positive within a signed 64-bit integer.
 
-    Bits come from the first 16 hex chars of md5(token) -- conv() maps hex
-    to a 64-bit integer JVM-side. The per-bit +/- counting explodes each
-    token into 64 (token, bit) rows; at scale prefer the grouped
-    aggregation form below which keeps it to one row per token with an
-    array accumulator.
+    Plan shape: ONE row per (doc, distinct token). The per-bit +/-1
+    contributions are `n_bits` sum() aggregates over bit-tests of the
+    token hash -- all codegen'd, with map-side partial aggregation
+    collapsing each partition to one row per doc BEFORE the exchange. The
+    shuffle carries |docs| x (60 ints), vs the previous explode form that
+    shuffled 60 rows per token (a 60x volume multiplier on 100 TB of
+    text).
 
-    Returns (id_col, simhash BIGINT, n_tokens).
+    Returns (id_col, simhash BIGINT).
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
     )
-    # 64-bit value from md5 hex; conv returns string -> cast. First 15 hex
-    # chars (60 bits) keep it positive within BIGINT; bits 0..59.
-    h = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
-    toks = toks.withColumn("th", h)
-    bit = F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit")
-    bits = toks.select(id_col, "th", bit).withColumn(
-        "contrib", F.when(F.expr("(th >> bit) & 1") == 1, 1).otherwise(-1)
+    toks = toks.withColumn(
+        "th", F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("bigint")
     )
-    per_bit = bits.groupBy(id_col, "bit").agg(F.sum("contrib").alias("s"))
-    return (
-        per_bit.withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << bit")).otherwise(F.lit(0)),
+    per_bit_sums = [
+        F.sum(F.when(F.expr(f"(th >> {b}) & 1") == 1, 1).otherwise(-1)).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*per_bit_sums)
+    simhash = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
         )
-        .groupBy(id_col)
-        .agg(F.sum("bitval").cast("bigint").alias("simhash"))
-    )
+        simhash = term if simhash is None else simhash + term
+    return per_doc.select(id_col, simhash.cast("bigint").alias("simhash"))

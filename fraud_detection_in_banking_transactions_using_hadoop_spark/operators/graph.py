@@ -64,16 +64,47 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(rows) -> dict:
+    """Union-find with path compression and min-root union: O(E α(E)).
+    Only called on edge sets small enough to collect (see caller)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 20,
     check_every: int = 2,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Returns (node, cluster): cluster = min node id in the component.
     Nodes = every id appearing in `pairs`; join singletons back with
-    coalesce(cluster, id) at the call site."""
+    coalesce(cluster, id) at the call site.
+
+    Adaptive execution: near-dup graphs are usually SMALL relative to the
+    corpus that produced them (pairs, not documents). When the deduped
+    edge set fits the driver (<= driver_max_edges, ~16 MB per million
+    int64 pairs), union-find on the driver answers in O(E α(E)) with zero
+    further cluster rounds -- the distributed star loop would spend
+    seconds per iteration on stage scheduling alone. Bigger edge sets take
+    the large-star/small-star loop, which is the 100 TB path. Both paths
+    produce the identical min-label clustering."""
     # Checkpoint the raw pair projection ONCE: `pairs` is typically the
     # tail of an expensive LSH pipeline, and deriving nodes and edges
     # from the un-checkpointed frame would run that pipeline twice.
@@ -86,6 +117,18 @@ def connected_components(
         .distinct()
     )
     edges = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
+
+    if edges.count() <= driver_max_edges:  # count on materialized data: cheap
+        labels = _driver_union_find((r[0], r[1]) for r in edges.collect())
+        if not labels:
+            return nodes.select("node", F.col("node").alias("cluster"))
+        spark = pairs.sparkSession
+        label_df = spark.createDataFrame(
+            list(labels.items()), schema=edges.select("a", "b").schema
+        ).select(F.col("a").alias("node"), F.col("b").alias("cluster"))
+        return nodes.join(label_df, "node", "left").select(
+            "node", F.coalesce("cluster", F.col("node")).alias("cluster")
+        )
 
     for i in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)

@@ -94,6 +94,8 @@ def ivf_cosine_topk(
     n_cells: int = 16,
     n_probe: int = 3,
     seed: int = 42,
+    max_iter: int = 10,
+    rows_per_train_partition: int = 50_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the base
     into n_cells Voronoi cells, then search each query only in its n_probe
@@ -103,13 +105,26 @@ def ivf_cosine_topk(
     cell assignment is one map-side pass; the search join touches
     |base| * n_probe / n_cells of the pairs a brute-force scan would.
     Recall rises with n_probe (== n_cells gives exact results).
+
+    The quantizer fit is iterative (several jobs over the training set),
+    so training partitioning is sized to the data: a small base scattered
+    over many partitions pays per-iteration task-scheduling overhead for
+    no parallelism (measured 4x slowdown at 2k vectors x 32 partitions).
+    A coarse quantizer also doesn't need convergence -- max_iter=10
+    default vs MLlib's 20.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     base_v = base.select(id_col, vec_col).withColumn("_fv", array_to_vector(F.col(vec_col)))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="_cell")
-    model = km.fit(base_v)
+    n = base_v.count()
+    cur_parts = base_v.rdd.getNumPartitions()
+    train_parts = max(1, min(cur_parts, n // rows_per_train_partition + 1))
+    train = base_v.coalesce(train_parts) if train_parts < cur_parts else base_v
+    km = KMeans(
+        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_fv", predictionCol="_cell"
+    )
+    model = km.fit(train)
     assigned = model.transform(base_v).select(id_col, vec_col, "_cell")
 
     # Rank each query's cells by centroid distance; probe the top n_probe.

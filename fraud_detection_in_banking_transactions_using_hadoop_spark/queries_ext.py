@@ -178,17 +178,47 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate aggregates: engine-specific sketches (HLL++/T-digest in
-# Spark) -- values are estimator-dependent by design, so the oracle is
-# rows-only; the pytest suite asserts accuracy bounds against exact counts.
+# Approximate aggregates: engine-specific sketches (HLL++ / approximate
+# percentile in Spark). Raw estimates are estimator-dependent by design and
+# can't hash-match another engine, so the PARTIAL oracle emits (a) exact
+# aggregates, hash-checked against DuckDB's exact values, and (b) bounded-
+# error booleans -- Spark computes |estimate-exact|/exact <= bound, DuckDB
+# declares TRUE. The driver's value-hash compare then FAILS if any Spark
+# sketch estimate leaves its declared bound. Bounds: HLL++ default
+# rsd=0.05 -> 3-sigma bound 0.15; approx percentile default rank accuracy
+# 1/10000 -> generous 1% relative value bound. The pytest suite keeps the
+# tighter per-estimator accuracy assertions.
 # ---------------------------------------------------------------------------
-@register("approx_aggs", None, tags=("A1", "approx"))
+@register(
+    "approx_aggs",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cust,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99_exact,
+           TRUE AS cust_est_ok, TRUE AS p50_est_ok, TRUE AS p99_est_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("A1", "approx"),
+)
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_cust"),
-        F.percentile_approx("o_totalprice", 0.5).alias("p50_price"),
-        F.percentile_approx("o_totalprice", 0.99).alias("p99_price"),
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_cust"),
+        F.percentile("o_totalprice", 0.5).alias("_p50_exact"),
+        F.percentile("o_totalprice", 0.99).alias("_p99_exact"),
+        F.approx_count_distinct("o_custkey").alias("_approx_cust"),
+        F.percentile_approx("o_totalprice", 0.5).alias("_p50_est"),
+        F.percentile_approx("o_totalprice", 0.99).alias("_p99_est"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_cust",
+        F.round("_p50_exact", 4).alias("p50_exact"),
+        F.round("_p99_exact", 4).alias("p99_exact"),
+        (F.abs(F.col("_approx_cust") - F.col("exact_cust")) / F.col("exact_cust") <= 0.15).alias("cust_est_ok"),
+        (F.abs(F.col("_p50_est") - F.col("_p50_exact")) / F.col("_p50_exact") <= 0.01).alias("p50_est_ok"),
+        (F.abs(F.col("_p99_est") - F.col("_p99_exact")) / F.col("_p99_exact") <= 0.01).alias("p99_est_ok"),
     )
 
 

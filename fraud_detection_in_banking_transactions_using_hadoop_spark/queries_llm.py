@@ -176,6 +176,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_HASHES = 16
 _BAND_SIZE = 4
+# Hot-bucket guard: the synthetic corpus has a 31-word vocabulary, so
+# unigram LSH buckets are degenerate (the bucket's pair yield is quadratic
+# and all noise). Both engines drop buckets over the cap identically, so
+# the query stays oracle-exact WITH the guard on.
+_MAX_BUCKET = 64
 
 
 @register(
@@ -192,9 +197,15 @@ _BAND_SIZE = 4
       SELECT doc_id, CAST(i // {_BAND_SIZE} AS INTEGER) AS band_id,
              md5(string_agg(h, '|' ORDER BY i)) AS band_hash
       FROM hashed GROUP BY doc_id, CAST(i // {_BAND_SIZE} AS INTEGER)),
+    capped AS (
+      SELECT doc_id, band_id, band_hash FROM (
+        SELECT doc_id, band_id, band_hash,
+               count(*) OVER (PARTITION BY band_id, band_hash) AS bsz
+        FROM bands)
+      WHERE bsz <= {_MAX_BUCKET}),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM capped a JOIN capped b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id)
     SELECT doc_a, doc_b FROM pairs
@@ -209,7 +220,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=_N_HASHES)
-    return lsh_candidate_pairs(sigs, "doc_id", n_hashes=_N_HASHES, band_size=_BAND_SIZE)
+    return lsh_candidate_pairs(
+        sigs, "doc_id", n_hashes=_N_HASHES, band_size=_BAND_SIZE,
+        max_bucket_size=_MAX_BUCKET,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,22 @@ def test_direction_and_duplicates_ignored(spark):
     assert got == {1: 1, 2: 1, 3: 1}
 
 
+def test_star_loop_path_matches_driver_path(spark):
+    """driver_max_edges=0 forces the distributed large-star/small-star
+    loop; it must produce the identical clustering to the driver
+    union-find fast path on a shape that needs several rounds (chain)
+    plus a clique and a singleton-ish pair."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9), (20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    dist = {
+        r.node: r.cluster
+        for r in connected_components(pairs, driver_max_edges=0).collect()
+    }
+    assert fast == dist
+    assert dist == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 8: 8, 9: 8, 20: 20, 21: 20, 22: 20}
+
+
 def test_max_iter_bounds_work(spark):
     # a long chain with max_iter too small must still return labels
     # (possibly unconverged) without error; with enough iterations it

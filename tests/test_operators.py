@@ -68,6 +68,27 @@ def test_minhash_identical_docs_share_all_bands(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket_size must bound candidate fan-out on a degenerate
+    corpus: 40 token-set-identical docs share every band bucket, which
+    uncapped yields 40*39/2 = 780 pairs; with the cap below the bucket
+    size, those buckets are dropped entirely. A small distinct near-dup
+    pair in its own (under-cap) bucket must survive."""
+    rows = [Row(id=i, text="x y z") for i in range(40)]
+    rows += [Row(id=100, text="p q r s t"), Row(id=101, text="t s r q p")]
+    df = spark.createDataFrame(rows)
+    sigs = minhash_signatures(df, "id", "text", n_hashes=8)
+    uncapped = lsh_candidate_pairs(sigs, "id", n_hashes=8, band_size=2)
+    assert uncapped.count() == 780 + 1
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            sigs, "id", n_hashes=8, band_size=2, max_bucket_size=10
+        ).collect()
+    }
+    assert capped == {(100, 101)}  # hot buckets dropped, small one kept
+
+
 def test_jaccard_pairs_exact_value(spark):
     df = spark.createDataFrame(
         [Row(id=1, text="a b c d", blk="x"), Row(id=2, text="a b c e", blk="x"),
