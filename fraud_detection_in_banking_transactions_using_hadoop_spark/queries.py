@@ -69,6 +69,7 @@ def registry() -> list[Query]:
         queries_llm,
         queries_llm2,
         queries_tpch,
+        queries_tpch2,
     )
 
     return list(_REGISTRY)

@@ -131,6 +131,87 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF approximate nearest neighbors (rows-only: cell assignment depends on
 # MLlib KMeans internals; exactness/recall gates live in tests/test_merge_ivf)
 # ---------------------------------------------------------------------------
+# Watermarked STREAM-STREAM join over a genuine replay: view events joined
+# to same-user purchase events within a 60-minute lag. Inner time-bounded
+# joins are deterministic given the same events, so this live streaming
+# query gets a full DuckDB oracle (a plain time-range self-join).
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_join_replay",
+    """
+    SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+           strftime(a.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           strftime(b.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'view' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+    """,
+    tags=("T1", "streaming", "join"),
+)
+def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs stream_stream_join as a REAL streaming query: two readStream
+    sources over the events parquet (view / purchase filters), watermarks
+    on both sides, time-range inner join, memory sink in append mode --
+    proving the streaming operator emits exactly the batch join's rows."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.session import normalize_runtime_conf
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.windows import stream_stream_join
+
+    from pyspark.sql import types as T
+
+    normalize_runtime_conf(spark)
+    raw_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
+            for f in read_table(spark, sf_dir, "events").schema.fields
+        ]
+    )
+
+    def read_events_stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
+        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    views = (
+        read_events_stream()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts_t"),
+        )
+    )
+    purchases = (
+        read_events_stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts_t"),
+        )
+    )
+    joined = stream_stream_join(
+        views, purchases, "user_id", "view_ts_t", "purchase_ts_t",
+        left_watermark="1 hour", right_watermark="1 hour", max_lag="60 minutes",
+    )
+    out = joined.select(
+        "view_id", "purchase_id", "user_id",
+        F.date_format("view_ts_t", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.date_format("purchase_ts_t", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    name = "stream_join_out"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
 @register("ann_ivf_topk", None, tags=("similarity", "ann", "ivf"))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import ivf_cosine_topk

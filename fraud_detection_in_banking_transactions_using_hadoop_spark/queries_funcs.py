@@ -77,6 +77,49 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stats_suite",
+    """
+    WITH m AS (SELECT l_returnflag AS rf, avg(l_quantity) AS mu
+               FROM lineitem GROUP BY 1)
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 6) AS covar_p,
+           round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_s,
+           round(avg(pow(l_quantity - mu, 3))
+                 / pow(avg(pow(l_quantity - mu, 2)), 1.5), 6) AS skew_qty,
+           round(avg(pow(l_quantity - mu, 4))
+                 / pow(avg(pow(l_quantity - mu, 2)), 2) - 3, 6) AS kurt_qty,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem JOIN m ON rf = l_returnflag
+    GROUP BY l_returnflag
+    """,
+    tags=("stats", "A1"),
+)
+def q_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate surface: correlation, covariance (pop+samp),
+    skewness, kurtosis, and the regr_* linear-fit family -- all JVM
+    built-ins, one shuffle on the group key with map-side partial
+    moments. Oracle parity note: Spark's skewness/kurtosis are
+    POPULATION moments (g1, excess g2); DuckDB's built-ins apply sample
+    corrections, so the oracle computes the population formulas
+    explicitly from central moments (diverges ~6/n at small n -- enough
+    to break round(6) compare)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias("covar_p"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("covar_s"),
+        F.round(F.skewness("l_quantity"), 6).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 6).alias("kurt_qty"),
+        F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 6).alias("slope"),
+        F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 6).alias("intercept"),
+        F.round(F.expr("regr_r2(l_extendedprice, l_quantity)"), 6).alias("r2"),
+    )
+
+
+@register(
     "nullsafe_eq",
     """
     WITH x AS (

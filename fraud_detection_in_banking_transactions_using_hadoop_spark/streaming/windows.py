@@ -75,6 +75,43 @@ def session_windows(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    left_watermark: str = "10 minutes",
+    right_watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-range condition:
+    match right rows arriving within [left_ts, left_ts + max_lag] -- e.g.
+    correlate an auth-request stream with its settlement stream.
+
+    Both sides MUST carry watermarks and the join MUST have a time bound:
+    that pair is what lets the state store evict buffered rows once the
+    other side's watermark passes the range, keeping state proportional to
+    (rate x lag horizon), not the stream prefix -- the only shape that
+    runs forever at 100 TB rates. Outer variants ('leftOuter', ...) emit
+    NULL-padded rows only after watermark expiry proves no match can
+    arrive.
+
+    Returns columns: key, left.* (minus key/ts), both ts columns.
+    """
+    lw = left.withWatermark(left_ts, left_watermark)
+    rw = right.withWatermark(right_ts, right_watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {max_lag}"))
+    )
+    joined = lw.join(rw, cond, how)
+    # drop the duplicated key column from the right side
+    return joined.drop(rw[key])
+
+
 def dedup_stream(
     stream: DataFrame,
     ts_col: str,

@@ -142,6 +142,61 @@ def test_dedup_then_window_composes(spark, tmp_path):
     assert rows == {0: 1, 5: 1}  # replay dropped before windowing
 
 
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Watermarked stream-stream join: an auth event matches a settlement
+    only within [auth_ts, auth_ts + 5 min] on the same key. In-window
+    settlements join; late (out-of-range) and wrong-key settlements do
+    not."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.windows import stream_stream_join
+
+    auth_dir = tmp_path / "auth"
+    settle_dir = tmp_path / "settle"
+    auth_dir.mkdir(), settle_dir.mkdir()
+    auths = [
+        {"event_id": 1, "user_id": 1, "ts": "2024-01-01 10:00:00", "value": 10.0},
+        {"event_id": 2, "user_id": 2, "ts": "2024-01-01 10:00:00", "value": 20.0},
+        {"event_id": 3, "user_id": 3, "ts": "2024-01-01 10:00:00", "value": 30.0},
+    ]
+    settles = [
+        # joins: same key, 2 min after auth
+        {"event_id": 101, "user_id": 1, "ts": "2024-01-01 10:02:00", "value": 10.0},
+        # out of range: 20 min after auth
+        {"event_id": 102, "user_id": 2, "ts": "2024-01-01 10:20:00", "value": 20.0},
+        # wrong key
+        {"event_id": 103, "user_id": 9, "ts": "2024-01-01 10:01:00", "value": 30.0},
+    ]
+    _write_events(auth_dir / "a.json", auths)
+    _write_events(settle_dir / "s.json", settles)
+
+    left = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(str(auth_dir))
+        .select("user_id", F.col("ts").alias("auth_ts"), F.col("value").alias("amount"))
+    )
+    right = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .json(str(settle_dir))
+        .select("user_id", F.col("ts").alias("settle_ts"))
+    )
+    out = stream_stream_join(
+        left, right, "user_id", "auth_ts", "settle_ts", max_lag="5 minutes"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ssj").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0].user_id == 1
+    assert rows[0].amount == 10.0
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     # warehouse dir is a static conf (set in session.get_spark); managed
     # tables land there and are dropped below.
