@@ -45,6 +45,38 @@ def test_revenue_join_tree_is_all_broadcast(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
+def test_q10_dims_broadcast_facts_pushed(spark, sf_dir):
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries_tpch2 import q10_returned_items
+
+    plan = _plan(q10_returned_items(spark, sf_dir))
+    # nation is broadcast; returnflag/orderdate filters reach the scans
+    assert "BroadcastHashJoin" in plan
+    assert "l_returnflag" in plan and "o_orderdate" in plan
+    # top-20 by revenue runs as TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_semi_anti_join_chain(spark, sf_dir):
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries_tpch2 import q21_latest_shipper
+
+    plan = _plan(q21_latest_shipper(spark, sf_dir))
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, both as JOINs (no
+    # per-row subquery execution anywhere)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_simhash_no_bit_explode(spark, sf_dir):
+    """The 60x (token,bit) explode must never come back: exactly ONE
+    Generate (the token explode) in the simhash plan."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
+
+    q = {x.name: x for x in registry()}["simhash_docs"]
+    plan = _plan(q.fn(spark, sf_dir))
+    assert plan.count("Generate explode") == 1
+
+
 def test_sessionize_single_shuffle(spark, sf_dir):
     plan = _plan(q_sessionize(spark, sf_dir))
     # lag window, running sum, and the session groupBy all partition by
