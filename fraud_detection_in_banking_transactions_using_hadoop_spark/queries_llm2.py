@@ -152,3 +152,85 @@ def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 4).alias("lo"),
         F.round(F.max("o_totalprice"), 4).alias("hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram entropy per document -- the information-density quality signal a
+# pretraining filter uses to drop boilerplate/repetitive docs. Shape: two
+# high-cardinality groupBys ((doc, tok) counts, then per-doc fold), both
+# with map-side partial aggregation; nothing leaves the JVM.
+# ---------------------------------------------------------------------------
+@register(
+    "token_entropy",
+    """
+    WITH tc AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok),
+    tot AS (SELECT doc_id, sum(c) AS n, count(*) AS n_distinct FROM tc GROUP BY doc_id)
+    SELECT tc.doc_id,
+           CAST(max(n) AS BIGINT) AS n_tokens,
+           CAST(max(n_distinct) AS BIGINT) AS n_distinct,
+           round(-sum((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))), 6)
+             AS entropy
+    FROM tc JOIN tot ON tc.doc_id = tot.doc_id
+    GROUP BY tc.doc_id
+    """,
+    tags=("text", "quality", "A1"),
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.col("doc_id"), F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    # per-doc totals via a window would re-sort; a second groupBy keyed on
+    # doc_id reuses the (doc_id, tok) exchange's doc_id distribution only
+    # partially, but both aggs partial-combine map-side.
+    p = F.col("c") / F.col("n")
+    return (
+        tc.withColumn("n", F.sum("c").over(Window.partitionBy("doc_id")))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids in LONG form (label, pos, centroid_val) --
+# the distributed way to aggregate vectors: posexplode to (row per
+# dimension) then groupBy (label, pos). No driver collect, no per-row
+# Python, and the shuffle carries |labels| x dim rows after map-side
+# partial aggregation. (The long form also keeps the oracle compare
+# scalar-typed.) Centroids are the building block for IVF cell training,
+# label drift monitoring, and class-mean classifiers.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_centroids",
+    """
+    SELECT label, i AS pos,
+           round(avg(embedding[i]), 6) AS centroid_val,
+           CAST(count(*) AS BIGINT) AS n_vecs
+    FROM embeddings, (SELECT unnest(range(1, 65)) AS i) idx
+    GROUP BY label, i
+    """,
+    tags=("embedding", "A1"),
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "val"),
+        )
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count("*").cast("bigint").alias("n_vecs"),
+        )
+    )
