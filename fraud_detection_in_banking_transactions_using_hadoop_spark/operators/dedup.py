@@ -68,29 +68,32 @@ def shingles(text: Column, w: int = 3) -> Column:
 def shingle_rows(df: DataFrame, id_col: str, text_col: str, w: int = 3) -> DataFrame:
     """(id, tok) rows of word w-shingles -- the codegen-friendly form.
 
-    The array form (shingles()) is map-side but built from higher-order
-    functions, which are CodegenFallback in Spark: every element goes
-    through interpreted lambda eval (measured ~5x slower per token than
-    this plan locally). Here: posexplode tokens (codegen Generate),
-    window-lead the next w-1 tokens, filter to valid start positions --
-    everything stays JVM-compiled at the cost of one (id, pos)
-    shuffle-sort over the token stream. Docs shorter than w yield their
-    whole token string as the single shingle (concat_ws skips the NULL
-    leads), matching shingles().
+    The array form (shingles()) is built from higher-order functions,
+    which are CodegenFallback in Spark: every element goes through
+    interpreted lambda eval (measured ~5x slower per token locally).
+    Here: posexplode the token array while CARRYING the array column, so
+    each shingle is `concat_ws(tok, try_element_at(arr, pos+j)...)` --
+    plain codegen'd expressions, zero shuffles (a window-lead variant
+    costs a full (id, pos) shuffle-sort and measured ~7x slower). The
+    carried array is referenced per output row but streams through
+    whole-stage codegen; nothing is materialized per row. Docs shorter
+    than w yield their whole token string as the single shingle
+    (concat_ws skips NULL out-of-range lookups), matching shingles().
 
     Duplicate shingles are NOT deduped: min-agg consumers (MinHash) are
     insensitive to multiplicity; dedupe downstream if set semantics are
     needed.
     """
-    from pyspark.sql import Window
-
     toks = F.split(F.col(text_col), " ")
     t = df.select(
-        F.col(id_col), F.size(toks).alias("_n"), F.posexplode(toks).alias("_p", "_tok")
-    )
-    win = Window.partitionBy(id_col).orderBy("_p")
+        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n")
+    ).select(id_col, "_tk", "_n", F.posexplode("_tk").alias("_p", "_tok"))
+    # _p is 0-based; try_element_at is 1-based, so token _p+j sits at
+    # index _p + 1 + j
     sh = F.concat_ws(
-        " ", F.col("_tok"), *[F.lead("_tok", j).over(win) for j in range(1, w)]
+        " ",
+        F.col("_tok"),
+        *[F.try_element_at("_tk", F.col("_p") + 1 + j) for j in range(1, w)],
     )
     return (
         t.withColumn("tok", sh)
