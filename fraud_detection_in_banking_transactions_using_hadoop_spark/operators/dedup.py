@@ -202,7 +202,13 @@ def lsh_candidate_pairs(
             .filter(F.col("_bsz") <= max_bucket_size)
             .drop("_bsz")
         )
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager:
+        # the band table feeds both sides of the self-join; persist so the
+        # signature pipeline doesn't compute twice, release after the
+        # checkpoint below. With eager=False we deliberately skip the
+        # persist: a cached frame with no handle returned to the caller
+        # would leak blocks for the session lifetime.
+        banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (

@@ -91,7 +91,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 20,
     check_every: int = 2,
-    driver_max_edges: int = 1_000_000,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Returns (node, cluster): cluster = min node id in the component.
     Nodes = every id appearing in `pairs`; join singletons back with
@@ -99,12 +99,18 @@ def connected_components(
 
     Adaptive execution: near-dup graphs are usually SMALL relative to the
     corpus that produced them (pairs, not documents). When the deduped
-    edge set fits the driver (<= driver_max_edges, ~16 MB per million
-    int64 pairs), union-find on the driver answers in O(E α(E)) with zero
-    further cluster rounds -- the distributed star loop would spend
-    seconds per iteration on stage scheduling alone. Bigger edge sets take
-    the large-star/small-star loop, which is the 100 TB path. Both paths
-    produce the identical min-label clustering."""
+    edge set fits the driver (<= driver_max_edges), union-find on the
+    driver answers in O(E α(E)) with zero further cluster rounds -- the
+    distributed star loop would spend seconds per iteration on stage
+    scheduling alone. Bigger edge sets take the large-star/small-star
+    loop, which is the 100 TB path. Both paths produce the identical
+    min-label clustering.
+
+    Driver memory budget: edges arrive via Arrow (toPandas, ~16 B/edge
+    for int64 columns in the transfer), but the union-find parent dict is
+    Python objects -- ~100 B per node entry. The 500k default caps that
+    at roughly 1M nodes ≈ 100-150 MB of driver heap, safe on a
+    default-sized driver; raise it only with driver memory to match."""
     # Checkpoint the raw pair projection ONCE: `pairs` is typically the
     # tail of an expensive LSH pipeline, and deriving nodes and edges
     # from the un-checkpointed frame would run that pipeline twice.
@@ -119,7 +125,10 @@ def connected_components(
     edges = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
 
     if edges.count() <= driver_max_edges:  # count on materialized data: cheap
-        labels = _driver_union_find((r[0], r[1]) for r in edges.collect())
+        # Arrow transfer + column iteration, not .collect(): a million
+        # PySpark Row objects cost ~100x the raw ints in Python heap
+        pdf = edges.toPandas()
+        labels = _driver_union_find(zip(pdf["a"].to_list(), pdf["b"].to_list()))
         if not labels:
             return nodes.select("node", F.col("node").alias("cluster"))
         spark = pairs.sparkSession

@@ -32,6 +32,28 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return p.getFileSystem(spark._jsc.hadoopConfiguration()), jvm
 
 
+def _rename_or_raise(fs, src, dst) -> None:
+    """HDFS-style FileSystem.rename reports failure by returning false
+    (permissions, missing parent, concurrent writer) rather than raising.
+    A silently-failed swap would leave the target missing/stale while the
+    checkpoint marks the batch committed -- so raise, let foreachBatch
+    fail, and let the checkpoint replay + recover_table heal on restart."""
+    if not fs.rename(src, dst):
+        raise IOError(f"FileSystem.rename failed: {src} -> {dst}")
+
+
+def _sweep_stale_stages(fs, jvm, target: str) -> None:
+    """Delete leftover `__stage_*` dirs from crashed earlier swaps.
+    Tokens are batch-unique, so a crash between the staging write and the
+    first rename orphans a full table copy that no later call touches.
+    Callers invoke this only when no swap is in flight (right after a
+    successful swap, or at recovery when the target is healthy) -- the
+    single-writer-per-table model the streaming merge already assumes."""
+    P = jvm.org.apache.hadoop.fs.Path
+    for s in fs.globStatus(P(target + "__stage_*")) or []:
+        fs.delete(s.getPath(), True)
+
+
 def atomic_overwrite(df: DataFrame, target_path: str, token: str) -> None:
     """Crash-safe overwrite of a Parquet directory.
 
@@ -54,9 +76,10 @@ def atomic_overwrite(df: DataFrame, target_path: str, token: str) -> None:
     if fs.exists(old):
         fs.delete(old, True)
     if fs.exists(P(target)):
-        fs.rename(P(target), old)
-    fs.rename(P(staging), P(target))
+        _rename_or_raise(fs, P(target), old)
+    _rename_or_raise(fs, P(staging), P(target))
     fs.delete(old, True)
+    _sweep_stale_stages(fs, jvm, target)
 
 
 def recover_table(spark: SparkSession, target_path: str) -> bool:
@@ -68,18 +91,21 @@ def recover_table(spark: SparkSession, target_path: str) -> bool:
     fs, jvm = _hadoop_fs(spark, target)
     P = jvm.org.apache.hadoop.fs.Path
     if fs.exists(P(target)):
+        # healthy table; a crash after staging but before the first rename
+        # can still have orphaned a full-size __stage_* copy -- sweep it
+        _sweep_stale_stages(fs, jvm, target)
         return False
     stages = fs.globStatus(P(target + "__stage_*")) or []
     complete = [s for s in stages if fs.exists(P(str(s.getPath()) + "/_SUCCESS"))]
     if complete:
         best = max(complete, key=lambda s: s.getModificationTime())
-        fs.rename(best.getPath(), P(target))
+        _rename_or_raise(fs, best.getPath(), P(target))
         # the backup is superseded; a stale __old would corrupt the next
         # swap's rename-aside
         if fs.exists(P(target + "__old")):
             fs.delete(P(target + "__old"), True)
     elif fs.exists(P(target + "__old")):
-        fs.rename(P(target + "__old"), P(target))
+        _rename_or_raise(fs, P(target + "__old"), P(target))
     else:
         raise FileNotFoundError(f"no table, staging, or backup at {target}")
     return True
