@@ -70,6 +70,7 @@ def registry() -> list[Query]:
         queries_llm2,
         queries_tpch,
         queries_tpch2,
+        queries_tpch3,
     )
 
     return list(_REGISTRY)
