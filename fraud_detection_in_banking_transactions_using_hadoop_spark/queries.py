@@ -68,6 +68,7 @@ def registry() -> list[Query]:
         queries_graph,
         queries_llm,
         queries_llm2,
+        queries_pipeline,
         queries_tpch,
         queries_tpch2,
         queries_tpch3,
