@@ -65,6 +65,7 @@ def registry() -> list[Query]:
         queries_ext3,
         queries_ext4,
         queries_funcs,
+        queries_funcs2,
         queries_graph,
         queries_llm,
         queries_llm2,
