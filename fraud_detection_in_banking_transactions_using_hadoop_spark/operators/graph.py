@@ -160,3 +160,61 @@ def connected_components(
     return nodes.join(stars, "node", "left").select(
         "node", F.coalesce("cluster", F.col("node")).alias("cluster")
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair table (each pair
+    contributes an edge in both directions, so no dangling-mass term:
+    every node has out-degree >= 1 by construction).
+
+    Returns (node, d, r): degree and rank after n_iter power steps with
+    rank_new(v) = 0.15/n + 0.85 * sum_{(u,v)} rank(u)/deg(u).
+
+    Scale shape (same template as connected_components): the per-
+    iteration work is one join of the edge table against the current
+    rank vector plus a groupBy on the destination -- both shuffle on the
+    node id, so the edge table's partitioning is reused every round.
+    Lineage is truncated per iteration with localCheckpoint (reliable
+    checkpoints on a real cluster). Fixed iteration count, no
+    convergence action: n_iter is the documented knob (power iteration
+    converges geometrically at rate `damping`).
+
+    Float parity note: the teleport term is computed as the EXPRESSION
+    (1.0 - damping) / n inside the engine, never pre-folded in Python --
+    an oracle must spell the same arithmetic (`(1.0 - 0.85) / n`), since
+    the literal 0.15 is one ulp away from IEEE 1.0-0.85 and the gap
+    survives round(6) accumulation.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    edges = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = edges.groupBy("a").agg(F.count("*").alias("d"))
+    # carry degree on the edge source once; reused by every iteration
+    edges_d = edges.join(deg, "a").localCheckpoint(eager=True)
+    nodes = deg.select(F.col("a").alias("node"), "d")
+    n = nodes.count()
+    tele = (F.lit(1.0) - F.lit(damping)) / F.lit(float(n))
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(float(n))).alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            edges_d.join(ranks.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+        )
+        ranks = (
+            nodes.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (tele + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return nodes.join(ranks, "node").select("node", "d", "r")

@@ -263,3 +263,96 @@ def lsh_cosine_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def pca_fit(
+    base: DataFrame,
+    vec_col: str = "v",
+    dim: int = 64,
+    k: int = 8,
+):
+    """Distributed-moment PCA: the 100 TB-shaped split of the classic
+    algorithm. The cluster computes only the d-vector of means and the
+    d(d+1)/2 second-moment sums -- one map-side expansion per vector
+    (sequence x sequence explode of the carried array, no self-join) and
+    one aggregate onto d(d+1)/2 groups, map-side combined. The dxd Gram
+    matrix is then assembled and eigensolved DRIVER-SIDE in numpy
+    (d=64 -> a 4k-entry matrix; the eigensolve is microseconds and has
+    no distributed formulation worth its scheduling cost -- the same
+    train-small/apply-everywhere split as ivf_cosine_topk).
+
+    Returns (mean, components): numpy arrays of shape (dim,) and
+    (k, dim), components sorted by descending eigenvalue with a
+    deterministic sign convention (largest-|coefficient| entry positive;
+    numpy eigenvector signs are otherwise arbitrary).
+    """
+    v = F.col(vec_col)
+    moments = (
+        base.select(v.alias("_v"))
+        .select("_v", F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("i"))
+        .select(
+            "_v", "i", F.explode(F.sequence(F.col("i"), F.lit(dim))).alias("j")
+        )
+        .select(
+            "i",
+            "j",
+            F.try_element_at("_v", F.col("i")).alias("xi"),
+            F.try_element_at("_v", F.col("j")).alias("xj"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum(F.col("xi") * F.col("xj")).alias("sxy"),
+            F.sum("xi").alias("sx"),
+            F.sum("xj").alias("sy"),
+            F.count("*").alias("n"),
+        )
+    ).toPandas()
+
+    n = int(moments["n"].iloc[0])
+    mean = np.zeros(dim)
+    cov = np.zeros((dim, dim))
+    for row in moments.itertuples():
+        i, j = row.i - 1, row.j - 1
+        if i == j:
+            mean[i] = row.sx / n
+    for row in moments.itertuples():
+        i, j = row.i - 1, row.j - 1
+        c = row.sxy / n - (row.sx / n) * (row.sy / n)
+        cov[i, j] = cov[j, i] = c
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T
+    # deterministic sign: flip so each component's largest-|x| entry > 0
+    for r in range(comps.shape[0]):
+        m = np.argmax(np.abs(comps[r]))
+        if comps[r, m] < 0:
+            comps[r] = -comps[r]
+    return mean, comps
+
+
+def pca_project(
+    base: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """Project vectors onto fitted components: one vectorized
+    Arrow-batched map pass carrying the (k x dim) matrix -- no shuffle,
+    no driver involvement beyond shipping ~k*dim floats per executor."""
+    from pyspark.sql.functions import pandas_udf
+
+    mean_l = [float(x) for x in mean]
+    comp_l = [[float(x) for x in row] for row in components]
+
+    @pandas_udf("array<double>")
+    def _proj(vecs: pd.Series) -> pd.Series:
+        mu = np.asarray(mean_l)
+        W = np.asarray(comp_l)
+        out = [
+            list(map(float, W @ (np.asarray(v, dtype=np.float64) - mu)))
+            for v in vecs
+        ]
+        return pd.Series(out)
+
+    return base.select(id_col, _proj(F.col(vec_col)).alias("pca"))

@@ -196,3 +196,66 @@ def q_range_join_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(gap_us / F.lit(1_000_000.0), 6).alias("gap_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: ordered view -> click -> purchase progression per
+# user (each stage's event must be strictly after the previous stage's
+# first event). The sequential-dependency aggregation every product
+# analytics stack runs on its event stream.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 1 AS stage_no, 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+    tags=("events", "funnel", "A1"),
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three aggregation passes, all keyed on user_id -- each stage
+    joins the fact against the previous stage's (shrinking) per-user
+    min-timestamp table on the SAME key, so the user_id hash
+    partitioning is reused end-to-end and stage tables broadcast once
+    they shrink below the threshold. Strict `>` ordering makes the
+    result insensitive to same-timestamp reorderings across engines."""
+    events = read_table(spark, sf_dir, "events")
+
+    def stage(ev_type, prev):
+        e = events.filter(F.col("event_type") == ev_type)
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (
+            e.join(prev.withColumnRenamed("t", "_pt"), "user_id")
+            .filter(F.col("ts") > F.col("_pt"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+
+    v = stage("view", None)
+    c = stage("click", v)
+    p = stage("purchase", c)
+    counts = [
+        (1, "view", v), (2, "click", c), (3, "purchase", p),
+    ]
+    out = None
+    for no, name, df in counts:
+        row = df.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(no).alias("stage_no"), F.lit(name).alias("stage"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -155,3 +155,58 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph: which documents sit at the center of
+# duplication clusters (the canonical-doc-selection signal that weights
+# by connectivity instead of min-id). Oracle: the 5 power iterations
+# UNROLLED as plain CTEs -- exact SQL, no recursion extension needed.
+# ---------------------------------------------------------------------------
+def _pagerank_sql(n_iter: int = 5) -> str:
+    steps = []
+    for k in range(n_iter):
+        steps.append(f"""
+    pr{k + 1} AS (
+      SELECT nd.node, (1.0 - 0.85) / nn.n + 0.85 * coalesce(s.c, 0) AS r
+      FROM nodes nd CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.b AS node, sum(p.r / dg.d) AS c
+        FROM edges e JOIN pr{k} p ON p.node = e.a JOIN deg dg ON dg.a = e.a
+        GROUP BY e.b) s ON s.node = nd.node)""")
+    return f"""
+    WITH {_SHINGLE_PAIRS_CTE},
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION ALL SELECT doc_b, doc_a FROM pairs),
+    deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a),
+    nodes AS (SELECT a AS node FROM deg),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    pr0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes, nn),
+    {','.join(steps)}
+    SELECT nd.node, dg.d, round(p.r, 6) AS rank
+    FROM nodes nd JOIN deg dg ON dg.a = nd.node
+    JOIN pr{n_iter} p ON p.node = nd.node
+    """
+
+
+@register(
+    "pagerank_sim_graph",
+    _pagerank_sql(5),
+    tags=("graph", "iterative", "pagerank"),
+)
+def q_pagerank_sim_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5 power iterations over the shingle-MinHash near-dup graph
+    (operators/graph.pagerank). The iterative-join template's second
+    instantiation after connected components; every iteration shuffles
+    on node id only."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.graph import pagerank
+
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=8, shingle_w=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2)
+    pr = pagerank(pairs, n_iter=5)
+    return pr.select("node", "d", F.round("r", 6).alias("rank"))

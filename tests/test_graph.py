@@ -50,3 +50,17 @@ def test_max_iter_bounds_work(spark):
     )
     converged = connected_components(pairs, max_iter=20)
     assert {r.cluster for r in converged.collect()} == {0}
+
+
+def test_pagerank_toy_chain(spark):
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    out = {r["node"]: (r["d"], r["r"]) for r in pagerank(pairs, n_iter=20).collect()}
+    ranks = {n: r for n, (d, r) in out.items()}
+    # conservation: undirected graph with no dangling nodes keeps total mass 1
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # the chain center has degree 2 and must out-rank the endpoints
+    assert out[2][0] == 2 and out[1][0] == 1
+    assert ranks[2] > ranks[1] and ranks[2] > ranks[3]
+    assert abs(ranks[1] - ranks[3]) < 1e-12  # symmetry
