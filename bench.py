@@ -34,6 +34,8 @@ HEADLINE = [
     "sessionize",
     "window_suite",
     "left_join_nulls",
+    "pack_sequences",  # training-batch layout (per-source window cumsum)
+    "contamination_check",  # train/test shingle-overlap semi-join
 ]
 
 

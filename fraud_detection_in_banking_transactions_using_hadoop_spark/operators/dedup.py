@@ -65,7 +65,13 @@ def shingles(text: Column, w: int = 3) -> Column:
     )
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, w: int = 3) -> DataFrame:
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """(id, tok) rows of word w-shingles -- the codegen-friendly form.
 
     The array form (shingles()) is built from higher-order functions,
@@ -83,11 +89,15 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, w: int = 3) -> DataF
     Duplicate shingles are NOT deduped: min-agg consumers (MinHash) are
     insensitive to multiplicity; dedupe downstream if set semantics are
     needed.
+
+    `carry` names extra columns to keep on every output row (cheaper
+    than re-joining them back on id_col afterwards -- the explode is
+    map-side either way, a join is a shuffle).
     """
     toks = F.split(F.col(text_col), " ")
     t = df.select(
-        F.col(id_col), toks.alias("_tk"), F.size(toks).alias("_n")
-    ).select(id_col, "_tk", "_n", F.posexplode("_tk").alias("_p", "_tok"))
+        F.col(id_col), *carry, toks.alias("_tk"), F.size(toks).alias("_n")
+    ).select(id_col, *carry, "_tk", "_n", F.posexplode("_tk").alias("_p", "_tok"))
     # _p is 0-based; try_element_at is 1-based, so token _p+j sits at
     # index _p + 1 + j
     sh = F.concat_ws(
@@ -98,7 +108,7 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, w: int = 3) -> DataF
     return (
         t.withColumn("tok", sh)
         .filter(F.col("_p") <= F.greatest(F.col("_n") - w, F.lit(0)))
-        .select(id_col, "tok")
+        .select(id_col, *carry, "tok")
     )
 
 

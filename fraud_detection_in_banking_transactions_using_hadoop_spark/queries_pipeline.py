@@ -194,10 +194,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.dedup import shingle_rows
 
     docs = read_table(spark, sf_dir, "documents")
-    sh = shingle_rows(docs.select("doc_id", "source", "text"), "doc_id", "text", w=3)
-    # shingle_rows keeps multiplicity and drops source; rebuild both
-    sh = sh.join(docs.select("doc_id", "source"), "doc_id").distinct()
-    test_sh = sh.filter(F.col("source") == "src0").select("doc_id", "tok")
+    sh = shingle_rows(
+        docs.select("doc_id", "source", "text"), "doc_id", "text", w=3,
+        carry=("source",),
+    )
+    test_sh = (
+        sh.filter(F.col("source") == "src0").select("doc_id", "tok").distinct()
+    )
     train_sh = sh.filter(F.col("source") != "src0").select("tok").distinct()
     shared = (
         test_sh.join(train_sh, "tok")
