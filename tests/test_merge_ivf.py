@@ -160,3 +160,49 @@ def test_format_string_csv_record(spark):
         ).alias("rec")
     ).collect()[0]
     assert got.rec == "1,10.50,100,2,3,GENUINE"
+
+
+# ------------------------------------------- rename failure / stage sweep --
+def test_atomic_overwrite_raises_on_failed_rename(spark, tmp_path):
+    """Hadoop FileSystem.rename reports failure by returning false; the
+    swap must raise so foreachBatch fails and the checkpoint replays,
+    instead of silently committing a missing table."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.merge import (
+        _hadoop_fs,
+        _rename_or_raise,
+    )
+
+    fs, jvm = _hadoop_fs(spark, str(tmp_path))
+    P = jvm.org.apache.hadoop.fs.Path
+    # existing destination: rename returns false, not raise (missing-src
+    # throws and missing-dest-parent is healed by the local FS copy
+    # fallback, so existing-dest is the portable returns-false case)
+    (tmp_path / "src").mkdir()
+    (tmp_path / "dst").write_text("occupied")
+    with pytest.raises(IOError):
+        _rename_or_raise(fs, P(str(tmp_path / "src")), P(str(tmp_path / "dst")))
+
+
+def test_stale_staging_dirs_swept(spark, tmp_path):
+    """A crash between staging write and first rename orphans a
+    __stage_* dir; the next successful swap (and recovery on a healthy
+    table) must delete it instead of accumulating table copies."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.merge import (
+        atomic_overwrite,
+        recover_table,
+    )
+
+    target = str(tmp_path / "tbl")
+    df = spark.range(5).withColumnRenamed("id", "k")
+    df.write.parquet(target)
+    # simulate a crashed earlier swap: orphan staging dir with data
+    df.write.parquet(target + "__stage_crashed")
+
+    recover_table(spark, target)  # healthy target -> sweep
+    assert not (tmp_path / "tbl__stage_crashed").exists()
+
+    df.write.parquet(target + "__stage_crashed2")
+    atomic_overwrite(spark.range(3).withColumnRenamed("id", "k"), target, "tok9")
+    assert not (tmp_path / "tbl__stage_crashed2").exists()
+    assert not (tmp_path / "tbl__stage_tok9").exists()  # own staging renamed away
+    assert spark.read.parquet(target).count() == 3
