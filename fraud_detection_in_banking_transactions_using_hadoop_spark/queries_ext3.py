@@ -294,3 +294,97 @@ def q_streaming_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming SESSION-WINDOW replay with a full oracle. Session windows only
+# emit in append mode once the watermark passes the session end, and a
+# bounded replay's watermark never passes the last sessions -- so the
+# replay stages the events file plus a later-mtime sentinel file (one
+# far-future event from a synthetic user), processed as a second
+# micro-batch: the sentinel advances the watermark past every real
+# session, the engine's cleanup batch flushes them, and the sentinel
+# user's own (never-closed) session is filtered out. The oracle is the
+# batch lag+cumsum islands rewrite with Spark's session-end semantics
+# (end = last event ts + gap).
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_session_replay",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 2 HOUR THEN 0 ELSE 1 END AS is_new
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM e)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM s GROUP BY user_id, sess_id
+    """,
+    tags=("T1", "session", "streaming"),
+)
+def q_streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.session import normalize_runtime_conf
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.windows import session_windows
+
+    normalize_runtime_conf(spark)
+    events_schema = read_table(spark, sf_dir, "events").schema
+    raw_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
+            for f in events_schema.fields
+        ]
+    )
+
+    stage = Path(tempfile.mkdtemp(prefix="sess_replay_"))
+    shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", stage / "aa_events.parquet")
+    # sentinel: one event 60 days past the data, synthetic user -1, raw
+    # int64-nanos ts matching the on-disk layout
+    sent_dir = stage / "_sent"
+    far_ns = 1_790_000_000_000_000_000  # ~2026-09, long after the Jan-2024 data
+    spark.createDataFrame(
+        [(-1, far_ns, -1, "view", 0.0, "{}")],
+        schema=raw_schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(sent_dir))
+    part = next(p for p in sent_dir.iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(part, stage / "zz_sentinel.parquet")
+    now = os.path.getmtime(stage / "aa_events.parquet")
+    os.utime(stage / "zz_sentinel.parquet", (now + 60, now + 60))
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(stage))
+    )
+    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sess = session_windows(
+        stream, "ts", gap="2 hours", watermark="1 hour", keys=["user_id"]
+    )
+    out = sess.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n",
+    )
+    name = "stream_session_out"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).filter(F.col("user_id") >= 0)

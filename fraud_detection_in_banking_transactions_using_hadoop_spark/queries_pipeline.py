@@ -290,3 +290,42 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), F.col("_mean_tokens") / F.col("src_tokens")), 6
         ).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap -- the domain-balancing sampler.
+# ---------------------------------------------------------------------------
+@register(
+    "source_cap_sample",
+    """
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 15
+    """,
+    tags=("pipeline", "sampling", "W2"),
+)
+def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source at 15 docs, chosen by md5-hash order -- the
+    'no domain dominates the mix' guard (sampling a domain down without
+    favoring low doc_ids). Hash order makes the chosen subset a uniform
+    random-looking sample that is still deterministic across engines
+    and cluster sizes; doc_id is the total-order tiebreak (CLAUDE.md:
+    windows in oracled queries always carry a unique tiebreak). Plan:
+    partial+final WindowGroupLimit prunes to k rows per source BEFORE
+    the single exchange -- the same top-k shape as ucl_grouped, so the
+    fact never shuffles in full."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 15)
+        .select("doc_id", "source")
+    )
