@@ -12,6 +12,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # Headline set: the reference pipeline's core queries + the scale-sensitive
@@ -55,16 +57,20 @@ def main() -> None:
 
     read_table(spark, sf_dir, "region").count()
 
-    # MLlib warmup (class loading + codegen for the KMeans path): the IVF
-    # headline query should measure quantizer+search cost, not one-time
-    # JVM class loading. Two synthetic points, no measured data touched.
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    # Python-worker-pool warmup (daemon fork + numpy/pandas import in the
+    # workers): the first pandas-UDF query (IVF cell assignment) should
+    # measure assignment cost, not one-time interpreter startup. Two
+    # synthetic rows, no measured data touched.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf as _pudf
 
-    _w = spark.createDataFrame(
-        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], ["id", "v"]
-    ).withColumn("_fv", array_to_vector("v"))
-    KMeans(k=2, seed=1, maxIter=1, featuresCol="_fv").fit(_w)
+    @_pudf("double")
+    def _warm(s: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        return pd.Series(_np.asarray(s, dtype=_np.float64))
+
+    spark.range(2).select(_warm(F.col("id").cast("double"))).collect()
 
     by_name = {q.name: q for q in registry()}
     timings: dict[str, float] = {}

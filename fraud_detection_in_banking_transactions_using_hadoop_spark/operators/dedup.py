@@ -8,10 +8,12 @@ Four tiers, in increasing fuzziness (all DataFrame-native, no Python UDFs):
   ngram_jaccard_pairs  -- exact token-set Jaccard over blocked pairs
   simhash64            -- 64-bit SimHash fingerprint per document
 
-Hash family note: h_i(token) = substr(md5(i || ':' || token), 1, 16)
-compared LEXICOGRAPHICALLY. Fixed-width hex strings give a total order any
-engine reproduces bit-for-bit, which makes MinHash -- normally a
-"trust me" operator -- oracle-checkable against plain SQL.
+Hash family note: h_i(token) = the (i%2)-th 16-hex half of
+md5((i//2) || ':' || token), compared LEXICOGRAPHICALLY. Fixed-width hex
+strings give a total order any engine reproduces bit-for-bit, which
+makes MinHash -- normally a "trust me" operator -- oracle-checkable
+against plain SQL; packing two 64-bit hashes per digest halves the md5
+work (see _token_hash_array).
 """
 
 from __future__ import annotations
@@ -41,9 +43,23 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def _token_hash_array(tok: Column, n_hashes: int) -> Column:
-    """Array of n per-token hashes [h_0(tok) .. h_{n-1}(tok)]."""
+    """Array of n per-token hashes [h_0(tok) .. h_{n-1}(tok)].
+
+    Each md5 digest (32 hex chars) yields TWO independent 64-bit hashes
+    (its 16-hex halves): h_{2j} / h_{2j+1} both come from md5(j':'tok),
+    so a corpus pays ceil(n/2) md5 evaluations per token instead of n --
+    md5 is the dominant signature cost at 100 TB and Spark's
+    subexpression elimination computes each digest once per projection.
+    Fixed-width hex halves keep the lexicographic total order that makes
+    MinHash oracle-checkable (module docstring)."""
+    digests = [
+        F.md5(F.concat_ws(":", F.lit(j), tok)) for j in range((n_hashes + 1) // 2)
+    ]
     return F.array(
-        *[F.substring(F.md5(F.concat_ws(":", F.lit(i), tok)), 1, 16) for i in range(n_hashes)]
+        *[
+            F.substring(digests[i // 2], 1 + 16 * (i % 2), 16)
+            for i in range(n_hashes)
+        ]
     )
 
 

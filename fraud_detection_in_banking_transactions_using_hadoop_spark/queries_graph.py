@@ -21,7 +21,7 @@ _SHINGLE_PAIRS_CTE = """
              )) AS tok
       FROM t),
     hashed AS (
-      SELECT doc_id, i.i, min(substr(md5(i.i || ':' || tok), 1, 16)) AS h
+      SELECT doc_id, i.i, min(substr(md5((i.i // 2) || ':' || tok), 1 + 16 * (i.i % 2), 16)) AS h
       FROM sh CROSS JOIN (SELECT unnest(range(8)) AS i) i
       GROUP BY doc_id, i.i),
     bands AS (

@@ -163,9 +163,11 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup candidate pairs.
 #
-# Hash family: h_i(token) = substr(md5(i || ':' || token), 1, 16) compared
-# lexicographically -- a total order both engines share bit-for-bit, so the
-# whole pipeline is oracle-checkable (rare for MinHash implementations).
+# Hash family: h_i(token) = the (i%2)-th 16-hex half of
+# md5((i//2) || ':' || token), compared lexicographically -- a total order
+# both engines share bit-for-bit, so the whole pipeline is
+# oracle-checkable (rare for MinHash implementations), at ceil(n/2) md5
+# evaluations per token (two 64-bit hashes per digest).
 #
 # Scale path (100 TB): tokens explode (|doc| x 16 rows) -> groupBy (doc, i)
 # min -> groupBy (doc, band) -> self-join on (band_id, band_hash). Every
@@ -190,7 +192,7 @@ _MAX_BUCKET = 64
       SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
       FROM documents),
     hashed AS (
-      SELECT doc_id, i.i, min(substr(md5(i.i || ':' || tok), 1, 16)) AS h
+      SELECT doc_id, i.i, min(substr(md5((i.i // 2) || ':' || tok), 1 + 16 * (i.i % 2), 16)) AS h
       FROM toks CROSS JOIN (SELECT unnest(range({_N_HASHES})) AS i) i
       GROUP BY doc_id, i.i),
     bands AS (
