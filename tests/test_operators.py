@@ -198,3 +198,50 @@ def test_approx_count_distinct_within_bounds(spark, sf_dir):
         F.countDistinct("o_custkey").alias("exact"),
     ).collect()[0]
     assert abs(got.approx - got.exact) / got.exact < 0.1  # HLL++ default rsd 5%
+
+
+def test_raw8_image_stats_real_decode(spark):
+    """The raw8 tier is REAL: stats and thumbnail must equal numpy
+    computed directly on the source buffers; corrupt rows yield NULLs."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import (
+        image_channel_stats,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(7)
+    imgs = {i: rng.randint(0, 256, size=(4 + i, 6, 3), dtype=np.uint8) for i in range(3)}
+    rows = [
+        Row(media_id=i, content=bytearray(img.tobytes()), mime_type="image/raw8",
+            width=6, height=img.shape[0])
+        for i, img in imgs.items()
+    ]
+    rows.append(Row(media_id=99, content=bytearray(b"\x01\x02"), mime_type="image/raw8",
+                    width=6, height=4))  # corrupt: wrong byte count
+    media = spark.createDataFrame(rows)
+    got = {r["media_id"]: r for r in image_channel_stats(media).collect()}
+
+    for i, img in imgs.items():
+        f = img.astype(np.float64)
+        assert got[i]["mean_r"] == f[..., 0].mean()
+        assert got[i]["mean_g"] == f[..., 1].mean()
+        assert got[i]["mean_b"] == f[..., 2].mean()
+        assert abs(got[i]["std_gray"] - f.mean(axis=2).std()) < 1e-12
+        expected_thumb = resize_nearest(img, 2, 2).reshape(-1) / 255.0
+        np.testing.assert_allclose(got[i]["thumb"], expected_thumb, rtol=1e-6)
+    assert got[99]["mean_r"] is None and got[99]["thumb"] is None
+
+
+def test_resize_nearest_identity_and_downscale():
+    import numpy as np
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import resize_nearest
+
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    np.testing.assert_array_equal(resize_nearest(img, 4, 4), img)
+    half = resize_nearest(img, 2, 2)
+    np.testing.assert_array_equal(half, img[[0, 2]][:, [0, 2]])
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 3)
