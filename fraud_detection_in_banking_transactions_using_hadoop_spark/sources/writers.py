@@ -59,3 +59,21 @@ def overwrite_keyed_table(df: DataFrame, path: str, key: str, num_buckets: int |
     """
     out = df.repartition(num_buckets, key) if num_buckets else df.coalesce(1)
     out.write.mode("overwrite").parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    mode: str = "append",
+    batchsize: int = 10_000,
+) -> None:
+    """Sqoop-export equivalent: push results back to an RDBMS. One JDBC
+    batch insert per partition (batchsize rows per round trip) -- at
+    scale, `df.coalesce(n)` first so the database sees a bounded number
+    of concurrent writers; the RDBMS, not Spark, is the bottleneck."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    if driver:
+        w = w.option("driver", driver)
+    w.option("batchsize", str(batchsize)).mode(mode).save()

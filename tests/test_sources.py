@@ -150,3 +150,37 @@ def test_keyed_table_overwrite(spark, tmp_path):
     overwrite_keyed_table(df, out, key="card_id")
     got = {r.card_id: r.ucl for r in spark.read.parquet(out).collect()}
     assert got == {1: 10.0, 2: 20.0}
+
+
+def test_sql_catalog_views(spark, sf_dir):
+    """open_catalog makes the engine drivable from plain SQL with the
+    same normalized encodings as the DataFrame API."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sql import open_catalog, sql
+
+    names = open_catalog(spark, sf_dir)
+    assert len(names) == 10
+    top = sql(
+        spark, sf_dir,
+        """
+        SELECT n_name, count(*) AS n FROM customer
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3
+        """,
+    ).collect()
+    assert len(top) == 3 and top[0]["n"] >= top[-1]["n"]
+    # nanos-encoded events.ts arrives as a usable timestamp in SQL too
+    row = sql(spark, sf_dir, "SELECT min(ts) AS t, max(ts) AS t2 FROM events").first()
+    assert row["t"].year >= 2024 and row["t2"] >= row["t"]
+
+
+def test_write_jdbc_roundtrip(spark, tmp_path):
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_jdbc_table
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.writers import write_jdbc
+
+    url = "jdbc:derby:memory:expdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    df = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    write_jdbc(df, url, "export_tbl", driver=driver, mode="overwrite")
+    back = read_jdbc_table(spark, url, "export_tbl", driver=driver)
+    assert back.count() == 100
+    assert back.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(100))
