@@ -7,7 +7,8 @@ driver's documents/embeddings tables:
   2. exact     -- content-hash dedup
   3. near-dup  -- shingle MinHash + LSH candidates, jaccard-verified
   4. embed     -- cosine near-dup pairs + IVF ANN neighbors
-  5. report    -- surviving corpus + per-stage drop counts
+  5. batchprep -- deterministic split, 512-token packing, mixture weights
+  6. report    -- surviving corpus + per-stage drop counts
 """
 
 from __future__ import annotations
@@ -74,7 +75,19 @@ def main() -> None:
     ann = ivf_cosine_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=3, n_cells=8, n_probe=2)
     ann.show(truncate=False)
 
-    print("== 5. report")
+    print("== 5. split / pack / mixture (training-batch prep)")
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries_pipeline import (
+        q_pack_sequences,
+        q_source_mixture,
+        q_train_test_split,
+    )
+
+    q_train_test_split(spark, sf_dir).orderBy("split").show()
+    chunks = q_pack_sequences(spark, sf_dir)
+    print(f"   {chunks.count()} packed 512-token chunks")
+    q_source_mixture(spark, sf_dir).orderBy("source").show(5)
+
+    print("== 6. report")
     print(f"   pipeline: {n0} -> quality {n1} -> exact {deduped.count()} "
           f"-> near-dup {final_docs.count()}")
     print("== done")

@@ -82,6 +82,7 @@ def run_scorer(
     cfg: EngineConfig = DEFAULT_CONFIG,
     trigger: str | None = None,
     console: bool = False,
+    metrics_out: list | None = None,
 ):
     """Start the scoring query: per micro-batch (T2/T6), score the batch
     against the current lookup table, append every scored row to the master
@@ -93,13 +94,32 @@ def run_scorer(
     race, SURVEY.md 2.10) and rewrites the keyed lookup table.
     Checkpointing (T5) upgrades the reference's at-least-once Kafka
     auto-commit to exactly-once bookkeeping.
-    """
+
+    Observability (replacing the reference's log4j counters): the source
+    carries a streaming `observe` (per-batch n_rows in every progress
+    event, scraped by any metrics agent), and when `metrics_out` is a
+    list, each batch appends {batch_id, n_rows, n_fraud, n_genuine}
+    measured via a batch Observation on the SAME pass that writes the
+    master table -- zero extra jobs."""
+    from pyspark.sql import Observation
+
     spark = stream.sparkSession
+    stream = stream.observe("scorer_source", F.count(F.lit(1)).alias("n_rows"))
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         recover_table(spark, lookup_path)  # heal an interrupted swap
         lookup = spark.read.parquet(lookup_path)
-        scored = score_transactions(batch_df, lookup, zip_geo, cfg).cache()
+        scored = score_transactions(batch_df, lookup, zip_geo, cfg)
+        obs = None
+        if metrics_out is not None:
+            obs = Observation(f"scorer_batch_{batch_id}")
+            scored = scored.observe(
+                obs,
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if(F.col("status") == cfg.status_fraud).alias("n_fraud"),
+                F.count_if(F.col("status") == cfg.status_genuine).alias("n_genuine"),
+            )
+        scored = scored.cache()
         try:
             # Idempotent append: partition by batch id + dynamic partition
             # overwrite, so a replayed batch (restart between sink writes
@@ -165,6 +185,8 @@ def run_scorer(
             # the lookup to the driver would cap the table at driver
             # memory; two distributed writes keep the merge scale-free.
             atomic_overwrite(merged, lookup_path, f"b{batch_id}")
+            if obs is not None:
+                metrics_out.append({"batch_id": batch_id, **obs.get})
         finally:
             scored.unpersist()
 

@@ -415,3 +415,46 @@ def test_stateful_streaming_matches_fold_oracle(spark, tmp_path_factory, zip_geo
     expected = {1: s1[0], 2: s1[1], 3: s2[0], 4: s1b[0], 5: s2b[0]}
     assert got == expected
     assert got[4] == "FRAUD"  # LA->NYC teleport caught via state from batch 1
+
+
+def test_scorer_observability_metrics(spark, tmp_path_factory, zip_geo):
+    """metrics_out collects per-batch Observation counts on the same pass
+    that writes the master table, and the streaming source observe()
+    surfaces n_rows in progress events."""
+    base = tmp_path_factory.mktemp("obs")
+    stream_dir, lookup_dir = base / "in", base / "lookup"
+    master_dir, ckpt_dir = base / "master", base / "ckpt"
+    stream_dir.mkdir()
+
+    lookup = spark.createDataFrame(
+        [Row(card_id=1, ucl=100.0, postcode=100, transaction_dt="2024-01-01 10:00:00", score=500)]
+    )
+    lookup.coalesce(1).write.parquet(str(lookup_dir))
+
+    # batch 1: one genuine (same place, under UCL) + one fraud (over UCL)
+    (stream_dir / "b1.json").write_text(
+        json.dumps(_payload(1, 50, 100, "2024-01-02 10:00:00")) + "\n"
+        + json.dumps(_payload(1, 5000, 100, "2024-01-02 11:00:00", pos_id=2)) + "\n"
+    )
+
+    metrics: list = []
+    stream = read_payload_file_stream(spark, str(stream_dir))
+    q = run_scorer(
+        stream, str(lookup_dir), zip_geo, str(master_dir), str(ckpt_dir),
+        metrics_out=metrics,
+    )
+    try:
+        q.processAllAvailable()
+        progress = q.recentProgress
+    finally:
+        q.stop()
+
+    assert len(metrics) == 1
+    assert metrics[0]["n_rows"] == 2
+    assert metrics[0]["n_fraud"] == 1 and metrics[0]["n_genuine"] == 1
+    observed = [
+        p["observedMetrics"]["scorer_source"]["n_rows"]
+        for p in progress
+        if p.get("observedMetrics", {}).get("scorer_source")
+    ]
+    assert sum(observed) == 2
