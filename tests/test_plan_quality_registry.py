@@ -1,0 +1,51 @@
+"""Registry-wide plan-quality gate: EXPLAIN every lazily-planned query
+and reject the two accidental-plan smells that destroy 100 TB runs --
+cartesian products and broadcast nested-loop joins -- except where a
+query is DOCUMENTED as exactly that (the brute-force ANN baseline).
+
+Queries that execute work at call time (streaming replays, eager LSH
+checkpoints, driver-side fits) are excluded here; their plan shapes are
+pinned in test_plans_shape.py / their own operator tests instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
+
+# documented exceptions:
+# - ann_cosine_topk / embedding_dup_pairs: the exact brute-force ANN
+#   baseline IS a cross join by design (broadcast query set).
+# - source_mixture / q11 / q22: scalar-aggregate comparisons -- the BNLJ
+#   build side is a 1-ROW aggregate (global mean / threshold), so the
+#   "nested loop" degenerates to a map-side constant join: O(n), scale-safe.
+ALLOWED_NESTED_LOOP = {
+    "ann_cosine_topk",
+    "embedding_dup_pairs",
+    "source_mixture",
+    "q11_important_stock",
+    "q22_dormant_customers",
+}
+
+# eager at call time (streaming jobs, localCheckpoint pipelines,
+# driver-side fits): planning them here would run them
+EAGER = {
+    "streaming_windowed_counts", "streaming_join_replay",
+    "streaming_dedup_replay", "streaming_stateful_replay",
+    "streaming_session_replay",
+    "minhash_lsh_pairs", "minhash_shingle_pairs", "dedup_clusters",
+    "pagerank_sim_graph", "ann_ivf_topk", "incremental_watermark",
+}
+
+_LAZY = [q for q in registry() if q.name not in EAGER]
+
+
+@pytest.mark.parametrize("q", _LAZY, ids=[q.name for q in _LAZY])
+def test_no_accidental_cartesian_or_bnlj(q, spark, sf_dir):
+    plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{q.name} plans a cartesian product"
+    if q.name not in ALLOWED_NESTED_LOOP:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{q.name} plans a broadcast nested-loop join"
+        )
