@@ -60,6 +60,7 @@ def register(name: str, sql: Optional[str], tags: tuple[str, ...] = ()):
 def registry() -> list[Query]:
     # Import side-effect modules that register additional queries.
     from fraud_detection_in_banking_transactions_using_hadoop_spark import (  # noqa: F401
+        queries_dq,
         queries_embed,
         queries_ext,
         queries_ext2,
