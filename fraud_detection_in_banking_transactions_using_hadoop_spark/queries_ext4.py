@@ -259,3 +259,49 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week, counted in each
+# later activity week -- the standard retention triangle.
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_wk FROM events)
+    SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+           CAST(datediff('week', cohort_wk, act_wk) AS INTEGER) AS weeks_later,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY cohort_wk, datediff('week', cohort_wk, act_wk)
+    """,
+    tags=("events", "cohort", "A1"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: both aggregations key on user_id, then the
+    final count groups on the tiny (cohort, offset) pair -- the user_id
+    partitioning is computed once and reused; the firsts table rides
+    along broadcast once it aggregates below the threshold. DuckDB
+    datediff('week',...) counts week-boundary crossings of truncated
+    weeks == integer week gap between Monday-truncated timestamps."""
+    events = read_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_wk")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_wk")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff(F.col("act_wk"), F.col("cohort_wk")) / 7)
+            .cast("int")
+            .alias("weeks_later"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )

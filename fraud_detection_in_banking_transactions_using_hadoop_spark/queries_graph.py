@@ -210,3 +210,60 @@ def q_pagerank_sim_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2)
     pr = pagerank(pairs, n_iter=5)
     return pr.select("node", "d", F.round("r", 6).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the near-dup graph: the clustering-coefficient
+# building block (how clique-like is each duplication cluster). Standard
+# distributed formulation: orient edges low->high, join twice -- cost
+# bounded by sum of degree^2, never |V|^3.
+# ---------------------------------------------------------------------------
+@register(
+    "triangle_counts",
+    f"""
+    WITH {_SHINGLE_PAIRS_CTE},
+    e AS (SELECT least(doc_a, doc_b) AS a, greatest(doc_a, doc_b) AS b
+          FROM pairs WHERE doc_a <> doc_b),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+           CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges
+    FROM tri
+    """,
+    tags=("graph", "triangles"),
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count triangles in the shingle-MinHash near-dup graph via the
+    oriented two-join (each triangle found exactly once as a<b<c). Both
+    joins shuffle on a node id; the wedge table (e1 x e2) is the size
+    lever -- orientation by id bounds it by sum over nodes of
+    out-degree^2, the standard MapReduce-triangles trick."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=8, shingle_w=3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2)
+    e = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.least("doc_a", "doc_b").alias("a"),
+            F.greatest("doc_a", "doc_b").alias("b"),
+        )
+        .distinct()
+    )
+    e1 = e.alias("e1")
+    e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("b2b")).alias("e2")
+    e3 = e.select(F.col("a").alias("b3a"), F.col("b").alias("b3b")).alias("e3")
+    wedges = e1.join(e2, F.col("e2.b2a") == F.col("e1.b"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.b3a") == F.col("e1.a")) & (F.col("e3.b3b") == F.col("e2.b2b")),
+    )
+    return tri.agg(F.count("*").cast("bigint").alias("n_triangles")).crossJoin(
+        F.broadcast(e.agg(F.count("*").cast("bigint").alias("n_edges")))
+    )

@@ -26,6 +26,7 @@ ALLOWED_NESTED_LOOP = {
     "source_mixture",
     "q11_important_stock",
     "q22_dormant_customers",
+    "dq_referential",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
@@ -36,6 +37,7 @@ EAGER = {
     "streaming_session_replay",
     "minhash_lsh_pairs", "minhash_shingle_pairs", "dedup_clusters",
     "pagerank_sim_graph", "ann_ivf_topk", "incremental_watermark",
+    "triangle_counts",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
