@@ -71,6 +71,7 @@ def registry() -> list[Query]:
         queries_graph,
         queries_llm,
         queries_llm2,
+        queries_modern,
         queries_pipeline,
         queries_tpch,
         queries_tpch2,
