@@ -140,3 +140,58 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("va", "vb"), 6).alias("pearson"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH ANN: the bucketed approximate tier, FULLY oracled.
+# The md5-derived +-1 planes are deterministic Python constants, so both
+# engines can inline the identical literals; sign(dot) bucket assignment
+# is reproducible (|dot| ~ O(sqrt(dim)) -- never near the 1-ulp zero
+# boundary on real embeddings), which makes even the approximate tier
+# hash-checkable, recall tradeoff and all.
+# ---------------------------------------------------------------------------
+def _lsh_sql(n_planes: int = 6, dim: int = 64, k: int = 5) -> str:
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import _hyperplane
+
+    planes = [_hyperplane(dim, p) for p in range(n_planes)]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {planes[p]!r}::DOUBLE[]) >= 0 "
+        f"THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, {bucket_terms} AS bucket
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM base WHERE vec_id < 10),
+    sims AS (
+      SELECT q.query_id, base.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                   6) AS cosine
+      FROM base JOIN q USING (bucket)
+      WHERE base.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+      FROM sims)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {k}
+    """
+
+
+@register("ann_lsh_topk", _lsh_sql(), tags=("similarity", "ann", "lsh"))
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH top-k (operators/similarity.lsh_cosine_topk):
+    compare only vectors sharing the query's 6-bit sign bucket -- the
+    bucket join prunes ~63/64 of the brute-force pairs at this setting,
+    and the plan shuffles on the small-int bucket id (AQE splits hot
+    buckets). The oracle reproduces the exact bucket assignment from the
+    same literal planes, so recall loss is part of the CHECKED contract,
+    not hand-waving."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import lsh_cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_cosine_topk(emb, queries, dim=64, k=5, n_planes=6)
