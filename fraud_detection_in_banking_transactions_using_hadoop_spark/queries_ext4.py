@@ -305,3 +305,29 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted aggregation, oracled: the two-phase salted count must be
+# EXACTLY a plain GROUP BY count -- the salt never changes results, only
+# the shuffle layout. event_type is the engine's canonical skewed key
+# (5 values over the whole fact).
+# ---------------------------------------------------------------------------
+@register(
+    "skew_salted_counts",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+    tags=("skew", "A1"),
+)
+def q_skew_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-cardinality group key (5 event types across the whole fact =
+    the skew case AQE cannot help with, since aggregation skew isn't
+    join skew): the salted two-phase count spreads each hot key over
+    salt_factor partitions, and the oracle proves the salt is
+    result-invariant."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.skew import salted_group_count
+
+    events = read_table(spark, sf_dir, "events")
+    return salted_group_count(events, "event_type", salt_factor=8)
