@@ -264,3 +264,40 @@ def q_filtered_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_custkey", "o_orderkey").cast("bigint").alias("last_custkey"),
         F.min_by("o_custkey", "o_orderkey").cast("bigint").alias("first_custkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation: the collect_list determinism trap.
+# ---------------------------------------------------------------------------
+@register(
+    "ordered_string_agg",
+    """
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderdate, o_orderkey)
+             AS order_history,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_custkey
+    """,
+    tags=("functions", "ordered-agg", "A1"),
+)
+def q_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order history as an ordered CSV string. collect_list
+    order is PARTITION-DEPENDENT in Spark (the classic nondeterminism
+    trap); the deterministic form collects (sort_key, value) structs and
+    sort_array's them before joining -- with the unique o_orderkey as
+    the tiebreak, the result is total-ordered and hash-stable across
+    engines and partitionings."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    items = F.sort_array(
+        F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+    )
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(items, lambda s: s["o_orderkey"].cast("string")), ","
+        ).alias("order_history"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
