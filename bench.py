@@ -28,8 +28,9 @@ HEADLINE = [
     "topk_per_supplier",
     "dedup_exact",
     "minhash_lsh_pairs",
-    "ann_cosine_topk",  # exact brute-force baseline for the tier below
-    "ann_ivf_topk",  # the approximate (scale-path) ANN tier
+    "ann_cosine_topk",  # exact brute-force baseline for the tiers below
+    "ann_lsh_topk",  # hyperplane-LSH approximate tier (oracled)
+    "ann_ivf_topk",  # IVF approximate tier (driver-fit quantizer)
     "dedup_clusters",  # pairs -> connected components (iterative template)
     "simhash_docs",
     "asof_join",

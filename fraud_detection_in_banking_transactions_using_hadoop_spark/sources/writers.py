@@ -77,3 +77,31 @@ def write_jdbc(
     if driver:
         w = w.option("driver", driver)
     w.option("batchsize", str(batchsize)).mode(mode).save()
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    token: str = "compact",
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into files
+    sized for scan efficiency (the operational chore every streaming
+    sink needs -- micro-batch appends accumulate files whose per-file
+    open/footer cost eventually dominates scans). Sizing is derived
+    from the CURRENT on-disk bytes (compressed), so the rewrite aims at
+    target_file_mb regardless of row width. The swap reuses the
+    crash-safe rename protocol (operators/merge.py) -- readers never
+    see a partial table. Returns the number of output files."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.merge import (
+        _hadoop_fs,
+        atomic_overwrite,
+    )
+
+    fs, jvm = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    total_bytes = fs.getContentSummary(P(path)).getLength()
+    n_files = max(1, int(total_bytes / (target_file_mb * 1024 * 1024)) or 1)
+    df = spark.read.parquet(path)
+    atomic_overwrite(df.repartition(n_files), path, token)
+    return n_files

@@ -124,3 +124,22 @@ def dedup_stream(
     watermark=None: one was already set upstream (never redefine)."""
     w = stream.withWatermark(ts_col, watermark) if watermark else stream
     return w.dropDuplicates([*id_cols, ts_col])
+
+
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    ts_col: str,
+    id_cols: Sequence[str],
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark variant of dedup_stream: dedups on
+    the id columns ALONE (no event-time in the key), guaranteeing
+    dedup for duplicates arriving within the watermark delay of each
+    other even when their timestamps differ -- the semantics that match
+    at-least-once sources (a Kafka replay carries a new ingest ts, so
+    keying on [id, ts] as dedup_stream does would keep both copies).
+    State for an id is evictable once the watermark passes its first
+    sighting + delay, so memory stays (arrival rate x horizon)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(id_cols)
+    )

@@ -184,3 +184,18 @@ def test_write_jdbc_roundtrip(spark, tmp_path):
     back = read_jdbc_table(spark, url, "export_tbl", driver=driver)
     assert back.count() == 100
     assert back.agg({"v": "sum"}).first()[0] == sum(2 * i for i in range(100))
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.writers import compact_table
+
+    path = str(tmp_path / "frag")
+    # fragment: 40 tiny files
+    spark.range(4000).withColumnRenamed("id", "k").repartition(40).write.parquet(path)
+    n_before = len([p for p in (tmp_path / "frag").iterdir() if p.name.endswith(".parquet")])
+    assert n_before >= 40
+    n_files = compact_table(spark, path, target_file_mb=128)
+    assert n_files == 1
+    n_after = len([p for p in (tmp_path / "frag").iterdir() if p.name.endswith(".parquet")])
+    assert n_after == 1
+    assert spark.read.parquet(path).count() == 4000

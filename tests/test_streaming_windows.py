@@ -219,3 +219,42 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bl")
         spark.sql("DROP TABLE IF EXISTS br")
+
+
+def test_dedup_within_watermark_ignores_ts_differences(spark, tmp_path):
+    """Replayed ids with DIFFERENT timestamps (the at-least-once case)
+    must still dedup -- the [id, ts]-keyed variant would keep both."""
+    import json
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.windows import (
+        dedup_stream_within_watermark,
+    )
+    from pyspark.sql import types as T
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 10:00:00"},
+        {"event_id": 1, "ts": "2024-01-01 10:02:00"},  # replay, new ts
+        {"event_id": 2, "ts": "2024-01-01 10:01:00"},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = dedup_stream_within_watermark(stream, "ts", ["event_id"], "10 minutes")
+    q = (
+        out.writeStream.outputMode("append").format("memory")
+        .queryName("dedup_wwm_out").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("dedup_wwm_out").collect()
+    assert sorted(r["event_id"] for r in got) == [1, 2]
