@@ -329,3 +329,165 @@ def q_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 15)
         .select("doc_id", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: two-sample Kolmogorov-Smirnov statistic.
+# ---------------------------------------------------------------------------
+@register(
+    "length_drift_ks",
+    """
+    WITH vals AS (
+      SELECT n_chars AS v,
+             count(*) FILTER (WHERE source = 'src0') AS ca,
+             count(*) FILTER (WHERE source = 'src1') AS cb
+      FROM documents WHERE source IN ('src0', 'src1') GROUP BY n_chars),
+    tot AS (
+      SELECT sum(ca) AS na, sum(cb) AS nb FROM vals),
+    cdf AS (
+      SELECT v,
+             sum(ca) OVER (ORDER BY v) / (SELECT CAST(na AS DOUBLE) FROM tot) AS fa,
+             sum(cb) OVER (ORDER BY v) / (SELECT CAST(nb AS DOUBLE) FROM tot) AS fb
+      FROM vals)
+    SELECT round(max(abs(fa - fb)), 6) AS ks_stat,
+           CAST((SELECT na FROM tot) AS BIGINT) AS n_a,
+           CAST((SELECT nb FROM tot) AS BIGINT) AS n_b
+    FROM cdf
+    """,
+    tags=("pipeline", "drift", "stats"),
+)
+def q_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between two sources' doc-length
+    distributions -- the drift alarm between pipeline runs. The ECDF
+    window runs over the DISTINCT VALUE GRID (bounded by the metric's
+    range, not the corpus), after a map-side-combined per-value count;
+    partitioning by a constant documents that the single-task window is
+    a deliberate bounded-input choice, the same driver-side-smallness
+    argument as the IVF/PCA fits."""
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    vals = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count_if(F.col("source") == "src0").alias("ca"),
+        F.count_if(F.col("source") == "src1").alias("cb"),
+    )
+    tot = vals.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+        F.sum("ca").cast("bigint").alias("n_a"),
+        F.sum("cb").cast("bigint").alias("n_b"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("v")
+    cdf = (
+        vals.crossJoin(F.broadcast(tot))
+        .withColumn("fa", F.sum("ca").over(w) / F.col("na"))
+        .withColumn("fb", F.sum("cb").over(w) / F.col("nb"))
+    )
+    return cdf.agg(
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_stat"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (clipped) robust statistics.
+# ---------------------------------------------------------------------------
+@register(
+    "winsorized_stats",
+    """
+    WITH b AS (
+      SELECT source, n_chars,
+             quantile_cont(n_chars, 0.05) OVER (PARTITION BY source) AS lo,
+             quantile_cont(n_chars, 0.95) OVER (PARTITION BY source) AS hi
+      FROM documents)
+    SELECT source,
+           round(avg(least(greatest(CAST(n_chars AS DOUBLE), lo), hi)), 6)
+             AS wins_mean,
+           round(min(lo), 6) AS p05, round(min(hi), 6) AS p95,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY source
+    """,
+    tags=("pipeline", "robust", "stats"),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of doc length per source: clip to the [p05, p95]
+    band, then average -- the robust-location estimate quality dashboards
+    use so a few megadocs can't move the needle. Exact per-group
+    percentiles sort within the group (the honest cost; swap in
+    approx_percentile at extreme scale), and the clip + mean reuse the
+    same source partitioning."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    v = F.col("n_chars").cast("double")
+    b = docs.select(
+        "source",
+        v.alias("v"),
+        F.expr("percentile(n_chars, 0.05)").over(w).alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").over(w).alias("hi"),
+    )
+    return b.groupBy("source").agg(
+        F.round(F.avg(F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))), 6)
+        .alias("wins_mean"),
+        F.round(F.min("lo"), 6).alias("p05"),
+        F.round(F.min("hi"), 6).alias("p95"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture schedule: interleave sources into one training order.
+# ---------------------------------------------------------------------------
+@register(
+    "mixture_schedule",
+    """
+    WITH w AS (
+      SELECT source, count(*) AS sz,
+             CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM documents) AS weight
+      FROM documents GROUP BY source),
+    pos AS (
+      SELECT doc_id, d.source,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             weight
+      FROM documents d JOIN w ON w.source = d.source),
+    keyed AS (
+      SELECT doc_id, source, rk, rk / weight AS schedule_key FROM pos)
+    SELECT doc_id, source,
+           CAST(row_number() OVER (ORDER BY schedule_key, source, doc_id) AS BIGINT)
+             AS train_pos
+    FROM keyed
+    WHERE schedule_key <= 60.0 / (SELECT min(weight) FROM w) / 3
+    """,
+    tags=("pipeline", "mixture", "W1"),
+)
+def q_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional source interleaving: doc k of a source with mixture
+    weight p is scheduled at key k/p, so a global sort by key emits
+    sources at their target rates (the deterministic form of temperature
+    sampling a training dataloader runs). Hash-ordered rank within each
+    source keeps the per-source order unbiased and reproducible. The
+    global ordering window runs on the PREFIX being scheduled (the WHERE
+    bounds it), mirroring how real schedules materialize epoch chunks,
+    not whole corpora; at full scale, range-partition by schedule_key
+    instead of a single sort."""
+    docs = read_table(spark, sf_dir, "documents")
+    total = docs.count()
+    w = docs.groupBy("source").agg(
+        (F.count("*").cast("double") / F.lit(float(total))).alias("weight")
+    )
+    min_weight = w.agg(F.min("weight").alias("mw")).first()["mw"]
+    wsrc = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    keyed = (
+        docs.join(F.broadcast(w), "source")
+        .withColumn("rk", F.row_number().over(wsrc))
+        .withColumn("schedule_key", F.col("rk") / F.col("weight"))
+        .filter(F.col("schedule_key") <= 60.0 / min_weight / 3)
+    )
+    wglob = Window.partitionBy(F.lit(0)).orderBy("schedule_key", "source", "doc_id")
+    return keyed.select(
+        "doc_id", "source",
+        F.row_number().over(wglob).cast("bigint").alias("train_pos"),
+    )

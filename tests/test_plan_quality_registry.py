@@ -27,6 +27,7 @@ ALLOWED_NESTED_LOOP = {
     "q11_important_stock",
     "q22_dormant_customers",
     "dq_referential",
+    "length_drift_ks",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
