@@ -1,0 +1,76 @@
+"""Structural invariants of the training-pipeline queries -- properties
+the DuckDB equality oracle can't express (it only proves both engines
+agree; these prove the SEMANTICS are right)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+
+_Q = {q.name: q.fn for q in registry()}
+
+
+def test_split_partitions_are_disjoint_and_complete(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = {r["split"]: r for r in _Q["train_test_split"](spark, sf_dir).collect()}
+    assert set(out) == {"train", "valid", "test"}
+    assert sum(r["n_docs"] for r in out.values()) == docs.count()
+    total_tokens = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert sum(r["total_tokens"] for r in out.values()) == total_tokens
+    # 80/10/10 within hash-uniformity tolerance
+    n = docs.count()
+    assert abs(out["train"]["n_docs"] / n - 0.8) < 0.1
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    chunks = _Q["pack_sequences"](spark, sf_dir)
+    per_source_tokens = {
+        r["source"]: r["t"]
+        for r in docs.groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .collect()
+    }
+    got = {
+        r["source"]: r["t"]
+        for r in chunks.groupBy("source").agg(F.sum("chunk_tokens").alias("t")).collect()
+    }
+    assert got == per_source_tokens
+    # chunk ids are dense from 0 within each source
+    bad = (
+        chunks.groupBy("source")
+        .agg(F.min("chunk_id").alias("lo"), F.max("chunk_id").alias("hi"), F.count("*").alias("n"))
+        .filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_source_cap_sample_caps_every_source(spark, sf_dir):
+    out = _Q["source_cap_sample"](spark, sf_dir)
+    sizes = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 15 for r in sizes)
+    # deterministic: two invocations agree exactly
+    a = {(r["doc_id"], r["source"]) for r in out.collect()}
+    b = {(r["doc_id"], r["source"]) for r in _Q["source_cap_sample"](spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_mixture_schedule_interleaves_proportionally(spark, sf_dir):
+    out = _Q["mixture_schedule"](spark, sf_dir).collect()
+    positions = sorted(r["train_pos"] for r in out)
+    assert positions == list(range(1, len(out) + 1))  # dense global order
+    # equal-weight sources must appear nearly equally in the prefix
+    from collections import Counter
+
+    by_source = Counter(r["source"] for r in out)
+    lo, hi = min(by_source.values()), max(by_source.values())
+    assert hi - lo <= 1
+
+
+def test_ks_stat_bounds(spark, sf_dir):
+    row = _Q["length_drift_ks"](spark, sf_dir).first()
+    assert 0.0 <= row["ks_stat"] <= 1.0
+    assert row["n_a"] > 0 and row["n_b"] > 0
