@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from tools.oracle_check import canon_rows
 
-N_CASES = 25
+N_CASES = 40
 
 FILTERS = [
     # (spark_fn, sql) pairs, semantically identical
@@ -60,6 +60,19 @@ AGGS = [
      "count(DISTINCT o_custkey) AS nd_cust"),
     (lambda: F.round(F.min("o_totalprice") + F.max("o_totalprice"), 2).alias("span"),
      "round(min(o_totalprice) + max(o_totalprice), 2) AS span"),
+    # round-3 aggregate surface
+    (lambda: F.count_if(F.col("o_totalprice") > 200000).cast("bigint").alias("n_big"),
+     "CAST(count_if(o_totalprice > 200000) AS BIGINT) AS n_big"),
+    (lambda: F.bool_and(F.col("o_totalprice") > 0).alias("all_pos"),
+     "bool_and(o_totalprice > 0) AS all_pos"),
+    (lambda: F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+     "bool_or(o_totalprice > 400000) AS any_huge"),
+    (lambda: F.round(F.regr_slope(F.col("o_totalprice"), F.col("o_custkey")), 4).alias("slope"),
+     "round(regr_slope(o_totalprice, o_custkey), 4) AS slope"),
+    (lambda: F.max_by("o_custkey", "o_orderkey").cast("bigint").alias("last_cust"),
+     "CAST(max_by(o_custkey, o_orderkey) AS BIGINT) AS last_cust"),
+    (lambda: F.round(F.covar_pop(F.col("o_totalprice"), F.col("o_custkey")), 2).alias("cv"),
+     "round(covar_pop(o_totalprice, o_custkey), 2) AS cv"),
 ]
 
 
