@@ -199,3 +199,26 @@ def test_compact_table_reduces_files(spark, tmp_path):
     n_after = len([p for p in (tmp_path / "frag").iterdir() if p.name.endswith(".parquet")])
     assert n_after == 1
     assert spark.read.parquet(path).count() == 4000
+
+
+def test_schema_evolution_merge_and_union(spark, tmp_path):
+    """Schema evolution the way 100 TB tables actually evolve: newer
+    partitions carry added columns. mergeSchema reads old+new together
+    (missing column -> NULL), and unionByName(allowMissingColumns)
+    aligns frames across versions."""
+    old = str(tmp_path / "t" / "v=1")
+    new = str(tmp_path / "t" / "v=2")
+    spark.range(5).selectExpr("id AS k", "id * 2 AS v").write.parquet(old)
+    spark.range(5, 8).selectExpr(
+        "id AS k", "id * 2 AS v", "'src' AS origin"
+    ).write.parquet(new)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(str(tmp_path / "t"))
+    assert set(merged.columns) == {"k", "v", "origin"}
+    assert merged.count() == 8
+    assert merged.filter("origin IS NULL").count() == 5  # old rows
+
+    a = spark.read.parquet(old)
+    b = spark.read.parquet(new)
+    u = a.unionByName(b, allowMissingColumns=True)
+    assert u.count() == 8 and set(u.columns) == {"k", "v", "origin"}
