@@ -301,3 +301,94 @@ def q_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("order_history"),
         F.count("*").cast("bigint").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Moving median: percentile as a FRAMED window aggregate.
+# ---------------------------------------------------------------------------
+@register(
+    "moving_median",
+    """
+    SELECT o_orderkey, o_custkey,
+           round(median(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS med5
+    FROM orders
+    """,
+    tags=("functions", "window", "robust", "W4"),
+)
+def q_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row moving median of order value per customer -- the robust
+    twin of the reference's moving-average UCL (ucl_windowed): one
+    outlier can't drag the control limit. Exact percentile over a
+    5-row frame is O(frame log frame) per row inside one
+    single-shuffle window; unique o_orderkey tiebreak keeps the frame
+    contents total-ordered (CLAUDE.md window rule)."""
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.expr("percentile(o_totalprice, 0.5)").over(w), 6).alias("med5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers: median absolute deviation, the robust z-score.
+# ---------------------------------------------------------------------------
+@register(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT o_orderpriority AS grp, median(o_totalprice) AS med
+      FROM orders GROUP BY o_orderpriority),
+    dev AS (
+      SELECT grp, median(abs(o_totalprice - med)) AS mad
+      FROM orders JOIN med ON med.grp = o_orderpriority
+      GROUP BY grp, med),
+    flagged AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             abs(o_totalprice - med) / nullif(mad, 0) AS rz
+      FROM orders JOIN med ON med.grp = o_orderpriority
+      JOIN dev USING (grp))
+    SELECT grp, CAST(count(*) AS BIGINT) AS n,
+           CAST(count_if(rz > 3.0) AS BIGINT) AS n_outliers,
+           round(max(rz), 6) AS max_robust_z
+    FROM flagged GROUP BY grp
+    """,
+    tags=("functions", "robust", "stats"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier counts per priority class --
+    the robust z-score (mean/stddev-based UCLs move with the outliers
+    they're hunting; medians don't). Two grouped exact medians + one
+    flagging pass, all keyed on the 5-value group; the per-group median
+    sort is the honest exact cost, approx_percentile is the declared
+    scale path."""
+    orders = read_table(spark, sf_dir, "orders")
+    med = orders.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.median("o_totalprice").alias("med")
+    )
+    with_med = orders.join(
+        F.broadcast(med), orders.o_orderpriority == med.grp
+    )
+    dev = with_med.groupBy("grp", "med").agg(
+        F.median(F.abs(F.col("o_totalprice") - F.col("med"))).alias("mad")
+    ).select("grp", "mad")
+    rz = F.abs(F.col("o_totalprice") - F.col("med")) / F.nullif(
+        F.col("mad"), F.lit(0)
+    )
+    flagged = with_med.join(F.broadcast(dev), "grp").select(
+        "grp", rz.alias("rz")
+    )
+    return flagged.groupBy("grp").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_if(F.col("rz") > 3.0).cast("bigint").alias("n_outliers"),
+        F.round(F.max("rz"), 6).alias("max_robust_z"),
+    )
