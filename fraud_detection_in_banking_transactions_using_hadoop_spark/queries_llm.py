@@ -350,3 +350,41 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-hash fingerprint: ORDER-SENSITIVE document identity (the
+# set-based tiers -- md5 fingerprint, MinHash -- can't tell "a b c"
+# from "c b a"; the polynomial rolling hash can).
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_hash_fingerprint",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(string_split(text, ' '),
+                   t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+               (acc, x) -> (acc * 31 + x) % 1000000000000000) AS rhash
+      FROM documents)
+    SELECT doc_id, CAST(rhash AS BIGINT) AS rhash FROM h
+    """,
+    tags=("dedup", "fingerprint", "rolling-hash"),
+)
+def q_rolling_hash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash over the token sequence:
+    h = fold(acc*31 + md5_32(tok) mod 1e15). Order-sensitive dedup
+    identity, computed as a pure map-side expression fold (left-to-right
+    in BOTH engines, modulus keeps every intermediate < 3.2e16 so int64
+    arithmetic is exact under ANSI mode). At 100 TB this replaces md5 of
+    the full text when the text column is wide and only identity -- not
+    content -- needs to move: the hash is 8 bytes per doc."""
+    docs = read_table(spark, sf_dir, "documents")
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    rhash = F.aggregate(
+        F.split("text", " "),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * 31 + tok_hash(t)) % F.lit(1000000000000000).cast("bigint"),
+    )
+    return docs.select("doc_id", rhash.cast("bigint").alias("rhash"))
