@@ -234,3 +234,108 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_vecs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 keyword scoring fused with embedding cosine --
+# the standard first-stage + rerank stack of modern search, in one plan.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("fast", "table", "row")
+
+
+@register(
+    "bm25_hybrid_search",
+    f"""
+    WITH params AS (
+      SELECT count(*) AS n_docs,
+             sum(len(string_split(text, ' '))) / CAST(count(*) AS DOUBLE) AS avglen
+      FROM documents),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE tok IN {_BM25_TERMS!r}
+      GROUP BY doc_id, tok),
+    df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    lens AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+    bm25 AS (
+      SELECT tf.doc_id,
+             sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avglen))) AS kw
+      FROM tf JOIN df USING (tok) JOIN lens USING (doc_id) CROSS JOIN params
+      GROUP BY tf.doc_id),
+    fused AS (
+      SELECT b.doc_id, kw,
+             list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[])))
+               AS cos
+      FROM bm25 b
+      JOIN embeddings e ON e.vec_id = b.doc_id
+      CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q)
+    SELECT doc_id, round(kw, 6) AS kw_score, round(cos, 6) AS cos_score,
+           round(round(kw, 6) * 0.5 + round(cos, 6) * 0.5, 6) AS fused_score,
+           CAST(row_number() OVER (
+             ORDER BY round(round(kw, 6) * 0.5 + round(cos, 6) * 0.5, 6) DESC,
+                      doc_id) AS INTEGER) AS rk
+    FROM fused
+    QUALIFY rk <= 20
+    """,
+    tags=("retrieval", "bm25", "hybrid", "similarity"),
+)
+def q_bm25_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-stage BM25 (k1=1.2, b=0.75) over fixed query terms, fused
+    50/50 with embedding cosine against a query vector, top-20. Shapes:
+    the tf explode prunes to query terms AT THE SCAN (an inverted index
+    replaces it on a real deployment); df and corpus params are
+    broadcast scalars; the rerank join touches only BM25 candidates --
+    the standard candidate-generation/rerank cost split. Fusion rounds
+    each component BEFORE combining so the cross-engine sum is exact."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import cosine
+
+    docs = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings")
+    params = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size(F.split("text", " "))) / F.count("*").cast("double")).alias("avglen"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    lens = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    term_score = idf * F.col("tf") * 2.2 / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avglen"))
+    )
+    bm25 = (
+        tf.join(F.broadcast(df), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(params))
+        .groupBy("doc_id")
+        .agg(F.sum(term_score).alias("kw"))
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    fused = (
+        bm25.join(emb, bm25.doc_id == emb.vec_id)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "doc_id",
+            F.round("kw", 6).alias("kw_score"),
+            F.round(
+                cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 6
+            ).alias("cos_score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    score = F.round(F.col("kw_score") * 0.5 + F.col("cos_score") * 0.5, 6)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("fused_score").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_score", score)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 20)
+        .select("doc_id", "kw_score", "cos_score", "fused_score", "rk")
+    )

@@ -28,6 +28,7 @@ ALLOWED_NESTED_LOOP = {
     "q22_dormant_customers",
     "dq_referential",
     "length_drift_ks",
+    "bm25_hybrid_search",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
