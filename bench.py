@@ -39,6 +39,7 @@ HEADLINE = [
     "left_join_nulls",
     "pack_sequences",  # training-batch layout (per-source window cumsum)
     "contamination_check",  # train/test shingle-overlap semi-join
+    "bm25_hybrid_search",  # BM25 candidates + cosine rerank
 ]
 
 
