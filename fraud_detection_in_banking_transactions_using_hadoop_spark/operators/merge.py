@@ -169,3 +169,37 @@ def scd2_apply(
         F.lit(None).cast(dim.schema["valid_to"].dataType).alias("valid_to"),
     )
     return hist.unionByName(closed).unionByName(fresh).unionByName(new_keys)
+
+
+def delete_keys_cascade(
+    spark: SparkSession,
+    tables: dict[str, str],
+    keys: DataFrame,
+    token: str = "delete",
+) -> dict[str, int]:
+    """Right-to-be-forgotten propagation: remove every row matching the
+    key set from each keyed Parquet table, atomically per table.
+
+    `tables` maps path -> key column; `keys` is a one-column DataFrame
+    of ids to purge. Each table is rewritten as an anti-join behind the
+    crash-safe rename swap (readers never see a partial purge; a crash
+    mid-table heals via recover_table on next access). Returns
+    {path: rows_deleted}.
+
+    Scale: one broadcast anti-join per table (the key set is small --
+    deletion requests, not data), and the rewrite cost is the table
+    itself: partition the table on something correlated with the key
+    (user bucketing) and rewrite only touched partitions to avoid full
+    rewrites at 100 TB. On a lakehouse format this maps to DELETE WHERE
+    with file-level skipping; the semantics here are identical.
+    """
+    deleted: dict[str, int] = {}
+    for path, key in tables.items():
+        recover_table(spark, path)
+        current = spark.read.parquet(path)
+        key_df = keys.toDF(key)
+        n_before = current.count()
+        remaining = current.join(F.broadcast(key_df), key, "left_anti")
+        atomic_overwrite(remaining, path, f"{token}_{abs(hash(path)) % 10**8}")
+        deleted[path] = n_before - spark.read.parquet(path).count()
+    return deleted

@@ -206,3 +206,21 @@ def test_stale_staging_dirs_swept(spark, tmp_path):
     assert not (tmp_path / "tbl__stage_crashed2").exists()
     assert not (tmp_path / "tbl__stage_tok9").exists()  # own staging renamed away
     assert spark.read.parquet(target).count() == 3
+
+
+def test_delete_keys_cascade(spark, tmp_path):
+    """GDPR-style purge: keys vanish from every table, other rows
+    survive, tables stay readable (atomic swap), counts reported."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.merge import delete_keys_cascade
+
+    t1, t2 = str(tmp_path / "master"), str(tmp_path / "lookup")
+    spark.range(100).selectExpr("id AS user_id", "id * 2 AS v").write.parquet(t1)
+    spark.range(50).selectExpr("id AS user_id", "'x' AS s").write.parquet(t2)
+    keys = spark.createDataFrame([(3,), (7,), (999,)], ["user_id"])
+
+    deleted = delete_keys_cascade(spark, {t1: "user_id", t2: "user_id"}, keys)
+    assert deleted == {t1: 2, t2: 2}
+    for path, n_expected in ((t1, 98), (t2, 48)):
+        df = spark.read.parquet(path)
+        assert df.count() == n_expected
+        assert df.filter(F.col("user_id").isin(3, 7)).count() == 0
