@@ -105,3 +105,54 @@ def compact_table(
     df = spark.read.parquet(path)
     atomic_overwrite(df.repartition(n_files), path, token)
     return n_files
+
+
+def audited_overwrite(
+    df: DataFrame,
+    path: str,
+    checks: "list",
+    token: str = "wap",
+) -> dict:
+    """Write-Audit-Publish: stage the new table version, run audit
+    checks against the STAGED data, and only then swap it in (the
+    crash-safe rename protocol). A failing audit leaves the current
+    table untouched and the staging dir on disk for inspection.
+
+    `checks` is a list of (name, fn) where fn(staged_df) -> bool.
+    Returns {check_name: passed}; raises ValueError (after writing
+    nothing to the live path) if any check fails.
+
+    This is the pattern that stops a bad upstream batch from replacing
+    a good table at 100 TB: the audit cost is bounded by the checks
+    (usually aggregates -- one scan of the staged version), and the
+    publish is two metadata renames.
+    """
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.merge import (
+        _hadoop_fs,
+        _rename_or_raise,
+        _sweep_stale_stages,
+    )
+
+    spark = df.sparkSession
+    target = path.rstrip("/")
+    staging = f"{target}__stage_{token}"
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+    results = {name: bool(fn(staged)) for name, fn in checks}
+    if not all(results.values()):
+        failed = [n for n, ok in results.items() if not ok]
+        raise ValueError(
+            f"write audit failed ({failed}); staging kept at {staging}, "
+            f"live table untouched"
+        )
+    fs, jvm = _hadoop_fs(spark, target)
+    P = jvm.org.apache.hadoop.fs.Path
+    old = P(target + "__old")
+    if fs.exists(old):
+        fs.delete(old, True)
+    if fs.exists(P(target)):
+        _rename_or_raise(fs, P(target), old)
+    _rename_or_raise(fs, P(staging), P(target))
+    fs.delete(old, True)
+    _sweep_stale_stages(fs, jvm, target)
+    return results

@@ -222,3 +222,31 @@ def test_schema_evolution_merge_and_union(spark, tmp_path):
     b = spark.read.parquet(new)
     u = a.unionByName(b, allowMissingColumns=True)
     assert u.count() == 8 and set(u.columns) == {"k", "v", "origin"}
+
+
+def test_audited_overwrite_blocks_bad_batches(spark, tmp_path):
+    """Write-Audit-Publish: a failing audit must leave the live table
+    untouched (and keep staging for inspection); a passing audit swaps."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.writers import audited_overwrite
+
+    path = str(tmp_path / "t")
+    spark.range(10).withColumnRenamed("id", "k").write.parquet(path)
+
+    checks = [
+        ("nonempty", lambda d: d.count() > 0),
+        ("enough_rows", lambda d: d.count() >= 5),
+        ("no_null_keys", lambda d: d.filter("k IS NULL").count() == 0),
+    ]
+    # bad batch: too few rows
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="enough_rows"):
+        audited_overwrite(spark.range(2).withColumnRenamed("id", "k"), path, checks)
+    assert spark.read.parquet(path).count() == 10  # live table intact
+    assert (tmp_path / "t__stage_wap").exists()  # staging kept for debugging
+
+    # good batch publishes (and sweeps the failed staging)
+    res = audited_overwrite(spark.range(7).withColumnRenamed("id", "k"), path, checks)
+    assert res == {"nonempty": True, "enough_rows": True, "no_null_keys": True}
+    assert spark.read.parquet(path).count() == 7
+    assert not (tmp_path / "t__stage_wap").exists()
