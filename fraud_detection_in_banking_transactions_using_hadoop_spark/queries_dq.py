@@ -178,3 +178,52 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(_gap_sum div nullif(_n_gaps, 0) AS BIGINT)").alias("avg_gap_us"),
         "n_errors",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation replay: fold 3 batch slices of orders through
+# the mergeable-partials operator; the result must equal a one-shot
+# GROUP BY (the materialized-view maintenance invariant, proven under
+# the driver's hash gate, not just pytest).
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_agg_replay",
+    """
+    SELECT o_custkey,
+           CAST(count(o_totalprice) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           round(round(sum(o_totalprice), 2) / count(o_totalprice), 6) AS avg_v,
+           round(min(o_totalprice), 2) AS min_v,
+           round(max(o_totalprice), 2) AS max_v
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("incremental", "A1", "materialized-view"),
+)
+def q_incremental_agg_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slice orders into 3 disjoint batches (o_orderkey % 3), build
+    per-batch partials, fold them with merge_partials, finalize -- and
+    match the one-shot aggregate byte-for-byte. min/max/count/sum merge
+    exactly by their monoids; avg derives from the ROUNDED sum
+    (CLAUDE.md half-boundary rule). The HLL distinct component is
+    estimate-typed and stays out of the oracle (pytest-gated in
+    tests/test_incremental.py)."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.incremental import (
+        merge_partials,
+        partials_of,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    batches = [
+        orders.filter(F.col("o_orderkey") % 3 == i) for i in range(3)
+    ]
+    state = partials_of(batches[0], "o_custkey", "o_totalprice")
+    for b in batches[1:]:
+        state = merge_partials(state, partials_of(b, "o_custkey", "o_totalprice"), "o_custkey")
+    return state.select(
+        "o_custkey",
+        F.col("n"),
+        F.round("sum_v", 2).alias("total"),
+        F.round(F.round("sum_v", 2) / F.col("n"), 6).alias("avg_v"),
+        F.round("min_v", 2).alias("min_v"),
+        F.round("max_v", 2).alias("max_v"),
+    )
