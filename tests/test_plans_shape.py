@@ -84,3 +84,30 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     # (user_id, session_id), which cannot reuse the user_id-only
     # partitioning. 2 is the floor; >2 means a regression.
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_join_strategy_hints_take_effect(spark, sf_dir):
+    """The engine exposes Catalyst's join-strategy control surface:
+    hints must override the planner's default choice (the escape hatch
+    when statistics mislead it at 100 TB)."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    # default: small dim -> broadcast
+    default = plan_of(orders.join(cust, orders.o_custkey == cust.c_custkey))
+    assert "BroadcastHashJoin" in default
+
+    merged = plan_of(
+        orders.join(cust.hint("merge"), orders.o_custkey == cust.c_custkey)
+    )
+    assert "SortMergeJoin" in merged and "BroadcastHashJoin" not in merged
+
+    shuffled = plan_of(
+        orders.join(cust.hint("shuffle_hash"), orders.o_custkey == cust.c_custkey)
+    )
+    assert "ShuffledHashJoin" in shuffled
