@@ -73,3 +73,62 @@ def get_spark(app_name: str = "fraud-engine", cpus: int | None = None) -> SparkS
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return normalize_runtime_conf(spark)
+
+
+def cluster_conf(
+    profile: str = "100tb",
+    executor_cores: int = 5,
+    n_executors: int = 1000,
+) -> dict[str, str]:
+    """Recommended conf for a real deployment, encoded as data so it can
+    be reviewed, tested, and fed to spark-submit. Profiles:
+
+    '100tb' -- the target-scale batch profile. Rationale per key:
+      - shuffle.partitions ~ 2-3x total cores: every reducer slot busy,
+        partitions small enough to sort/spill gracefully (AQE coalesces
+        the over-split tail at runtime).
+      - maxPartitionBytes 256m: scan tasks sized so a 100 TB table makes
+        ~400k tasks, not 4M (listing/scheduling overhead), while staying
+        under executor memory per task after projection.
+      - autoBroadcastJoinThreshold 64m: dims up to ~memory-safe size
+        broadcast instead of shuffling the fact.
+      - skewJoin thresholds: AQE splits any post-shuffle partition >
+        512m and > 4x median -- the hot-key guard for power-law keys.
+      - shuffle.service + dynamicAllocation: executors scale with stage
+        width; shuffle files outlive executors.
+      - kryo + zstd: serialized shuffle volume is the scarce resource.
+    """
+    total_cores = executor_cores * n_executors
+    if profile == "100tb":
+        return {
+            "spark.sql.shuffle.partitions": str(total_cores * 2),
+            "spark.sql.files.maxPartitionBytes": "256m",
+            "spark.sql.autoBroadcastJoinThreshold": "64m",
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.coalescePartitions.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "4",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "512m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128m",
+            "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+            "spark.io.compression.codec": "zstd",
+            "spark.shuffle.service.enabled": "true",
+            "spark.dynamicAllocation.enabled": "true",
+            "spark.dynamicAllocation.maxExecutors": str(n_executors),
+            "spark.executor.cores": str(executor_cores),
+            "spark.sql.parquet.aggregatePushdown": "true",
+            "spark.sql.parquet.filterPushdown": "true",
+        }
+    if profile == "streaming":
+        return {
+            "spark.sql.shuffle.partitions": str(max(total_cores // 2, 8)),
+            "spark.sql.adaptive.enabled": "false",  # AQE off: stable stateful partitioning
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            ),
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+            "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+            "spark.io.compression.codec": "zstd",
+        }
+    raise ValueError(f"unknown profile: {profile}")

@@ -54,3 +54,30 @@ def test_ucl_sigma_configurable(spark):
     two = df.groupBy("k").agg(ucl_agg(F.col("amount"), sigma=2.0).alias("u")).collect()[0].u
     three = df.groupBy("k").agg(ucl_agg(F.col("amount"), sigma=3.0).alias("u")).collect()[0].u
     assert three > two > 20.0
+
+
+def test_cluster_conf_keys_are_valid(spark):
+    """Every recommended key must be a real conf key Spark accepts --
+    a typo'd tuning guide is worse than none. Runtime-settable SQLConf
+    keys are set/restored on the live session; static keys are checked
+    against the documented namespace."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.session import cluster_conf
+
+    for profile in ("100tb", "streaming"):
+        conf = cluster_conf(profile)
+        assert conf, profile
+        for k, v in conf.items():
+            assert k.startswith("spark."), k
+            if k.startswith("spark.sql.") and "stateStore" not in k:
+                old = None
+                try:
+                    old = spark.conf.get(k, None)
+                    spark.conf.set(k, v)  # raises on unknown/invalid SQLConf
+                finally:
+                    if old is not None:
+                        spark.conf.set(k, old)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cluster_conf("nope")
