@@ -388,3 +388,79 @@ def q_streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming materialized view: a live foreachBatch query maintains the
+# per-user aggregate state via mergeable partials (operators/incremental)
+# across multiple micro-batches; the final state must equal the one-shot
+# SQL aggregate. The full lambda-architecture serving-table story --
+# ingest incrementally, read consistently -- under the hash gate.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_incremental_agg",
+    """
+    SELECT user_id,
+           CAST(count(value) AS BIGINT) AS n,
+           round(sum(value), 4) AS total,
+           round(round(sum(value), 4) / count(value), 6) AS avg_v,
+           round(min(value), 4) AS min_v,
+           round(max(value), 4) AS max_v
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "incremental", "T2", "materialized-view"),
+)
+def q_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.incremental import (
+        incremental_agg_update,
+    )
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.session import normalize_runtime_conf
+
+    normalize_runtime_conf(spark)
+    base = Path(tempfile.mkdtemp(prefix="inc_agg_"))
+    src, state, ckpt = base / "src", base / "state", base / "ckpt"
+    # split events into 4 files so the replay is genuinely multi-batch
+    events = read_table(spark, sf_dir, "events")
+    events.select("user_id", "value").repartition(4).write.parquet(str(src))
+
+    stream = (
+        spark.readStream.schema(
+            T.StructType([
+                T.StructField("user_id", T.LongType()),
+                T.StructField("value", T.DoubleType()),
+            ])
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+
+    def fold(batch_df, batch_id):
+        incremental_agg_update(
+            spark, str(state), batch_df, "user_id", "value",
+            token=f"b{batch_id}",
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", str(ckpt))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.read.parquet(str(state))
+    return final.select(
+        "user_id",
+        F.col("n"),
+        F.round("sum_v", 4).alias("total"),
+        F.round(F.round("sum_v", 4) / F.col("n"), 6).alias("avg_v"),
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+    )
