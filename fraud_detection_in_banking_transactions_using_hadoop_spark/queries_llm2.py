@@ -339,3 +339,64 @@ def q_bm25_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("doc_id", "kw_score", "cos_score", "fused_score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM cross-entropy scoring: the perplexity-style quality filter
+# (CCNet et al. rank docs by LM score; a unigram model is its exact,
+# oracle-checkable core -- swap in a KenLM UDF for higher orders).
+# ---------------------------------------------------------------------------
+@register(
+    "lm_quality_score",
+    """
+    WITH train_tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE source <> 'src0'),
+    vocab AS (
+      SELECT tok, count(*) AS c FROM train_tok GROUP BY tok),
+    tot AS (SELECT sum(c) AS n, count(*) AS v FROM vocab),
+    eval_tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE source = 'src0'),
+    scored AS (
+      SELECT doc_id,
+             -ln((coalesce(c, 0) + 1.0) / (n + v + 1.0)) AS nll
+      FROM eval_tok LEFT JOIN vocab USING (tok) CROSS JOIN tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(round(nll, 8)) / count(*), 6) AS cross_entropy
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("quality", "lm", "pipeline"),
+)
+def q_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc unigram cross-entropy under a model fit on the train
+    split (add-one smoothing, OOV bucketed into the +1): low score =
+    fluent-under-the-corpus, high = junk -- the quality signal LM-based
+    filters threshold. Scale: the vocab is a broadcast dim (token
+    counts), eval scoring is one map-side join + per-doc combine.
+    Per-token NLLs are rounded(8) BEFORE the per-doc sum so the
+    cross-engine sum runs over identical addends."""
+    docs = read_table(spark, sf_dir, "documents")
+    train_tok = docs.filter(F.col("source") != "src0").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = train_tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = vocab.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    eval_tok = docs.filter(F.col("source") == "src0").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+        / (F.col("n") + F.col("v") + 1.0)
+    )
+    scored = (
+        eval_tok.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", F.round(nll, 8).alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.sum("nll") / F.count("*"), 6).alias("cross_entropy"),
+    )

@@ -29,6 +29,7 @@ ALLOWED_NESTED_LOOP = {
     "dq_referential",
     "length_drift_ks",
     "bm25_hybrid_search",
+    "lm_quality_score",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
