@@ -73,6 +73,7 @@ def registry() -> list[Query]:
         queries_llm2,
         queries_modern,
         queries_pipeline,
+        queries_pipeline2,
         queries_tpch,
         queries_tpch2,
         queries_tpch3,
