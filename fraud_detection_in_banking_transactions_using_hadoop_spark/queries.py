@@ -66,6 +66,7 @@ def registry() -> list[Query]:
         queries_ext2,
         queries_ext3,
         queries_ext4,
+        queries_ext5,
         queries_funcs,
         queries_funcs2,
         queries_graph,

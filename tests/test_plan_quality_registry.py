@@ -30,6 +30,7 @@ ALLOWED_NESTED_LOOP = {
     "length_drift_ks",
     "bm25_hybrid_search",
     "lm_quality_score",
+    "bigram_lm_score",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
