@@ -221,3 +221,52 @@ def q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.round(F.sum("nll") / F.count("*"), 6).alias("cross_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order locality: Morton-interleave two independent dimensions and
+# show that coarse z-cells cover compact (x, y) rectangles -- the
+# data-skipping layout operator (operators/layout.py), checked as exact
+# bit arithmetic in both engines.
+# ---------------------------------------------------------------------------
+def _zorder_locality_sql() -> str:
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.layout import zorder_sql
+
+    z = zorder_sql("user_id % 256", "CAST(floor(value) AS BIGINT) % 256", bits=8)
+    return f"""
+    WITH g AS (
+      SELECT user_id % 256 AS x,
+             CAST(floor(value) AS BIGINT) % 256 AS y,
+             {z} AS z
+      FROM events)
+    SELECT CAST(z >> 8 AS BIGINT) AS z_cell,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+           CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+    FROM g GROUP BY 1
+    """
+
+
+@register("zorder_locality", _zorder_locality_sql(), tags=("layout", "zorder"))
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group events by coarse z-cell (top 8 of 16 interleaved bits) and
+    report each cell's (x, y) bounding box: every cell spans at most a
+    16x16 rectangle of the 256x256 grid -- the file-level min/max
+    narrowing that makes a two-predicate scan skip ~sqrt of the files
+    instead of none. Pure expression + one aggregate; the write-side
+    twin (layout.write_zordered) range-partitions on the same key."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.layout import zorder_key
+
+    ev = read_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % 256).cast("bigint")
+    y = (F.floor("value").cast("bigint") % 256).cast("bigint")
+    g = ev.select(
+        x.alias("x"), y.alias("y"), zorder_key(x, y, bits=8).alias("z")
+    )
+    return g.groupBy(F.shiftright("z", 8).cast("bigint").alias("z_cell")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("x").cast("bigint").alias("x_min"),
+        F.max("x").cast("bigint").alias("x_max"),
+        F.min("y").cast("bigint").alias("y_min"),
+        F.max("y").cast("bigint").alias("y_max"),
+    )
