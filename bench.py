@@ -40,6 +40,9 @@ HEADLINE = [
     "pack_sequences",  # training-batch layout (per-source window cumsum)
     "contamination_check",  # train/test shingle-overlap semi-join
     "bm25_hybrid_search",  # BM25 candidates + cosine rerank
+    "pii_redaction",  # scan-bound regex scrub (map-side)
+    "line_dedup",  # duplicated-line fraction (one line-hash exchange)
+    "semantic_dedup_prune",  # SemDeDup: sign-bucketed cosine prune
 ]
 
 
