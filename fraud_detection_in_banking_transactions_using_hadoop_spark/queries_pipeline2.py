@@ -371,15 +371,16 @@ def _semantic_prune_sql(n_planes: int = 6, dim: int = 64, tau: float = 0.3) -> s
         for p in range(n_planes)
     )
     return f"""
-    WITH base AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v, {bucket_terms} AS bucket
-      FROM embeddings),
+    WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    base AS (
+      SELECT vec_id,
+             list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+             {bucket_terms} AS bucket
+      FROM raw),
     p AS (
       SELECT * FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               list_dot_product(a.v, b.v) /
-                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
-                 AS cos
+               list_dot_product(a.nv, b.nv) AS cos
         FROM base a JOIN base b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
       WHERE cos >= {tau})
@@ -400,14 +401,27 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-size independent. Recall loss vs the all-pairs baseline is
     part of the checked contract (same literal planes in the oracle)."""
     from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import (
-        cosine,
+        dot,
         signature_bucket,
     )
 
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    base = emb.select("vec_id", "v", signature_bucket(F.col("v"), 64, 6).alias("bucket"))
+    # Normalize ONCE per row (norm as its own column so the fold isn't
+    # re-evaluated inside the lambda); pairs then cost ONE dot-product
+    # fold instead of three -- the folds are interpreted (higher-order
+    # functions are CodegenFallback), so this is a direct 3x on the
+    # dominant per-pair cost. The oracle applies the identical
+    # normalize-then-dot arithmetic.
+    base = (
+        emb.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        .select(
+            "vec_id",
+            F.transform("v", lambda x: x / F.col("norm")).alias("nv"),
+            signature_bucket(F.col("v"), 64, 6).alias("bucket"),
+        )
+    )
     a = base.alias("a")
     b = base.alias("b")
     pairs = (
@@ -419,7 +433,7 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("cos"),
+            dot(F.col("a.nv"), F.col("b.nv")).alias("cos"),
         )
         .filter(F.col("cos") >= 0.3)
     )
