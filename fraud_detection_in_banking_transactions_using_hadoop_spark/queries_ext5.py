@@ -270,3 +270,175 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("y").cast("bigint").alias("y_min"),
         F.max("y").cast("bigint").alias("y_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff: reconcile two table versions with ONE full-outer
+# join on the key -- the added/removed/changed/unchanged classification
+# an incremental training-data refresh runs before shipping a delta.
+# The "new" snapshot is derived in-query (window shift + deterministic
+# price revision on orderkey % 7) -- fixture generation, same as
+# pii_redaction.
+# ---------------------------------------------------------------------------
+@register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+      WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+    new AS (
+      SELECT o_orderkey AS k,
+             o_totalprice * (CASE WHEN o_orderkey % 7 = 0 THEN 1.1 ELSE 1.0 END) AS v
+      FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'),
+    d AS (
+      SELECT CASE WHEN old.k IS NULL THEN 'added'
+                  WHEN new.k IS NULL THEN 'removed'
+                  WHEN old.v <> new.v THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             round(abs(coalesce(new.v, 0) - coalesce(old.v, 0)), 8) AS delta
+      FROM old FULL OUTER JOIN new ON old.k = new.k)
+    SELECT change_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(delta), 4) AS total_delta
+    FROM d GROUP BY change_type
+    """,
+    tags=("cdc", "join"),
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation as one shuffle: both versions hash on the
+    key, FULL OUTER sort-merge/hash join, map-side classification, tiny
+    final aggregate. At 100 TB both sides bucket/cluster on the same key
+    so the join is co-located; per-row deltas are round(8)ed before the
+    sum (parallel vs serial summation-order parity)."""
+    orders = read_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderdate") < "1999-01-01").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
+    )
+    new = orders.filter(F.col("o_orderdate") >= "1996-01-01").select(
+        F.col("o_orderkey").alias("k"),
+        (
+            F.col("o_totalprice")
+            * F.when(F.col("o_orderkey") % 7 == 0, 1.1).otherwise(1.0)
+        ).alias("v"),
+    )
+    a = old.alias("a")
+    b = new.alias("b")
+    j = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    change = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(F.col("a.v") != F.col("b.v"), "changed")
+        .otherwise("unchanged")
+    )
+    delta = F.round(
+        F.abs(F.coalesce(F.col("b.v"), F.lit(0)) - F.coalesce(F.col("a.v"), F.lit(0))), 8
+    )
+    return (
+        j.select(change.alias("change_type"), delta.alias("delta"))
+        .groupBy("change_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("delta"), 4).alias("total_delta"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill + linear interpolation: densify each user's
+# daily purchase series over the observed span and linearly interpolate
+# the missing days -- the feature-store prep for regular-cadence models.
+# ---------------------------------------------------------------------------
+@register(
+    "gap_fill_interpolate",
+    """
+    WITH daily AS (
+      SELECT user_id,
+             datediff('day', TIMESTAMP '2024-01-01', ts) AS day,
+             round(sum(value), 6) AS v
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, datediff('day', TIMESTAMP '2024-01-01', ts)),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT user_id, d0 + i AS day
+      FROM span, (SELECT unnest(range(0, 40)) AS i) idx
+      WHERE d0 + i <= d1),
+    g AS (
+      SELECT s.user_id, s.day, daily.v,
+             last_value(CASE WHEN daily.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+             last_value(CASE WHEN daily.v IS NOT NULL THEN daily.v END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(CASE WHEN daily.v IS NOT NULL THEN s.day END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+             first_value(CASE WHEN daily.v IS NOT NULL THEN daily.v END IGNORE NULLS)
+               OVER (PARTITION BY s.user_id ORDER BY s.day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.day = s.day)
+    SELECT user_id, CAST(day AS BIGINT) AS day,
+           CASE WHEN v IS NOT NULL THEN 0 ELSE 1 END AS filled,
+           round(CASE WHEN v IS NOT NULL THEN v
+                      ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END, 6) AS value
+    FROM g
+    """,
+    tags=("timeseries", "interpolation"),
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Densify + interpolate: per-user day spine (map-side sequence
+    explode off the per-user min/max), left join the actuals on
+    (user, day), then two IGNORE NULLS window passes (previous and next
+    known point) feeding the linear blend. Everything partitions on
+    user_id -- the spine join and both windows share one hash exchange;
+    interior gaps always have both endpoints (spine spans observed
+    min..max), so the blend never divides by null. Daily sums are
+    round(6)ed before interpolating so both engines blend identical
+    endpoints."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias("day"),
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(F.round(F.sum("value"), 6).alias("v"))
+    )
+    span = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = span.select(
+        "user_id", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day")
+    )
+    g = spine.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    known_val = F.when(F.col("v").isNotNull(), F.col("v"))
+    g = g.select(
+        "user_id",
+        "day",
+        "v",
+        F.last(known_day, ignorenulls=True).over(wb).alias("pd"),
+        F.last(known_val, ignorenulls=True).over(wb).alias("pv"),
+        F.first(known_day, ignorenulls=True).over(wf).alias("nd"),
+        F.first(known_val, ignorenulls=True).over(wf).alias("nv"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("day") - F.col("pd")) / (F.col("nd") - F.col("pd"))
+    )
+    return g.select(
+        "user_id",
+        F.col("day").cast("bigint").alias("day"),
+        F.when(F.col("v").isNotNull(), 0).otherwise(1).alias("filled"),
+        F.round(F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp), 6).alias("value"),
+    )
