@@ -1,0 +1,193 @@
+"""Feature-engineering batch: weighted sampling without replacement,
+leave-one-out target encoding, and association rules -- the ML-side
+operators between the corpus pipeline and the trainer.
+
+Determinism: the weighted sample replaces rand() with an md5-derived
+uniform (CLAUDE.md hash-split discipline), so the SAME rows win at any
+cluster size and in both engines; target encoding derives its mean from
+the round(4)ed group sum (the avg-parity rule) so 1-ulp parallel-sum
+noise can't flip the round(6) output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+# key = -ln(u) / w with a deterministic hash uniform u; the k SMALLEST
+# keys are the sample. One pass + a global top-k -- no rand(), no
+# multi-round rejection.
+# ---------------------------------------------------------------------------
+@register(
+    "weighted_sample_topk",
+    """
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+               / 4294967297.0 AS u
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, n_chars, -ln(u) / n_chars AS k FROM t),
+    ranked AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+             round(k, 8) AS sample_key,
+             CAST(row_number() OVER (ORDER BY k, doc_id) AS INTEGER) AS rk
+      FROM keyed)
+    SELECT doc_id, weight, sample_key, rk FROM ranked WHERE rk <= 20
+    """,
+    tags=("pipeline", "sampling", "weighted"),
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-ES weighted sample: P(doc in sample) proportional to n_chars,
+    exactly reproducible because u = md5(doc_id)-derived (rand(seed)
+    changes with partitioning; the hash never does). Plan: map-side key
+    computation + TakeOrderedAndProject for the global k-smallest -- no
+    full sort, no shuffle beyond the top-k combine. Keys are md5-spread
+    doubles, so the 1-ulp libm ln() difference can't reorder them
+    (adjacent keys differ by ~1e-3, not 1e-16)."""
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "double"
+        )
+        + 1.0
+    ) / 4294967297.0
+    k = -F.log(u) / F.col("n_chars")
+    # orderBy().limit() plans as TakeOrderedAndProject (per-partition
+    # heaps + one 20-row merge), NOT a global sort; the rank window then
+    # runs on 20 rows only.
+    top = docs.select("doc_id", "n_chars", k.alias("k")).orderBy("k", "doc_id").limit(20)
+    w = Window.orderBy(F.col("k"), F.col("doc_id"))
+    return top.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.round("k", 8).alias("sample_key"),
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding: encode a categorical column by the
+# mean of the target over the OTHER rows in its category -- the
+# standard leakage-free categorical feature.
+# ---------------------------------------------------------------------------
+@register(
+    "target_encoding",
+    """
+    WITH s AS (
+      SELECT o_orderpriority, round(sum(o_totalprice), 4) AS sm,
+             count(*) AS n
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderkey, o.o_orderpriority,
+           round(CASE WHEN n > 1 THEN (sm - o_totalprice) / (n - 1) END, 6)
+             AS prio_loo_mean
+    FROM orders o JOIN s ON s.o_orderpriority = o.o_orderpriority
+    """,
+    tags=("feature", "encoding"),
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOO mean per category: one grouped (sum, count) -- a broadcast
+    dim of |categories| rows -- joined back map-side; each row's own
+    target is subtracted so the feature never leaks its label. The
+    group sum is round(4)ed BEFORE the subtraction/division (parallel
+    summation differs from the oracle's serial sum by ~1 ulp; rounding
+    first makes both engines divide identical numerators). n=1
+    categories encode as NULL rather than a divide-by-zero."""
+    orders = read_table(spark, sf_dir, "orders")
+    s = orders.groupBy("o_orderpriority").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("sm"), F.count("*").alias("n")
+    )
+    loo = F.when(
+        F.col("n") > 1, (F.col("sm") - F.col("o_totalprice")) / (F.col("n") - 1)
+    )
+    return orders.join(F.broadcast(s), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(loo, 6).alias("prio_loo_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules (market basket): support / confidence / lift for
+# the top co-purchased part pairs. The classic retail analytics shape;
+# also the edge-weight twin of khop_reachability's graph.
+# ---------------------------------------------------------------------------
+@register(
+    "association_rules",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    nb AS (SELECT count(DISTINCT o) AS n_baskets FROM li),
+    item AS (SELECT p, count(*) AS cnt FROM li GROUP BY p),
+    pair AS (
+      SELECT a.p AS pa, b.p AS pb, count(*) AS cnt
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p),
+    ranked AS (
+      SELECT pa, pb, pair.cnt,
+             round(pair.cnt * 1.0 / n_baskets, 6) AS support,
+             round(pair.cnt * 1.0 / ia.cnt, 6) AS confidence,
+             round((pair.cnt * 1.0 / ia.cnt) / (ib.cnt * 1.0 / n_baskets), 6) AS lift,
+             CAST(row_number() OVER (ORDER BY pair.cnt DESC, pa, pb) AS INTEGER) AS rk
+      FROM pair
+      JOIN item ia ON ia.p = pair.pa
+      JOIN item ib ON ib.p = pair.pb
+      CROSS JOIN nb)
+    SELECT CAST(pa AS BIGINT) AS pa, CAST(pb AS BIGINT) AS pb,
+           CAST(cnt AS BIGINT) AS cnt, support, confidence, lift, rk
+    FROM ranked WHERE rk <= 20
+    """,
+    tags=("analytics", "basket"),
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 association rules a->b. Pair counts come from the
+    oriented basket self-join (shuffle on the order key, bounded by
+    sum(basket^2)); item counts and the basket total are broadcast
+    dims. Support/confidence/lift are ratios of exact counts -- same
+    doubles in both engines. At retail scale the pair table is the
+    hot spot: cap basket size upstream (a 10k-item basket contributes
+    5*10^7 pairs) exactly like the LSH bucket cap."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    nb = li.agg(F.count_distinct("o").alias("n_baskets"))
+    item = li.groupBy("p").agg(F.count("*").alias("cnt"))
+    a = li.alias("a")
+    b = li.alias("b")
+    pair = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    ia = item.select(F.col("p").alias("pa"), F.col("cnt").alias("cnt_a"))
+    ib = item.select(F.col("p").alias("pb"), F.col("cnt").alias("cnt_b"))
+    # Take the top-20 pairs FIRST (TakeOrderedAndProject -- per-partition
+    # heaps, no global sort), then join the tiny result against the
+    # broadcast dims and rank the 20 survivors.
+    top = pair.orderBy(F.col("cnt").desc(), "pa", "pb").limit(20)
+    w = Window.orderBy(F.col("cnt").desc(), "pa", "pb")
+    return (
+        top.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("pa").cast("bigint").alias("pa"),
+            F.col("pb").cast("bigint").alias("pb"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.round(F.col("cnt") * 1.0 / F.col("n_baskets"), 6).alias("support"),
+            F.round(F.col("cnt") * 1.0 / F.col("cnt_a"), 6).alias("confidence"),
+            F.round(
+                (F.col("cnt") * 1.0 / F.col("cnt_a"))
+                / (F.col("cnt_b") * 1.0 / F.col("n_baskets")),
+                6,
+            ).alias("lift"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+    )

@@ -31,6 +31,7 @@ ALLOWED_NESTED_LOOP = {
     "bm25_hybrid_search",
     "lm_quality_score",
     "bigram_lm_score",
+    "association_rules",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
