@@ -464,3 +464,97 @@ def q_streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_v", 4).alias("min_v"),
         F.round("max_v", 4).alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming LEFT-OUTER stream-stream join replay. Outer rows (views
+# with no purchase in the next 60 min) only emit once the watermark
+# PROVES no match can arrive, so the replay stages the events file plus
+# TWO far-future sentinel rows -- one per event_type, because each
+# filtered stream computes its own watermark -- and relies on the
+# no-data micro-batch to flush evicted state. The oracle is the plain
+# batch left join with the same time-range condition.
+# ---------------------------------------------------------------------------
+@register(
+    "streaming_outer_join_replay",
+    """
+    WITH v AS (SELECT event_id AS view_id, user_id, ts AS vt
+               FROM events WHERE event_type = 'view'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS pt
+          FROM events WHERE event_type = 'purchase')
+    SELECT v.view_id, v.user_id,
+           strftime(v.vt, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           CAST(p.purchase_id AS BIGINT) AS purchase_id,
+           strftime(p.pt, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+    FROM v LEFT JOIN p
+      ON p.user_id = v.user_id AND p.pt >= v.vt
+     AND p.pt <= v.vt + INTERVAL 60 MINUTE
+    """,
+    tags=("T1", "streaming", "join", "outer"),
+)
+def q_streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import types as T
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.session import normalize_runtime_conf
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.windows import stream_stream_join
+
+    normalize_runtime_conf(spark)
+    events_schema = read_table(spark, sf_dir, "events").schema
+    raw_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
+            for f in events_schema.fields
+        ]
+    )
+
+    stage = Path(tempfile.mkdtemp(prefix="outer_join_replay_"))
+    shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", stage / "aa_events.parquet")
+    far_ns = 1_790_000_000_000_000_000  # ~2026-09, long after the Jan-2024 data
+    sent_dir = stage / "_sent"
+    spark.createDataFrame(
+        [(-1, far_ns, -1, "view", 0.0, "{}"), (-2, far_ns, -1, "purchase", 0.0, "{}")],
+        schema=raw_schema,
+    ).coalesce(1).write.mode("overwrite").parquet(str(sent_dir))
+    part = next(p for p in sent_dir.iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(part, stage / "zz_sentinel.parquet")
+    now = os.path.getmtime(stage / "aa_events.parquet")
+    os.utime(stage / "zz_sentinel.parquet", (now + 60, now + 60))
+
+    def read_staged_stream():
+        s = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stage))
+        )
+        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    views = read_staged_stream().filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vt")
+    )
+    purchases = read_staged_stream().filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pt")
+    )
+    joined = stream_stream_join(
+        views, purchases, "user_id", "vt", "pt",
+        left_watermark="1 hour", right_watermark="1 hour", max_lag="60 minutes",
+        how="leftOuter",
+    )
+    out = joined.select(
+        "view_id", "user_id",
+        F.date_format("vt", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        F.col("purchase_id").cast("bigint").alias("purchase_id"),
+        F.date_format("pt", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+    )
+    name = "stream_outer_join_out"
+    q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name).filter(F.col("user_id") >= 0)

@@ -40,6 +40,7 @@ EAGER = {
     "streaming_windowed_counts", "streaming_join_replay",
     "streaming_dedup_replay", "streaming_stateful_replay",
     "streaming_session_replay", "streaming_incremental_agg",
+    "streaming_outer_join_replay",
     "minhash_lsh_pairs", "minhash_shingle_pairs", "dedup_clusters",
     "pagerank_sim_graph", "ann_ivf_topk", "incremental_watermark",
     "triangle_counts",
