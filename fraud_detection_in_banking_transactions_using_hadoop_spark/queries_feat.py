@@ -191,3 +191,100 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation: Pearson over average ranks, with the ranks
+# computed by the scalable two-phase spine (distinct-value counts +
+# prefix sum), not a global per-row rank window.
+# ---------------------------------------------------------------------------
+_SPEARMAN_SQL = """
+    WITH base AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+    vx AS (
+      SELECT x, count(*) AS c,
+             coalesce(sum(count(*)) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM base GROUP BY x),
+    vy AS (
+      SELECT y, count(*) AS c,
+             coalesce(sum(count(*)) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM base GROUP BY y),
+    ranked AS (
+      SELECT vx.cb + (vx.c + 1.0) / 2 AS rx,
+             vy.cb + (vy.c + 1.0) / 2 AS ry,
+             base.x, base.y
+      FROM base JOIN vx USING (x) JOIN vy USING (y))
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           round(corr(rx, ry), 6) AS spearman_rho,
+           round(corr(x, y), 6) AS pearson_r
+    FROM ranked
+"""
+
+
+@register("spearman_corr", _SPEARMAN_SQL, tags=("stats", "rank"))
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho without a global rank window: average ranks come
+    from the distinct-value spine (grouped counts + prefix sum over
+    |distinct values| rows), joined back broadcast -- so the only
+    per-row work is two map-side joins, and the single-partition step
+    is the small spine, exactly the pareto_frontier pattern. Robust to
+    the outliers that break Pearson (reported alongside)."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
+    )
+
+    def rank_spine(df: DataFrame, col: str) -> DataFrame:
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            df.groupBy(col)
+            .agg(F.count("*").alias("c"))
+            .withColumn("cb", F.coalesce(F.sum("c").over(w), F.lit(0)))
+            .select(col, (F.col("cb") + (F.col("c") + 1.0) / 2).alias(f"r_{col}"))
+        )
+
+    ranked = li.join(F.broadcast(rank_spine(li, "x")), "x").join(
+        F.broadcast(rank_spine(li, "y")), "y"
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.corr("r_x", "r_y"), 6).alias("spearman_rho"),
+        F.round(F.corr("x", "y"), 6).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed COUNT DISTINCT: Spark windows reject DISTINCT aggregates, so
+# the engine's form is size(collect_set() OVER w) -- checked against
+# DuckDB's native count(DISTINCT) OVER. Running "how many distinct
+# event types has this user produced so far".
+# ---------------------------------------------------------------------------
+@register(
+    "window_count_distinct",
+    """
+    SELECT event_id, user_id,
+           CAST(count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_types
+    FROM events
+    """,
+    tags=("window", "distinct"),
+)
+def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-user distinct count via collect_set over the ordered
+    frame (Spark has no DISTINCT window aggregates). State is the set
+    per frame -- bounded here by the event-type cardinality, which is
+    the condition for using this at scale; for high-cardinality columns
+    switch to approx HLL partials (operators/incremental)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("distinct_types"),
+    )
