@@ -288,3 +288,47 @@ def q_window_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("distinct_types"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over event sequences: P(next event type |
+# current) per user journey -- the first-order sequence model behind
+# next-action prediction and anomaly scoring on behavioral data.
+# ---------------------------------------------------------------------------
+@register(
+    "markov_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (
+      SELECT cur, nxt, count(*) AS cnt FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+    SELECT cur, nxt, CAST(cnt AS BIGINT) AS cnt,
+           round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY cur), 6) AS p
+    FROM c
+    """,
+    tags=("sequence", "markov"),
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transition probabilities: one lead() window partitioned on
+    user_id (the same exchange every per-user sequence op shares), a
+    (cur, nxt) count with map-side combine, then normalization by a
+    tiny per-cur window -- the output is |types|^2 rows regardless of
+    input size, so the whole thing reduces at combiner speed."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count("*").alias("cnt"))
+    wn = Window.partitionBy("cur")
+    return c.select(
+        "cur",
+        "nxt",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(wn), 6).alias("p"),
+    )
