@@ -332,3 +332,75 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("bigint").alias("cnt"),
         F.round(F.col("cnt") * 1.0 / F.sum("cnt").over(wn), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal raw8 tier under the hash gate: deterministic 4x4x3 images
+# are synthesized in-query (48 md5-derived bytes per doc), decoded by
+# the REAL Arrow mapInPandas numpy pipeline (operators/multimodal), and
+# the channel statistics are re-derived in the oracle from the same
+# bytes via hex arithmetic -- the binary decode path itself is
+# hash-checked cross-engine, not just pytest-exercised.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_raw8_stats",
+    """
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             md5(CAST(doc_id AS VARCHAR) || 'a')
+               || md5(CAST(doc_id AS VARCHAR) || 'b')
+               || md5(CAST(doc_id AS VARCHAR) || 'c') AS hex
+      FROM documents),
+    b AS (
+      SELECT media_id,
+             ('0x' || substr(hex, i * 2 + 1, 2))::BIGINT AS v,
+             i % 3 AS channel,
+             i // 3 AS pixel
+      FROM h, (SELECT unnest(range(0, 48)) AS i) idx),
+    px AS (
+      SELECT media_id, pixel, avg(v) AS gray FROM b GROUP BY media_id, pixel)
+    SELECT b.media_id,
+           CAST(48 AS BIGINT) AS n_bytes,
+           round(avg(CASE WHEN channel = 0 THEN v END), 6) AS mean_r,
+           round(avg(CASE WHEN channel = 1 THEN v END), 6) AS mean_g,
+           round(avg(CASE WHEN channel = 2 THEN v END), 6) AS mean_b,
+           round((SELECT stddev_pop(gray) FROM px WHERE px.media_id = b.media_id), 6)
+             AS std_gray
+    FROM b GROUP BY b.media_id
+    """,
+    tags=("multimodal", "arrow"),
+)
+def q_multimodal_raw8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract REAL binary through the sanctioned Arrow
+    slow path: bytes never shuffle (stats computed map-side in the same
+    batch that decodes), outputs are narrow doubles. The oracle rebuilds
+    each byte from the hex digest and aggregates per channel/pixel --
+    numpy's float64 means and stddev_pop match SQL's after round(6)."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import (
+        image_channel_stats,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.unhex(
+            F.concat(
+                F.md5(F.concat(d, F.lit("a"))),
+                F.md5(F.concat(d, F.lit("b"))),
+                F.md5(F.concat(d, F.lit("c"))),
+            )
+        ).alias("content"),
+        F.lit("image/raw8").alias("mime_type"),
+        F.lit(4).alias("width"),
+        F.lit(4).alias("height"),
+    )
+    stats = image_channel_stats(media)
+    return stats.select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+    )
