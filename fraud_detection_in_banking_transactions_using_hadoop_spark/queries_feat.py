@@ -404,3 +404,60 @@ def q_multimodal_raw8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_b", 6).alias("mean_b"),
         F.round("std_gray", 6).alias("std_gray"),
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA (exponential smoothing) as a WINDOW rewrite: the recursive
+# ewma_t = a*x_t + (1-a)*ewma_{t-1} unrolls to a running sum of
+# rescaled terms u_i = coef_i * x_i / r^i with one final r^t multiply.
+# The canonical "recursive state as prefix-sum" trick.
+# ---------------------------------------------------------------------------
+@register(
+    "ewma_smoothing",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS INTEGER) AS i
+      FROM events),
+    scaled AS (
+      SELECT user_id, event_id, value, i,
+             CASE WHEN i = 1 THEN value / power(0.8, 1)
+                  ELSE 0.2 * value / power(0.8, i) END AS u
+      FROM seq)
+    SELECT user_id, event_id, i,
+           round(power(0.8, i) * sum(u) OVER (
+             PARTITION BY user_id ORDER BY i
+             ROWS UNBOUNDED PRECEDING), 6) AS ewma
+    FROM scaled
+    """,
+    tags=("timeseries", "ewma"),
+)
+def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA (alpha=0.2) without recursion or a UDF: rescale
+    each value by r^-i, running-sum, multiply back by r^t -- a single
+    user_id exchange shared by the row_number and prefix-sum windows.
+    The rescaled terms span r^-n, so at ~1e4 rows per key the block
+    must be re-based (split the sequence and carry ewma across blocks);
+    here n<=~100 per user, well inside double range, and both engines
+    evaluate the identical sequential prefix sum."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_id", "value", F.row_number().over(w).cast("int").alias("i")
+    )
+    r = F.lit(0.8)
+    u = F.when(F.col("i") == 1, F.col("value") / F.pow(r, 1)).otherwise(
+        0.2 * F.col("value") / F.pow(r, F.col("i"))
+    )
+    ws = (
+        Window.partitionBy("user_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return seq.select(
+        "user_id",
+        "event_id",
+        "i",
+        F.round(F.pow(r, F.col("i")) * F.sum(u).over(ws), 6).alias("ewma"),
+    )
