@@ -461,3 +461,38 @@ def q_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "i",
         F.round(F.pow(r, F.col("i")) * F.sum(u).over(ws), 6).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL entry-point parity: ONE ANSI SQL string executed verbatim by BOTH
+# engines -- spark.sql() over the fdbts.sql catalog views, and DuckDB as
+# the oracle. Proves the SQL surface (the reference's primary interface)
+# is drivable without any dialect translation.
+# ---------------------------------------------------------------------------
+_ANSI_DASHBOARD_SQL = """
+    WITH r AS (
+      SELECT n_name, year(o_orderdate) AS yr,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, year(o_orderdate)),
+    ranked AS (
+      SELECT n_name, yr, revenue,
+             CAST(rank() OVER (PARTITION BY yr
+                               ORDER BY revenue DESC, n_name) AS INTEGER) AS rk
+      FROM r)
+    SELECT n_name, yr, revenue, rk FROM ranked WHERE rk <= 5
+"""
+
+
+@register("sql_entry_dashboard", _ANSI_DASHBOARD_SQL, tags=("sql", "catalog"))
+def q_sql_entry_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nations by revenue per year, run as a raw SQL string
+    through fdbts.sql (temp views over read_table). The registered
+    oracle is the IDENTICAL string -- zero dialect drift -- and Catalyst
+    plans it exactly like the DataFrame twin (broadcast dims, pushed
+    scans), since temp views are metadata only."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sql import sql as run_sql
+
+    return run_sql(spark, sf_dir, _ANSI_DASHBOARD_SQL)
