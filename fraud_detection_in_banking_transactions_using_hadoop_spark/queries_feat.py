@@ -496,3 +496,89 @@ def q_sql_entry_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fraud_detection_in_banking_transactions_using_hadoop_spark.sql import sql as run_sql
 
     return run_sql(spark, sf_dir, _ANSI_DASHBOARD_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP): each observation weighted by how long
+# it remained current. Integer-microsecond durations end-to-end
+# (CLAUDE.md: never subtract epoch doubles).
+# ---------------------------------------------------------------------------
+@register(
+    "twap",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             epoch_us(ts) AS t_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS nxt_us
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(nxt_us - t_us) AS BIGINT) AS total_dur_us,
+           round(sum(value * (nxt_us - t_us)) / sum(nxt_us - t_us), 6) AS twap
+    FROM seq WHERE nxt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "twap"),
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-weighted mean per user: one lead() window and one
+    aggregate on the same user_id exchange. Durations are integer
+    microseconds subtracted exactly; the weighted sum is the only
+    float arithmetic, and numerator/denominator carry the same 1-ulp
+    parallel-sum noise, which cancels in the ratio well below
+    round(6)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = F.unix_micros("ts")
+    seq = ev.select(
+        "user_id",
+        "value",
+        t.alias("t_us"),
+        F.lead(t).over(w).alias("nxt_us"),
+    ).filter(F.col("nxt_us").isNotNull())
+    dur = F.col("nxt_us") - F.col("t_us")
+    return seq.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_intervals"),
+        F.sum(dur).cast("bigint").alias("total_dur_us"),
+        F.round(F.sum(F.col("value") * dur) / F.sum(dur), 6).alias("twap"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: open/high/low/close candles per user per day -- first/last
+# via arg-extrema on the ts-monotone unique event_id (the deterministic
+# argmin/argmax discipline).
+# ---------------------------------------------------------------------------
+@register(
+    "ohlc_bars",
+    """
+    SELECT user_id,
+           CAST(datediff('day', TIMESTAMP '2024-01-01', ts) AS BIGINT) AS day,
+           arg_min(value, event_id) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, event_id) AS close,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total
+    FROM events
+    GROUP BY user_id, datediff('day', TIMESTAMP '2024-01-01', ts)
+    """,
+    tags=("timeseries", "ohlc"),
+)
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick rollup: one grouped aggregate, all six measures
+    map-side combinable (min_by/max_by partials carry (value, key)
+    pairs). Naturally partition-pruned when the table is date-
+    partitioned; open/close are deterministic because event_id is
+    unique and ts-monotone."""
+    ev = read_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    return ev.groupBy("user_id", day.cast("bigint").alias("day")).agg(
+        F.min_by("value", "event_id").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "event_id").alias("close"),
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+    )
