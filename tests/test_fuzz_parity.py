@@ -73,6 +73,11 @@ AGGS = [
      "CAST(max_by(o_custkey, o_orderkey) AS BIGINT) AS last_cust"),
     (lambda: F.round(F.covar_pop(F.col("o_totalprice"), F.col("o_custkey")), 2).alias("cv"),
      "round(covar_pop(o_totalprice, o_custkey), 2) AS cv"),
+    # late-round-3 additions: interpolated median + deterministic arg-min
+    (lambda: F.round(F.median("o_totalprice"), 4).alias("med"),
+     "round(median(o_totalprice), 4) AS med"),
+    (lambda: F.min_by("o_custkey", "o_orderkey").cast("bigint").alias("first_cust"),
+     "CAST(min_by(o_custkey, o_orderkey) AS BIGINT) AS first_cust"),
 ]
 
 
