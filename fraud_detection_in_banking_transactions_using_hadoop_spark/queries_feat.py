@@ -582,3 +582,46 @@ def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.round(F.sum("value"), 4).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) event-time windows in BATCH: Spark's native
+# window(ts, size, slide) operator, oracled by the epoch-floor
+# expansion (every event belongs to size/slide windows).
+# ---------------------------------------------------------------------------
+@register(
+    "hopping_window_counts",
+    """
+    WITH ex AS (
+      SELECT event_type, epoch_us(ts) AS e, unnest([0, 1]) AS k
+      FROM events),
+    w AS (
+      SELECT event_type,
+             (e // 10800000000 - k) * 10800000000 AS start_us
+      FROM ex)
+    SELECT strftime(make_timestamp(start_us), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM w GROUP BY start_us, event_type
+    """,
+    tags=("window", "eventtime"),
+)
+def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour windows sliding every 3 hours over event time -- the
+    batch twin of the streaming tumbling/hopping aggregates. Spark's
+    window() explodes each row into size/slide = 2 window structs
+    map-side, then one grouped count; both engines align windows to
+    the epoch in UTC. The oracle expands the same membership by
+    integer floor arithmetic on microseconds."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "6 hours", "3 hours").alias("w"), "event_type"
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
