@@ -625,3 +625,43 @@ def q_hopping_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact money arithmetic with DECIMAL: the counterpoint to the float
+# parity discipline used everywhere else -- cast to DECIMAL(18,2) at
+# the scan and every downstream sum/avg is EXACT, no round() required
+# on either engine. The right answer for financial columns at 100 TB.
+# ---------------------------------------------------------------------------
+@register(
+    "decimal_exact_sums",
+    """
+    WITH d AS (
+      SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders)
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(CAST(sum(price) AS DECIMAL(28,2)) AS VARCHAR) AS total,
+           CAST(CAST(avg(price) AS DECIMAL(28,6)) AS VARCHAR) AS avg_price,
+           CAST(CAST(max(price) - min(price) AS DECIMAL(28,2)) AS VARCHAR) AS spread
+    FROM d GROUP BY o_orderstatus
+    """,
+    tags=("decimal", "agg"),
+)
+def q_decimal_exact_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point aggregation: DECIMAL sums are associative integers
+    underneath, so parallel partial aggregation is bit-exact at any
+    partitioning -- no parallel-summation ulp drift, no round()
+    parity tricks, and both engines agree to the last cent. The cost
+    is wider aggregate state (128-bit), which is why the float queries
+    exist for the analytics path and this exists for the money path."""
+    orders = read_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    return d.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("price").cast("decimal(28,2)").cast("string").alias("total"),
+        F.avg("price").cast("decimal(28,6)").cast("string").alias("avg_price"),
+        (F.max("price") - F.min("price")).cast("decimal(28,2)").cast("string").alias("spread"),
+    )
