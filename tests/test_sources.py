@@ -250,3 +250,34 @@ def test_audited_overwrite_blocks_bad_batches(spark, tmp_path):
     assert res == {"nonempty": True, "enough_rows": True, "no_null_keys": True}
     assert spark.read.parquet(path).count() == 7
     assert not (tmp_path / "t__stage_wap").exists()
+
+
+def test_cbo_table_statistics(spark, sf_dir, tmp_path):
+    """ANALYZE TABLE feeds the cost-based optimizer: after COMPUTE
+    STATISTICS the catalog carries rowCount/sizeInBytes, which is what
+    lets Catalyst pick broadcast sides and reorder joins from DATA
+    facts instead of file-size guesses -- table-stats hygiene is a
+    100 TB operational requirement, so it's pinned here."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+
+    name = "cbo_orders_stats"
+    read_table(spark, sf_dir, "orders").limit(500).write.mode("overwrite").saveAsTable(name)
+    try:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        stats = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").filter(
+            "col_name = 'Statistics'"
+        ).collect()
+        assert stats, "no Statistics row after ANALYZE"
+        text = stats[0]["data_type"]
+        assert "500 rows" in text, text
+        # the optimizer actually sees the stats (not just the catalog):
+        # rowCount propagates into plan stats only under CBO
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        rel_stats = (
+            spark.table(name)._jdf.queryExecution().optimizedPlan().stats()
+        )
+        assert rel_stats.rowCount().isDefined(), "CBO sees no rowCount"
+        assert rel_stats.rowCount().get() == 500
+    finally:
+        spark.conf.unset("spark.sql.cbo.enabled")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
