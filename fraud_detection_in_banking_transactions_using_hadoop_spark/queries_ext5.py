@@ -389,10 +389,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Densify + interpolate: per-user day spine (map-side sequence
     explode off the per-user min/max), left join the actuals on
-    (user, day), then two IGNORE NULLS window passes (previous and next
-    known point) feeding the linear blend. Everything partitions on
-    user_id -- the spine join and both windows share one hash exchange;
-    interior gaps always have both endpoints (spine spans observed
+    (user, day) -- broadcast here, shuffle-on-user at scale -- then two
+    IGNORE NULLS window passes (previous and next known point) feeding
+    the linear blend; the two windows share one user_id exchange.
+    Interior gaps always have both endpoints (spine spans observed
     min..max), so the blend never divides by null. Daily sums are
     round(6)ed before interpolating so both engines blend identical
     endpoints."""
