@@ -67,6 +67,7 @@ def registry() -> list[Query]:
         queries_ext3,
         queries_ext4,
         queries_ext5,
+        queries_ext6,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -10,7 +10,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
-from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import (
+    convert_event_ts,
+    event_ts_literal,
+    events_stream_schema,
+    read_table,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -92,22 +97,17 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     normalize_runtime_conf(spark)
-    # Declare ts as the raw int64 nanos it is on disk (matching the
-    # nanosAsLong batch read), then convert -- handing the reader a
-    # TimestampType schema would misinterpret the nanos as micros.
-    raw_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
-            for f in read_table(spark, sf_dir, "events").schema.fields
-        ]
-    )
+    # Schema must mirror the on-disk encoding (nanos-long vs micros
+    # timestamp differs across driver testdata generations) -- derive it
+    # from a batch read and normalize ts after (readers.py helpers).
+    raw_schema = events_stream_schema(spark, sf_dir)
     # streaming file source needs a DIRECTORY; glob-filter to one table
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
     )
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = convert_event_ts(stream)
     agg = windowed_event_counts(
         stream, "ts", window="1 hour", watermark="1 hour",
         keys=["event_type"], value_col="value",
@@ -160,12 +160,7 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     normalize_runtime_conf(spark)
-    raw_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
-            for f in read_table(spark, sf_dir, "events").schema.fields
-        ]
-    )
+    raw_schema = events_stream_schema(spark, sf_dir)
 
     def read_events_stream():
         s = (
@@ -173,7 +168,7 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir.rstrip("/"))
         )
-        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return convert_event_ts(s)
 
     views = (
         read_events_stream()
@@ -342,22 +337,16 @@ def q_streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.windows import session_windows
 
     normalize_runtime_conf(spark)
-    events_schema = read_table(spark, sf_dir, "events").schema
-    raw_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
-            for f in events_schema.fields
-        ]
-    )
+    raw_schema = events_stream_schema(spark, sf_dir)
 
     stage = Path(tempfile.mkdtemp(prefix="sess_replay_"))
     shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", stage / "aa_events.parquet")
-    # sentinel: one event 60 days past the data, synthetic user -1, raw
-    # int64-nanos ts matching the on-disk layout
+    # sentinel: one event 60 days past the data, synthetic user -1, ts
+    # literal matching the on-disk layout (~2026-09 vs Jan-2024 data)
     sent_dir = stage / "_sent"
-    far_ns = 1_790_000_000_000_000_000  # ~2026-09, long after the Jan-2024 data
+    far_ts = event_ts_literal(raw_schema, 1_790_000_000)
     spark.createDataFrame(
-        [(-1, far_ns, -1, "view", 0.0, "{}")],
+        [(-1, far_ts, -1, "view", 0.0, "{}")],
         schema=raw_schema,
     ).coalesce(1).write.mode("overwrite").parquet(str(sent_dir))
     part = next(p for p in sent_dir.iterdir() if p.name.endswith(".parquet"))
@@ -371,7 +360,7 @@ def q_streaming_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(str(stage))
     )
-    stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = convert_event_ts(stream)
     sess = session_windows(
         stream, "ts", gap="2 hours", watermark="1 hour", keys=["user_id"]
     )
@@ -504,20 +493,16 @@ def q_streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.windows import stream_stream_join
 
     normalize_runtime_conf(spark)
-    events_schema = read_table(spark, sf_dir, "events").schema
-    raw_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
-            for f in events_schema.fields
-        ]
-    )
+    raw_schema = events_stream_schema(spark, sf_dir)
 
     stage = Path(tempfile.mkdtemp(prefix="outer_join_replay_"))
     shutil.copy(f"{sf_dir.rstrip('/')}/events.parquet", stage / "aa_events.parquet")
-    far_ns = 1_790_000_000_000_000_000  # ~2026-09, long after the Jan-2024 data
+    # DUAL sentinels (~2026-09, far past the Jan-2024 data): each filtered
+    # stream needs its own watermark advance
+    far_ts = event_ts_literal(raw_schema, 1_790_000_000)
     sent_dir = stage / "_sent"
     spark.createDataFrame(
-        [(-1, far_ns, -1, "view", 0.0, "{}"), (-2, far_ns, -1, "purchase", 0.0, "{}")],
+        [(-1, far_ts, -1, "view", 0.0, "{}"), (-2, far_ts, -1, "purchase", 0.0, "{}")],
         schema=raw_schema,
     ).coalesce(1).write.mode("overwrite").parquet(str(sent_dir))
     part = next(p for p in sent_dir.iterdir() if p.name.endswith(".parquet"))
@@ -532,7 +517,7 @@ def q_streaming_outer_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             .option("maxFilesPerTrigger", "1")
             .parquet(str(stage))
         )
-        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return convert_event_ts(s)
 
     views = read_staged_stream().filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vt")

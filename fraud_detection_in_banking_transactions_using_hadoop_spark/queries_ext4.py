@@ -8,7 +8,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
-from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import (
+    events_stream_schema,
+    read_table,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -34,12 +37,7 @@ def q_streaming_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fraud_detection_in_banking_transactions_using_hadoop_spark.session import normalize_runtime_conf
 
     normalize_runtime_conf(spark)
-    raw_schema = T.StructType(
-        [
-            T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, f.nullable)
-            for f in read_table(spark, sf_dir, "events").schema.fields
-        ]
-    )
+    raw_schema = events_stream_schema(spark, sf_dir)
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")

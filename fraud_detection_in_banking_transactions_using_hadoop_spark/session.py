@@ -17,9 +17,17 @@ from pyspark.sql import SparkSession
 # on a session we did not create (the driver harness owns the session in
 # `__spark_entry__.entry`).
 _RUNTIME_CONF = {
-    # The driver-generated parquet stores `events.ts` as INT64
-    # TIMESTAMP(NANOS) which Spark's reader rejects by default.
+    # Older driver testdata stored `events.ts` as INT64 TIMESTAMP(NANOS)
+    # which Spark's reader rejects by default (readers.py then converts
+    # the long via integer div 1000).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Newer driver testdata stores `events.ts` as TIMESTAMP(MICROS) with
+    # isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ. Our
+    # whole surface (unix_micros, watermarks, window(ts, ...)) is typed
+    # on TimestampType, so read NTZ parquet as LTZ; with the session
+    # zone pinned to UTC below this is value-identical to what the
+    # nanos->micros path produced, and matches DuckDB's naive-UTC read.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # DuckDB timestamps are UTC-naive; pin the session zone so
     # date_format()/casts agree with the oracle.
     "spark.sql.session.timeZone": "UTC",

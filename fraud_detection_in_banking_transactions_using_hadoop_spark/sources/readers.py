@@ -22,9 +22,14 @@ _NANO_TS_COLUMNS = {"events": ("ts",)}
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table, normalizing timestamp encodings.
 
-    `events.ts` arrives as int64 nanoseconds -> TimestampType (micros,
-    truncated exactly like DuckDB truncates nanos). Other tables'
-    timestamps arrive as timestamp_ntz and pass through unchanged.
+    `events.ts` has shipped in two encodings across driver testdata
+    generations: int64 nanoseconds (read as LongType under nanosAsLong,
+    converted here via integer div -- micros, truncated exactly like
+    DuckDB truncates nanos) and TIMESTAMP(MICROS) NTZ (read directly as
+    TimestampType because inferTimestampNTZ is disabled in
+    normalize_runtime_conf; the UTC session zone makes that
+    value-identical to DuckDB's naive read). Either way callers see
+    TimestampType.
     """
     normalize_runtime_conf(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
@@ -34,6 +39,43 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # precision as doubles.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
+
+
+def events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Schema to hand `readStream` for the events table, matching the
+    ON-DISK encoding. The driver has shipped two layouts: INT64
+    TIMESTAMP(NANOS), which the batch reader surfaces as LongType under
+    nanosAsLong (convert with `convert_event_ts`), and TIMESTAMP(MICROS),
+    which surfaces as TimestampType directly (inferTimestampNTZ is off in
+    `_RUNTIME_CONF`). Streaming file sources take the schema on faith --
+    handing the wrong one silently misreads the int64 payload (nanos as
+    micros, or micros as raw longs), so ALWAYS derive it from a batch read
+    of the same file instead of hard-coding."""
+    normalize_runtime_conf(spark)
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").schema
+
+
+def convert_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an events `ts` column read with `events_stream_schema` to
+    TimestampType, whatever the disk encoding was."""
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):  # int64 nanos under nanosAsLong
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, T.TimestampNTZType):
+        # session zone is pinned UTC, so the cast is value-identical
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def event_ts_literal(schema: T.StructType, epoch_seconds: int, col: str = "ts"):
+    """A python literal for `ts` valid under `events_stream_schema` output
+    (sentinel-row staging writes rows with createDataFrame against that
+    schema): int nanos for the nanos layout, naive-UTC datetime otherwise."""
+    import datetime as _dt
+
+    if isinstance(schema[col].dataType, T.LongType):
+        return epoch_seconds * 1_000_000_000
+    return _dt.datetime.fromtimestamp(epoch_seconds, _dt.timezone.utc).replace(tzinfo=None)
 
 
 def read_csv_table(
