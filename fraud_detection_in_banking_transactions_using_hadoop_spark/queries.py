@@ -68,6 +68,7 @@ def registry() -> list[Query]:
         queries_ext4,
         queries_ext5,
         queries_ext6,
+        queries_ext7,
         queries_feat,
         queries_funcs,
         queries_funcs2,
