@@ -69,6 +69,7 @@ def registry() -> list[Query]:
         queries_ext5,
         queries_ext6,
         queries_ext7,
+        queries_ext8,
         queries_feat,
         queries_funcs,
         queries_funcs2,

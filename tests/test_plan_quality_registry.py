@@ -32,6 +32,9 @@ ALLOWED_NESTED_LOOP = {
     "lm_quality_score",
     "bigram_lm_score",
     "association_rules",
+    # broadcast range join against a CONSTANT 10-row percentile edge
+    # table -- the intended scale path for binning (no global sort)
+    "percentile_bucket_join",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
