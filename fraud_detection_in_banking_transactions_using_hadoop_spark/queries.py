@@ -70,6 +70,7 @@ def registry() -> list[Query]:
         queries_ext6,
         queries_ext7,
         queries_ext8,
+        queries_ext9,
         queries_feat,
         queries_funcs,
         queries_funcs2,

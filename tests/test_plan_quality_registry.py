@@ -35,6 +35,8 @@ ALLOWED_NESTED_LOOP = {
     # broadcast range join against a CONSTANT 10-row percentile edge
     # table -- the intended scale path for binning (no global sort)
     "percentile_bucket_join",
+    # 1-row totals broadcast (n_uni/n_big scalars)
+    "pmi_collocations",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
