@@ -43,6 +43,11 @@ HEADLINE = [
     "pii_redaction",  # scan-bound regex scrub (map-side)
     "line_dedup",  # duplicated-line fraction (one line-hash exchange)
     "semantic_dedup_prune",  # SemDeDup: sign-bucketed cosine prune
+    "heavy_hitters_cms",  # count-min sketch build + broadcast probe
+    "grid_neighbor_pairs",  # fixed-radius spatial grid equi-join
+    "interval_overlap_pairs",  # month-bucketed interval-interval join
+    "point_in_time_join",  # leakage-free PIT feature lookup (union-window)
+    "pattern_match_sequences",  # per-user motif counts (regex over event strings)
 ]
 
 

