@@ -71,6 +71,7 @@ def registry() -> list[Query]:
         queries_ext7,
         queries_ext8,
         queries_ext9,
+        queries_ext10,
         queries_feat,
         queries_funcs,
         queries_funcs2,

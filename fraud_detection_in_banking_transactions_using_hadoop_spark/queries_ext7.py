@@ -211,7 +211,10 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l_suppkey AS supp, l_partkey AS part,
              l_orderkey * 100 + l_linenumber AS line_key,
              CAST(l_shipdate AS DATE) AS start_d,
-             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS end_d
+             CAST(l_shipdate AS DATE) + CAST(l_quantity AS INTEGER) AS end_d,
+             row_number() OVER (PARTITION BY l_suppkey, l_partkey
+                                ORDER BY l_shipdate, l_quantity,
+                                         l_orderkey * 100 + l_linenumber) AS rn
       FROM lineitem
     )
     SELECT a.supp AS supp, a.part AS part,
@@ -219,7 +222,7 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_diff('day', greatest(a.start_d, b.start_d),
                           least(a.end_d, b.end_d)) + 1 AS BIGINT) AS overlap_days
     FROM iv a JOIN iv b
-      ON a.supp = b.supp AND a.part = b.part AND a.line_key < b.line_key
+      ON a.supp = b.supp AND a.part = b.part AND a.rn < b.rn
      AND a.start_d <= b.end_d AND b.start_d <= a.end_d
     """,
     tags=("interval-join", "J1", "bucketing"),
@@ -236,6 +239,11 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     group^2 (the oracle deliberately runs the quadratic form, so the
     hash gate verifies the rewrite)."""
     li = read_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) COLLIDES in the testdata, so the pair
+    # dedupe key is a within-group row_number over a total order
+    wrn = Window.partitionBy("l_suppkey", "l_partkey").orderBy(
+        "l_shipdate", "l_quantity", F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    )
     iv = li.select(
         F.col("l_suppkey").alias("supp"),
         F.col("l_partkey").alias("part"),
@@ -244,6 +252,7 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add(F.col("l_shipdate").cast("date"), F.col("l_quantity").cast("int")).alias(
             "end_d"
         ),
+        F.row_number().over(wrn).alias("rn"),
     )
     exploded = iv.select(
         "*",
@@ -264,7 +273,7 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.supp") == F.col("b.supp"))
             & (F.col("a.part") == F.col("b.part"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.line_key") < F.col("b.line_key")),
+            & (F.col("a.rn") < F.col("b.rn")),
         )
         .where(
             (F.col("a.start_d") <= F.col("b.end_d"))

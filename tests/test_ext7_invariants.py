@@ -80,19 +80,19 @@ def test_interval_overlap_matches_brute_force(spark, sf_dir):
         )
         .toPandas()
     )
-    brute = set()
+    brute = []
     days = {}
     for (_, _), grp in iv.groupby(["supp", "part"]):
-        rows = list(grp.itertuples())
+        # positional pairs over the query's total order (shipdate,
+        # quantity ~ end date, key) -- line keys COLLIDE in this
+        # testdata, so a key-based a<b sweep would mishandle twin rows
+        rows = sorted(grp.itertuples(), key=lambda r: (r.s, r.e, r.key))
         for i, a in enumerate(rows):
             for b in rows[i + 1 :]:
-                lo, hi = (a, b) if a.key < b.key else (b, a)
-                if lo.s <= hi.e and hi.s <= lo.e:
-                    brute.add((lo.key, hi.key))
-                    days[(lo.key, hi.key)] = (
-                        min(lo.e, hi.e) - max(lo.s, hi.s)
-                    ).days + 1
-    assert set(zip(got["key_a"], got["key_b"])) == brute
+                if a.s <= b.e and b.s <= a.e:
+                    brute.append((a.key, b.key))
+                    days[(a.key, b.key)] = (min(a.e, b.e) - max(a.s, b.s)).days + 1
+    assert sorted(zip(got["key_a"], got["key_b"])) == sorted(brute)
     assert all(days[(r.key_a, r.key_b)] == r.overlap_days for r in got.itertuples())
     # the bucket-ownership rewrite must not duplicate any pair
     assert len(got) == len(brute)

@@ -37,6 +37,8 @@ ALLOWED_NESTED_LOOP = {
     "percentile_bucket_join",
     # 1-row totals broadcast (n_uni/n_big scalars)
     "pmi_collocations",
+    # 1-row (slope, intercept) params broadcast onto the holdout
+    "forecast_backtest_mape",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
