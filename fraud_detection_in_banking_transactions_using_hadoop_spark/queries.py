@@ -72,6 +72,7 @@ def registry() -> list[Query]:
         queries_ext8,
         queries_ext9,
         queries_ext10,
+        queries_ext11,
         queries_feat,
         queries_funcs,
         queries_funcs2,
