@@ -74,6 +74,7 @@ def registry() -> list[Query]:
         queries_ext10,
         queries_ext11,
         queries_ext12,
+        queries_ext13,
         queries_feat,
         queries_funcs,
         queries_funcs2,

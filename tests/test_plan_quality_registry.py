@@ -50,7 +50,7 @@ EAGER = {
     "streaming_outer_join_replay",
     "minhash_lsh_pairs", "minhash_shingle_pairs", "dedup_clusters",
     "pagerank_sim_graph", "ann_ivf_topk", "incremental_watermark",
-    "triangle_counts", "label_propagation",
+    "triangle_counts", "label_propagation", "min_plus_shortest_paths",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
