@@ -39,6 +39,8 @@ ALLOWED_NESTED_LOOP = {
     "pmi_collocations",
     # 1-row (slope, intercept) params broadcast onto the holdout
     "forecast_backtest_mape",
+    # constant 100-probe broadcast cross join (ann_cosine baseline family)
+    "knn_loo_accuracy",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
