@@ -76,6 +76,7 @@ def registry() -> list[Query]:
         queries_ext12,
         queries_ext13,
         queries_ext14,
+        queries_ext15,
         queries_feat,
         queries_funcs,
         queries_funcs2,

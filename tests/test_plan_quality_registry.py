@@ -41,6 +41,9 @@ ALLOWED_NESTED_LOOP = {
     "forecast_backtest_mape",
     # constant 100-probe broadcast cross join (ann_cosine baseline family)
     "knn_loo_accuracy",
+    # 1-row scalar broadcasts (theta / n_parts)
+    "cuped_adjustment",
+    "negative_sampling",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
@@ -53,6 +56,7 @@ EAGER = {
     "minhash_lsh_pairs", "minhash_shingle_pairs", "dedup_clusters",
     "pagerank_sim_graph", "ann_ivf_topk", "incremental_watermark",
     "triangle_counts", "label_propagation", "min_plus_shortest_paths",
+    "streaming_cms_replay",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
