@@ -77,6 +77,7 @@ def registry() -> list[Query]:
         queries_ext13,
         queries_ext14,
         queries_ext15,
+        queries_ext16,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -41,9 +41,11 @@ ALLOWED_NESTED_LOOP = {
     "forecast_backtest_mape",
     # constant 100-probe broadcast cross join (ann_cosine baseline family)
     "knn_loo_accuracy",
-    # 1-row scalar broadcasts (theta / n_parts)
+    # 1-row scalar broadcasts (theta / n_parts / n_users / p95)
     "cuped_adjustment",
     "negative_sampling",
+    "ltv_curve",
+    "expected_shortfall",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
