@@ -78,6 +78,7 @@ def registry() -> list[Query]:
         queries_ext14,
         queries_ext15,
         queries_ext16,
+        queries_ext17,
         queries_feat,
         queries_funcs,
         queries_funcs2,
