@@ -79,6 +79,7 @@ def registry() -> list[Query]:
         queries_ext15,
         queries_ext16,
         queries_ext17,
+        queries_ext18,
         queries_feat,
         queries_funcs,
         queries_funcs2,

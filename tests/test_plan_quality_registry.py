@@ -46,6 +46,8 @@ ALLOWED_NESTED_LOOP = {
     "negative_sampling",
     "ltv_curve",
     "expected_shortfall",
+    # 1-row median broadcast
+    "runs_test_randomness",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
