@@ -48,6 +48,8 @@ HEADLINE = [
     "interval_overlap_pairs",  # month-bucketed interval-interval join
     "point_in_time_join",  # leakage-free PIT feature lookup (union-window)
     "pattern_match_sequences",  # per-user motif counts (regex over event strings)
+    "quantile_binning",  # distributed exact ntile (operators/rank two-level)
+    "gini_coefficient",  # distributed global rank + prefix identity
 ]
 
 

@@ -28,6 +28,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import (
+    ntile_from_rank,
+    with_global_rank,
+)
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -379,15 +383,29 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-evaluation lift table with `value` standing in as the
-    model score and purchase as the positive label: global desc ntile
-    (unique event_id tiebreak), per-decile exact counts, then lift and
-    cumulative gains as windows over the 10-row summary. At 100 TB the
-    ntile sort gives way to percentile_bucket_join's broadcast cuts;
-    the decile math is unchanged."""
+    model score and purchase as the positive label: exact desc-ntile
+    deciles (unique event_id tiebreak) via the distributed global rank
+    (operators/rank -- approx-percentile bucket edges, per-bucket
+    offsets, partitioned row_number; ties on value share a bucket so
+    the event_id tiebreak resolves inside one partition), per-decile
+    exact counts, then lift and cumulative gains as windows over the
+    10-row summary."""
     ev = read_table(spark, sf_dir, "events")
-    scored = ev.select(
+    base = ev.select(
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("label"),
-        F.ntile(10).over(Window.orderBy(F.desc("value"), "event_id")).alias("decile"),
+        "value",
+        "event_id",
+    )
+    gr = with_global_rank(
+        base,
+        "value",
+        [F.col("value").desc(), F.col("event_id").asc()],
+        ascending=False,
+        rank_col="_i",
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    scored = gr.crossJoin(F.broadcast(n_row)).select(
+        "label", ntile_from_rank(F.col("_i"), F.col("_n"), 10).alias("decile")
     )
     per = scored.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -27,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import (
+    ntile_from_rank,
+    with_global_rank,
+)
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -57,22 +61,23 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers 
     tags=("inequality", "gini", "exact-arith"),
 )
 def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue inequality in one sort: for rank-ordered values the mean
-    absolute pairwise difference collapses to the prefix identity
-    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), so the O(n^2)
-    definition becomes rank + two exact integer sums (the pytest
-    checks the identity against the literal pairwise double loop).
-    Rank gets the unique o_orderkey tiebreak; equal values contribute
-    identically under either tie order, so the statistic is
-    order-stable."""
+    """Revenue inequality in one DISTRIBUTED sort: for rank-ordered
+    values the mean absolute pairwise difference collapses to the
+    prefix identity G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)), so
+    the O(n^2) definition becomes rank + two exact integer sums (the
+    pytest checks the identity against the literal pairwise double
+    loop). The rank comes from operators/rank.with_global_rank --
+    bucketed two-level row_number, no single-partition window -- with
+    the unique o_orderkey tiebreak; equal values contribute identically
+    under either tie order, so the statistic is order-stable."""
     orders = read_table(spark, sf_dir, "orders")
     dec = "decimal(38,0)"
-    s = orders.select(
+    base = orders.select(
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("x"),
-        F.row_number()
-        .over(Window.orderBy(F.round(F.col("o_totalprice") * 100, 0), "o_orderkey"))
-        .cast("bigint")
-        .alias("i"),
+        "o_orderkey",
+    )
+    s = with_global_rank(
+        base, "x", [F.col("x").asc(), F.col("o_orderkey").asc()], rank_col="i"
     )
     agg = s.agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
@@ -118,14 +123,21 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lorenz curve points: the poorest 10%..100% of orders versus
     their cumulative share of revenue (the curve whose gap to the
-    diagonal IS the Gini). Ntile + exact per-decile cent sums + one
-    10-row cumulative window."""
+    diagonal IS the Gini). Decile assignment is the closed-form NTILE
+    over the distributed global rank (operators/rank) -- no
+    single-partition window; the 1-row total-count broadcast and the
+    10-row cumulative window are the only non-distributed pieces."""
     orders = read_table(spark, sf_dir, "orders")
-    s = orders.select(
+    base = orders.select(
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("x"),
-        F.ntile(10)
-        .over(Window.orderBy(F.round(F.col("o_totalprice") * 100, 0), "o_orderkey"))
-        .alias("decile"),
+        "o_orderkey",
+    )
+    ranked = with_global_rank(
+        base, "x", [F.col("x").asc(), F.col("o_orderkey").asc()], rank_col="i"
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    s = ranked.crossJoin(F.broadcast(n_row)).select(
+        "x", ntile_from_rank(F.col("i"), F.col("_n"), 10).alias("decile")
     )
     per = s.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -21,9 +21,10 @@ Scale notes:
   bucket owns each pair: no distinct needed, no n^2. The DuckDB oracle
   runs the literal quadratic within-group join, so the rewrite itself
   is what the hash gate checks.
-- Quantile binning is one global ntile window (the series is |rows| of
-  a single table -- at 100 TB you'd approx_percentile the cuts first)
-  plus a combine-enabled per-bin aggregate.
+- Quantile binning keeps exact ntile semantics but ranks through
+  operators/rank.with_global_rank (approx-percentile bucket edges +
+  per-bucket offsets + partitioned row_number) -- no single-partition
+  window at any scale.
 - Pattern matching encodes each user's ordered event-type initials as
   one string (sort_array(collect_list(struct)) -- deterministic, no
   window shuffle) and counts regex matches; both engines use leftmost
@@ -35,6 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import (
+    ntile_from_rank,
+    with_global_rank,
+)
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -320,17 +325,23 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("binning", "feature", "W2"),
 )
 def q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile bucketizer: global ntile with the unique o_orderkey
-    tiebreak (CLAUDE.md window rule), then per-bin count/min/max/mean.
-    Mean derives from the exact integer cent sum, divided once and
-    rounded per the float-parity rule. At 100 TB the exact global sort
-    becomes approx_percentile cut points + a width_bucket-style join;
-    this is the exact-tie-stable reference semantics."""
+    """Decile bucketizer with EXACT ntile semantics but no global sort:
+    operators/rank.with_global_rank buckets by approx-percentile edges,
+    prefix-sums the B bucket counts, and row_numbers within buckets
+    (o_orderkey tiebreak, CLAUDE.md window rule); the closed-form NTILE
+    maps ranks to deciles. Per-bin mean derives from the exact integer
+    cent sum, divided once and rounded per the float-parity rule."""
     orders = read_table(spark, sf_dir, "orders")
-    ranked = orders.select(
-        "o_orderkey",
+    base = orders.select("o_orderkey", "o_totalprice")
+    gr = with_global_rank(
+        base,
         "o_totalprice",
-        F.ntile(10).over(Window.orderBy("o_totalprice", "o_orderkey")).alias("decile"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_col="_i",
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    ranked = gr.crossJoin(F.broadcast(n_row)).select(
+        "o_totalprice", ntile_from_rank(F.col("_i"), F.col("_n"), 10).alias("decile")
     )
     return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -48,6 +48,55 @@ ALLOWED_NESTED_LOOP = {
     "expected_shortfall",
     # 1-row median broadcast
     "runs_test_randomness",
+    # operators/rank.with_global_rank: broadcast range join against the
+    # CONSTANT B-row approx-percentile edge table (+ 1-row total-count
+    # broadcast) -- the distributed exact-ntile scale path
+    "gini_coefficient",
+    "lorenz_curve",
+    "quantile_binning",
+    "lift_gains_table",
+}
+
+# Queries allowed to contain an ORDERED UNPARTITIONED window node
+# (`Window.orderBy` with no partitionBy -- a single-partition sort).
+# Every entry must justify why its window input is bounded: windows over
+# raw fact tables are exactly the 100 TB scale-killer this gate exists
+# to block (use operators/rank.with_global_rank instead). Keyed
+# name -> justification (input table the window runs over).
+ALLOWED_GLOBAL_WINDOW = {
+    # operators/rank two-level ranking: B-row bucket-count offset table
+    # (+ 10-row decile summary for the ntile queries)
+    "gini_coefficient": "B-row bucket offsets",
+    "lorenz_curve": "B-row bucket offsets + 10-row decile summary",
+    "quantile_binning": "B-row bucket offsets",
+    "lift_gains_table": "B-row bucket offsets + 10-row decile summary",
+    # calendar-bounded daily/weekly aggregate series (|distinct days|)
+    "autocorr_daily_revenue": "daily revenue series",
+    "cusum_drift_detection": "daily revenue series",
+    "rolling_correlation": "daily series",
+    "runs_test_randomness": "daily revenue series",
+    "seasonal_decompose": "daily revenue series",
+    "new_vs_returning": "daily series",
+    "stickiness_dau_wau": "daily series",
+    "ltv_curve": "weekly cohort series",
+    "kaplan_meier_survival": "distinct event-time (day) spine",
+    # distinct-value spines (bounded by the value DOMAIN, not row count)
+    "mann_whitney_u": "distinct cent-value spine",
+    "spearman_corr": "distinct cent-value spine",
+    "length_drift_ks": "distinct length spine",
+    # small-dimension summaries
+    "largest_remainder_allocation": "25-row nation seat table",
+    "mixture_schedule": "per-(source,step) schedule table",
+    "rle_compressibility": "per-column run tables (grouped runs)",
+    # entity-level rankings over aggregated (not fact-grain) tables;
+    # at extreme scale these migrate to with_global_rank on the
+    # aggregate -- documented tradeoff, not an accident
+    "association_rules": "item-pair support table",
+    "bm25_hybrid_search": "per-query candidate set (term-filtered)",
+    "pareto_80_20": "per-part revenue aggregate",
+    "pareto_frontier": "per-part skyline candidates",
+    "weighted_sample_topk": "per-doc weighted-key table",
+    "zipf_powerlaw_fit": "distinct-frequency rank table",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
@@ -66,6 +115,41 @@ EAGER = {
 _LAZY = [q for q in registry() if q.name not in EAGER]
 
 
+def _bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a physical-plan node argument string."""
+    groups, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def _unpartitioned_windows(plan: str) -> list[str]:
+    """Ordered Window nodes with an empty partition spec: the node
+    prints `Window [funcs], [part], [order]` when partitioned but
+    `Window [funcs], [order]` when the whole input moves to ONE task
+    (the order group is recognizable by its ASC/DESC markers)."""
+    hits = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" +-:*()")
+        if not stripped.startswith("Window "):
+            continue
+        groups = _bracket_groups(stripped[len("Window ") :])
+        if len(groups) == 2 and ("ASC" in groups[1] or "DESC" in groups[1]):
+            hits.append(groups[1][:80])
+    return hits
+
+
 @pytest.mark.parametrize("q", _LAZY, ids=[q.name for q in _LAZY])
 def test_no_accidental_cartesian_or_bnlj(q, spark, sf_dir):
     plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
@@ -73,4 +157,11 @@ def test_no_accidental_cartesian_or_bnlj(q, spark, sf_dir):
     if q.name not in ALLOWED_NESTED_LOOP:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{q.name} plans a broadcast nested-loop join"
+        )
+    if q.name not in ALLOWED_GLOBAL_WINDOW:
+        wins = _unpartitioned_windows(plan)
+        assert not wins, (
+            f"{q.name} plans an unpartitioned (single-task) window over "
+            f"{wins}; rewrite on operators/rank.with_global_rank or add a "
+            f"bounded-input justification to ALLOWED_GLOBAL_WINDOW"
         )
