@@ -178,12 +178,23 @@ def ivf_cosine_topk(
 
     @pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:
-        cm = np.asarray(C_list)
-        out = np.empty(len(vecs), dtype=np.int32)
-        for i, v in enumerate(vecs):
-            dv = np.asarray(v, dtype=np.float64)
-            out[i] = ((cm - dv) ** 2).sum(1).argmin()
-        return pd.Series(out)
+        # vectorized over the Arrow batch: k passes of batch-wide
+        # (X - c_j)^2 row sums instead of a per-row Python loop. The
+        # elementwise ops and the dim-axis reduction order are identical
+        # to the scalar formulation, so assignments (incl. argmin
+        # tie-breaks via strict <) are bit-stable and batch-independent.
+        if len(vecs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        cm = np.asarray(C_list, dtype=np.float64)  # (k, dim)
+        X = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
+        best = np.full(len(X), np.inf)
+        idx = np.zeros(len(X), dtype=np.int32)
+        for j in range(len(cm)):
+            d = ((X - cm[j]) ** 2).sum(1)
+            upd = d < best
+            best[upd] = d[upd]
+            idx[upd] = j
+        return pd.Series(idx)
 
     assigned = base_v.withColumn("_cell", _assign(F.col(vec_col)))
 

@@ -422,6 +422,16 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             signature_bucket(F.col("v"), 64, 6).alias("bucket"),
         )
     )
+    # base feeds BOTH sides of the self-join and its lineage is the
+    # expensive part (normalize fold + 6 interpreted plane dots per
+    # row); without a cut Spark recomputes it twice -- the CLAUDE.md
+    # LSH-self-join gotcha. Same persist/checkpoint/unpersist contract
+    # as lsh_candidate_pairs: persist base, materialize the (small)
+    # result via eager localCheckpoint, release the blocks. The query
+    # is therefore EAGER in the plan-quality gate.
+    from pyspark import StorageLevel
+
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
     a = base.alias("a")
     b = base.alias("b")
     pairs = (
@@ -437,7 +447,9 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= 0.3)
     )
-    return pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
+    out = pairs.groupBy(F.col("id_b").alias("vec_id")).agg(
         F.min("id_a").cast("bigint").alias("canonical_id"),
         F.round(F.min_by("cos", "id_a"), 6).alias("cosine"),
-    )
+    ).localCheckpoint(eager=True)
+    base.unpersist()
+    return out

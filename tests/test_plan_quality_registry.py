@@ -110,6 +110,9 @@ EAGER = {
     "pagerank_sim_graph", "ann_ivf_topk", "incremental_watermark",
     "triangle_counts", "label_propagation", "min_plus_shortest_paths",
     "streaming_cms_replay",
+    # eager localCheckpoint of the sign-bucket table (feeds both sides
+    # of the self-join; lineage would otherwise compute twice)
+    "semantic_dedup_prune",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
