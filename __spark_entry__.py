@@ -44,5 +44,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; omitted => rows-only check."""
-    return {q.name: q.sql for q in registry() if q.sql is not None}
+    """DuckDB-equivalent SQL per query; omitted => rows-only check.
+
+    Callable SQL entries (data-dependent literals, e.g. the IVF
+    centroids) are resolved against /root/testdata/sf0.01 -- the scale
+    the driver's compare runs at. tools/oracle_check.py regenerates
+    them for whatever sf_dir it is pointed at.
+    """
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import resolve_sql
+
+    gate_sf = "/root/testdata/sf0.01"
+    return {
+        q.name: resolve_sql(q, gate_sf) for q in registry() if q.sql is not None
+    }

@@ -87,6 +87,42 @@ def signature_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return out
 
 
+def ivf_train_bucket_count(n: int, n_cells: int, train_sample_per_cell: int) -> int | None:
+    """Deterministic md5-bucket sampling parameter shared by the Spark
+    fit and the DuckDB oracle generator: None => train on everything,
+    else keep ids whose md5-bucket (first 8 hex chars mod n_buckets)
+    is 0."""
+    target = train_sample_per_cell * n_cells
+    if n <= target:
+        return None
+    return max(2, n // target)
+
+
+def fit_ivf_quantizer(
+    X: np.ndarray, n_cells: int, seed: int = 42, max_iter: int = 10
+) -> np.ndarray:
+    """Driver-side Lloyd on the bounded training sample (FAISS split).
+    Deterministic: seeded init, fixed iteration count, standard
+    empty-cell reseed on the worst-served point. Shared verbatim by
+    ivf_cosine_topk and the ann_ivf_topk oracle-SQL generator so both
+    engines inline IDENTICAL centroid literals."""
+    k_eff = min(n_cells, len(X))
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=k_eff, replace=False)]
+    for _ in range(max_iter):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        newC = np.empty_like(C)
+        for j in range(k_eff):
+            members = X[a == j]
+            newC[j] = members.mean(0) if len(members) else X[d2.min(1).argmax()]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+    return C
+
+
 def ivf_cosine_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -139,12 +175,11 @@ def ivf_cosine_topk(
 
     base_v = base.select(id_col, vec_col)
     n = base_v.count()
-    target = train_sample_per_cell * n_cells
+    n_buckets = ivf_train_bucket_count(n, n_cells, train_sample_per_cell)
     train = base_v
-    if n > target:
+    if n_buckets is not None:
         # keep ~target rows: md5-bucket the id into [0, n/target) and
         # take bucket 0 -- deterministic under repartitioning
-        n_buckets = max(2, n // target)
         bucket = (
             F.conv(
                 F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
@@ -156,33 +191,21 @@ def ivf_cosine_topk(
     # ---- driver-side Lloyd on the bounded sample (sorted for determinism)
     pdf = train.sort(id_col).toPandas()
     X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
-    k_eff = min(n_cells, len(X))
-    rng = np.random.RandomState(seed)
-    C = X[rng.choice(len(X), size=k_eff, replace=False)]
-    for _ in range(max_iter):
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
-        a = d2.argmin(1)
-        newC = np.empty_like(C)
-        for j in range(k_eff):
-            members = X[a == j]
-            # empty cell: reseed on the point worst-served by current
-            # centroids (standard Lloyd repair, deterministic)
-            newC[j] = members.mean(0) if len(members) else X[d2.min(1).argmax()]
-        if np.allclose(newC, C):
-            C = newC
-            break
-        C = newC
+    C = fit_ivf_quantizer(X, n_cells, seed, max_iter)
 
     # ---- distributed assignment: one map pass, numpy argmin per Arrow batch
     C_list = C.tolist()
 
     @pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:
-        # vectorized over the Arrow batch: k passes of batch-wide
-        # (X - c_j)^2 row sums instead of a per-row Python loop. The
-        # elementwise ops and the dim-axis reduction order are identical
-        # to the scalar formulation, so assignments (incl. argmin
-        # tie-breaks via strict <) are bit-stable and batch-independent.
+        # vectorized over the Arrow batch: k x dim passes of batch-wide
+        # elementwise ops instead of a per-row Python loop. The squared
+        # distance accumulates SEQUENTIALLY over the dim axis
+        # (0 + z1 + z2 + ...), the exact left-to-right chain the DuckDB
+        # oracle's generated SQL evaluates -- bit-identical d2 on both
+        # engines, so cell assignments (incl. argmin tie-breaks via
+        # strict <, i.e. lowest cell id wins) can never diverge on
+        # near-ties, batch composition notwithstanding.
         if len(vecs) == 0:
             return pd.Series(np.empty(0, dtype=np.int32))
         cm = np.asarray(C_list, dtype=np.float64)  # (k, dim)
@@ -190,7 +213,10 @@ def ivf_cosine_topk(
         best = np.full(len(X), np.inf)
         idx = np.zeros(len(X), dtype=np.int32)
         for j in range(len(cm)):
-            d = ((X - cm[j]) ** 2).sum(1)
+            d = np.zeros(len(X))
+            for t in range(X.shape[1]):
+                diff = X[:, t] - cm[j, t]
+                d += diff * diff
             upd = d < best
             best[upd] = d[upd]
             idx[upd] = j
@@ -199,7 +225,7 @@ def ivf_cosine_topk(
     assigned = base_v.withColumn("_cell", _assign(F.col(vec_col)))
 
     # Rank each query's cells by centroid distance; probe the top n_probe.
-    centroids = [(i, [float(x) for x in C[i]]) for i in range(k_eff)]
+    centroids = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
     cent_df = queries.sparkSession.createDataFrame(centroids, ["_cell", "_centroid"]).select(
         "_cell", F.col("_centroid").cast("array<double>").alias("_centroid")
     )

@@ -42,8 +42,17 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers 
 class Query:
     name: str
     fn: Callable[[SparkSession, str], DataFrame]
-    sql: Optional[str]  # DuckDB oracle; None => non-SQL-expressible (rows-only check)
+    # DuckDB oracle; None => non-SQL-expressible (rows-only check).
+    # A CALLABLE means the SQL embeds data-dependent literals (e.g. the
+    # IVF centroids fit on the target tables) and is generated lazily
+    # per sf_dir -- resolve with resolve_sql().
+    sql: Optional[str | Callable[[str], str]]
     tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def resolve_sql(q: "Query", sf_dir: str) -> Optional[str]:
+    """Materialize a query's oracle SQL for a concrete sf_dir."""
+    return q.sql(sf_dir) if callable(q.sql) else q.sql
 
 
 _REGISTRY: list[Query] = []

@@ -118,10 +118,14 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1d * n0d / 12.0
         * ((n + 1) - F.col("tie_term").cast("double") / (n * (n - 1)))
     )
+    # u_stat in EXACT decimal arithmetic (double floor would diverge
+    # from the oracle's HUGEINT floor division once r1_x2 > 2^53):
+    # U = (r1_x2 - n1*(n1+1)) / 2, non-negative, so floor == div
+    u_exact = F.col("r1_x2") - F.col("n1") * (F.col("n1") + F.lit(1).cast(_DEC))
     return agg.select(
         F.col("n1").cast("bigint").alias("n_urgent"),
         F.col("n0").cast("bigint").alias("n_low"),
-        F.floor(u).cast("bigint").alias("u_stat"),
+        F.floor(u_exact / 2).cast("bigint").alias("u_stat"),
         F.round((u - mean_u) / F.sqrt(var_u), 6).alias("z_score"),
     )
 

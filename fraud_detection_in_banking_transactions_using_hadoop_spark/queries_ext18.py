@@ -40,9 +40,11 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers 
     )
     SELECT r AS n_runs, n1 AS n_above, n0 AS n_below,
            round(1.0 + 2.0 * n1 * n0 / (n1 + n0), 4) AS expected_runs,
-           round((r - (1.0 + 2.0 * n1 * n0 / (n1 + n0)))
-                 / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
-                        / ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0))), 6) AS z_score
+           CASE WHEN n1 = 0 OR n0 = 0 THEN NULL ELSE
+             round((r - (1.0 + 2.0 * n1 * n0 / (n1 + n0)))
+                   / sqrt(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0)
+                          / ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1.0))), 6)
+           END AS z_score
     FROM runs
     """,
     tags=("stats", "nonparametric", "runs-test"),
@@ -83,5 +85,11 @@ def q_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").alias("n_above"),
         F.col("n0").alias("n_below"),
         F.round(e_r, 4).alias("expected_runs"),
-        F.round((F.col("r") - e_r) / F.sqrt(var_r), 6).alias("z_score"),
+        # one-sided series (n1 or n0 = 0) => var_r = 0; 0/0 double
+        # semantics differ across engines, so propagate NULL explicitly
+        F.when(
+            (F.col("n1") == 0) | (F.col("n0") == 0), F.lit(None).cast("double")
+        )
+        .otherwise(F.round((F.col("r") - e_r) / F.sqrt(var_r), 6))
+        .alias("z_score"),
     )

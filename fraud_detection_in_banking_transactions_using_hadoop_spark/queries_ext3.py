@@ -207,15 +207,112 @@ def q_streaming_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-@register("ann_ivf_topk", None, tags=("similarity", "ann", "ivf"))
+# IVF ANN with a FULL generated oracle: the quantizer fit is a
+# deterministic numpy code path (md5-bucket sample + seeded Lloyd)
+# shared between the Spark operator and this SQL generator, so the
+# oracle can refit the identical centroids for any sf_dir and inline
+# them as literals. Assignment distances accumulate as the explicit
+# left-to-right chain 0.0 + (v[1]-c[1])^2 + ... on BOTH engines
+# (numpy per-dim accumulation == SQL addition chain, bit-identical),
+# so even argmin near-ties cannot diverge; probe selection and cosine
+# rerank reuse the parity machinery proven by ann_lsh_topk.
+# ---------------------------------------------------------------------------
+_IVF_DIM = 64
+_IVF_PARAMS = dict(k=5, n_cells=8, n_probe=2, train_sample_per_cell=256)
+
+
+def _ivf_sql(sf_dir: str) -> str:
+    import hashlib
+
+    import duckdb
+    import numpy as np
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import (
+        fit_ivf_quantizer,
+        ivf_train_bucket_count,
+    )
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    n_cells = _IVF_PARAMS["n_cells"]
+    nb = ivf_train_bucket_count(len(rows), n_cells, _IVF_PARAMS["train_sample_per_cell"])
+    if nb is not None:
+        rows = [
+            r
+            for r in rows
+            if int(hashlib.md5(str(r[0]).encode()).hexdigest()[:8], 16) % nb == 0
+        ]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    C = fit_ivf_quantizer(X, n_cells)
+    cent_vals = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in C[i])}]::DOUBLE[])"
+        for i in range(len(C))
+    )
+
+    def chain(a: str, b: str) -> str:
+        return "0.0 + " + " + ".join(
+            f"({a}[{t}]-{b}[{t}])*({a}[{t}]-{b}[{t}])" for t in range(1, _IVF_DIM + 1)
+        )
+
+    return f"""
+    WITH cents AS (SELECT * FROM (VALUES {cent_vals}) AS t(cell, c)),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    ad AS (
+      SELECT vec_id, v, cell, {chain('v', 'c')} AS d2
+      FROM base CROSS JOIN cents),
+    asg AS (
+      SELECT vec_id, v, cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS ar
+      FROM ad),
+    cells AS (SELECT vec_id, v, cell FROM asg WHERE ar = 1),
+    qd AS (
+      SELECT b.vec_id AS query_id, b.v AS qv, cell, {chain('b.v', 'c')} AS d2
+      FROM base b CROSS JOIN cents WHERE b.vec_id < 10),
+    qprobe AS (
+      SELECT query_id, qv, cell,
+             row_number() OVER (PARTITION BY query_id ORDER BY d2, cell) AS pr
+      FROM qd),
+    probes AS (SELECT query_id, qv, cell FROM qprobe WHERE pr <= {_IVF_PARAMS["n_probe"]}),
+    sims AS (
+      SELECT p.query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(qv, v) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))),
+                   6) AS cosine
+      FROM cells b JOIN probes p USING (cell)
+      WHERE b.vec_id <> p.query_id),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rk
+      FROM sims)
+    SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {_IVF_PARAMS["k"]}
+    """
+
+
+@register("ann_ivf_topk", _ivf_sql, tags=("similarity", "ann", "ivf"))
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators/similarity.ivf_cosine_topk):
+    FAISS split -- driver-side numpy quantizer on a bounded md5-hash
+    sample, one vectorized Arrow assignment pass, n_probe/n_cells
+    pruning. Fully oracled via the generated centroid-literal SQL
+    (_ivf_sql), recall tradeoff included in the checked contract."""
     from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import ivf_cosine_topk
 
     vecs = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     queries = vecs.filter(F.col("vec_id") < 10)
-    return ivf_cosine_topk(vecs, queries, k=5, n_cells=8, n_probe=2)
+    return ivf_cosine_topk(
+        vecs,
+        queries,
+        k=_IVF_PARAMS["k"],
+        n_cells=_IVF_PARAMS["n_cells"],
+        n_probe=_IVF_PARAMS["n_probe"],
+        train_sample_per_cell=_IVF_PARAMS["train_sample_per_cell"],
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -70,12 +70,15 @@ def convert_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 def event_ts_literal(schema: T.StructType, epoch_seconds: int, col: str = "ts"):
     """A python literal for `ts` valid under `events_stream_schema` output
     (sentinel-row staging writes rows with createDataFrame against that
-    schema): int nanos for the nanos layout, naive-UTC datetime otherwise."""
+    schema): int nanos for the nanos layout, tz-AWARE UTC datetime
+    otherwise -- a naive datetime would go through time.mktime in
+    TimestampType.toInternal and shift with the driver host's timezone;
+    keeping tzinfo makes the epoch exact on any host."""
     import datetime as _dt
 
     if isinstance(schema[col].dataType, T.LongType):
         return epoch_seconds * 1_000_000_000
-    return _dt.datetime.fromtimestamp(epoch_seconds, _dt.timezone.utc).replace(tzinfo=None)
+    return _dt.datetime.fromtimestamp(epoch_seconds, _dt.timezone.utc)
 
 
 def read_csv_table(

@@ -7,7 +7,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry, resolve_sql
 from tools.oracle_check import TABLES, canon_rows
 
 _QUERIES = registry()
@@ -35,7 +35,7 @@ def test_query_matches_oracle(q, spark, sf_dir, oracle):
     if q.sql is None:
         assert len(sdf) >= 0  # rows-only check for non-SQL-expressible ops
         return
-    ddf = oracle.execute(q.sql).df()
+    ddf = oracle.execute(resolve_sql(q, sf_dir)).df()
     s_cols, s_rows = canon_rows(sdf)
     d_cols, d_rows = canon_rows(ddf)
     assert s_cols == d_cols

@@ -55,7 +55,7 @@ def canon_rows(df_pandas):
 def main() -> int:
     import duckdb
 
-    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry, resolve_sql
     from fraud_detection_in_banking_transactions_using_hadoop_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -82,7 +82,7 @@ def main() -> int:
             n_skip += 1
             continue
         try:
-            ddf = con.execute(q.sql).df()
+            ddf = con.execute(resolve_sql(q, sf_dir)).df()
         except Exception as e:
             print(f"FAIL {q.name}: duckdb error: {e}")
             n_fail += 1
