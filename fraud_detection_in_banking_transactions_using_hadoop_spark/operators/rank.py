@@ -48,10 +48,18 @@ def with_global_rank(
     ascending: bool = True,
     n_buckets: int = 32,
     rank_col: str = "global_rank",
+    prefix_sum: dict[str, str] | None = None,
 ) -> DataFrame:
     """Append an exact 1-based global row_number under the total order
     `order_cols` (whose leading component must be `value_col`,
     ascending per the flag) without a single-partition window.
+
+    `prefix_sum` maps output-column -> existing measure column; each
+    output gets the exact INCLUSIVE running sum of the measure under
+    the same global order, via the same two-level plan (per-bucket
+    measure totals prefix-summed into offsets + an in-bucket running
+    window). Exact for integral/decimal measures; for doubles the
+    bucket-then-row addition order differs from a serial scan.
 
     Rows with NULL in `value_col` are dropped (a global order over
     NULLs has no business meaning here; callers filter first).
@@ -76,18 +84,30 @@ def with_global_rank(
     assigned = df.join(
         F.broadcast(edges), (v >= F.col("_lo")) & (v < F.col("_hi"))
     ).drop("_lo", "_hi")
-    counts = assigned.groupBy("_b").agg(F.count(F.lit(1)).alias("_bc"))
+    measures = prefix_sum or {}
+    aggs = [F.count(F.lit(1)).alias("_bc")] + [
+        F.sum(src).alias(f"_bm_{out}") for out, src in measures.items()
+    ]
+    counts = assigned.groupBy("_b").agg(*aggs)
     border = F.col("_b").asc() if ascending else F.col("_b").desc()
     w_off = Window.orderBy(border).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "_b", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")
-    )
+    off_cols = ["_b", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")] + [
+        F.coalesce(F.sum(f"_bm_{out}").over(w_off), F.lit(0)).alias(f"_moff_{out}")
+        for out in measures
+    ]
+    offsets = counts.select(*off_cols)
     w_in = Window.partitionBy("_b").orderBy(*order_cols)
-    return (
-        assigned.join(F.broadcast(offsets), "_b")
-        .withColumn(rank_col, (F.col("_off") + F.row_number().over(w_in)).cast("bigint"))
-        .drop("_b", "_off")
+    w_in_cum = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    out_df = assigned.join(F.broadcast(offsets), "_b").withColumn(
+        rank_col, (F.col("_off") + F.row_number().over(w_in)).cast("bigint")
     )
+    drop = ["_b", "_off"]
+    for out, src in measures.items():
+        out_df = out_df.withColumn(
+            out, F.col(f"_moff_{out}") + F.sum(src).over(w_in_cum)
+        )
+        drop.append(f"_moff_{out}")
+    return out_df.drop(*drop)
 
 
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:

@@ -382,19 +382,22 @@ def q_zipf_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope/intercept close in one expression each. A slope near -1
     means classic Zipf; synthetic uniform-ish data sits near 0 -- the
     diagnostic either way."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
+
     li = read_table(spark, sf_dir, "lineitem")
     dec = "decimal(38,0)"
     freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
-    ranked = freq.select(
-        F.round(
-            F.log(
-                F.row_number()
-                .over(Window.orderBy(F.desc("f"), "l_partkey"))
-                .cast("double")
-            )
-            * 1e8,
-            0,
-        )
+    # popularity rank via the distributed two-level plan (operators/
+    # rank) -- the |parts|-grain table never funnels through one task
+    gr = with_global_rank(
+        freq,
+        "f",
+        [F.desc("f"), F.col("l_partkey").asc()],
+        ascending=False,
+        rank_col="_rk",
+    )
+    ranked = gr.select(
+        F.round(F.log(F.col("_rk").cast("double")) * 1e8, 0)
         .cast("bigint")
         .alias("lr_e8"),
         F.round(F.log(F.col("f").cast("double")) * 1e8, 0).cast("bigint").alias("lf_e8"),

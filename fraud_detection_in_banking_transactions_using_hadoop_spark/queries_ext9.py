@@ -182,22 +182,27 @@ def q_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pareto_80_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration head: parts are ranked by exact cent
     revenue and kept while the cumulative total BEFORE each part is
-    still under the 80% line (so the crossing part is included). Two
-    windows share one ordered exchange; row_number gets the unique
-    part tiebreak. At 100 TB the per-part aggregate shrinks the window
-    input to |parts|."""
+    still under the 80% line (so the crossing part is included). The
+    rank AND the running revenue both come from the distributed
+    two-level plan (operators/rank with prefix_sum) -- no
+    single-partition window even though the input is |parts|-grain;
+    the grand total rides a 1-row broadcast."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
+
     li = read_table(spark, sf_dir, "lineitem")
     rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
         F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")).alias("cents")
     )
-    wo = Window.orderBy(F.desc("cents"), "part")
-    ranked = rev.select(
-        "part",
+    gr = with_global_rank(
+        rev,
         "cents",
-        F.row_number().over(wo).cast("bigint").alias("rk"),
-        F.sum("cents").over(wo.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_cents"),
-        F.sum("cents").over(Window.partitionBy()).alias("total"),
+        [F.desc("cents"), F.col("part").asc()],
+        ascending=False,
+        rank_col="rk",
+        prefix_sum={"cum_cents": "cents"},
     )
+    total_row = rev.agg(F.sum("cents").alias("total"))
+    ranked = gr.crossJoin(F.broadcast(total_row))
     return ranked.where(
         (F.col("cum_cents") - F.col("cents"))
         < F.col("total").cast("double") * 0.8

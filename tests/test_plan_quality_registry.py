@@ -55,6 +55,8 @@ ALLOWED_NESTED_LOOP = {
     "lorenz_curve",
     "quantile_binning",
     "lift_gains_table",
+    "pareto_80_20",
+    "zipf_powerlaw_fit",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -70,6 +72,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "lorenz_curve": "B-row bucket offsets + 10-row decile summary",
     "quantile_binning": "B-row bucket offsets",
     "lift_gains_table": "B-row bucket offsets + 10-row decile summary",
+    "pareto_80_20": "B-row bucket offsets",
+    "zipf_powerlaw_fit": "B-row bucket offsets",
     # calendar-bounded daily/weekly aggregate series (|distinct days|)
     "autocorr_daily_revenue": "daily revenue series",
     "cusum_drift_detection": "daily revenue series",
@@ -93,10 +97,10 @@ ALLOWED_GLOBAL_WINDOW = {
     # aggregate -- documented tradeoff, not an accident
     "association_rules": "item-pair support table",
     "bm25_hybrid_search": "per-query candidate set (term-filtered)",
-    "pareto_80_20": "per-part revenue aggregate",
     "pareto_frontier": "per-part skyline candidates",
-    "weighted_sample_topk": "per-doc weighted-key table",
-    "zipf_powerlaw_fit": "distinct-frequency rank table",
+    # bounded post-limit window: TakeOrderedAndProject emits 20 rows,
+    # the rank window runs on those 20 only
+    "weighted_sample_topk": "20-row top-k output",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
