@@ -89,6 +89,7 @@ def registry() -> list[Query]:
         queries_ext16,
         queries_ext17,
         queries_ext18,
+        queries_ext19,
         queries_feat,
         queries_funcs,
         queries_funcs2,

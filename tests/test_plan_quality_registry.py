@@ -57,6 +57,10 @@ ALLOWED_NESTED_LOOP = {
     "lift_gains_table",
     "pareto_80_20",
     "zipf_powerlaw_fit",
+    "rfm_segmentation",
+    "roc_auc_score",
+    # constant 10-row threshold-grid broadcast cross join
+    "threshold_sweep_confusion",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -74,6 +78,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "lift_gains_table": "B-row bucket offsets + 10-row decile summary",
     "pareto_80_20": "B-row bucket offsets",
     "zipf_powerlaw_fit": "B-row bucket offsets",
+    "rfm_segmentation": "B-row bucket offsets (x3 quintile ranks)",
+    "roc_auc_score": "B-row bucket offsets",
     # calendar-bounded daily/weekly aggregate series (|distinct days|)
     "autocorr_daily_revenue": "daily revenue series",
     "cusum_drift_detection": "daily revenue series",
