@@ -90,6 +90,7 @@ def registry() -> list[Query]:
         queries_ext17,
         queries_ext18,
         queries_ext19,
+        queries_ext20,
         queries_feat,
         queries_funcs,
         queries_funcs2,

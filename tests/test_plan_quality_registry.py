@@ -61,6 +61,8 @@ ALLOWED_NESTED_LOOP = {
     "roc_auc_score",
     # constant 10-row threshold-grid broadcast cross join
     "threshold_sweep_confusion",
+    # 1-row corpus-totals broadcast onto the per-token table
+    "jsd_source_divergence",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -86,6 +88,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "rolling_correlation": "daily series",
     "runs_test_randomness": "daily revenue series",
     "seasonal_decompose": "daily revenue series",
+    "max_drawdown": "daily revenue series",
+    "changepoint_max_cusum": "daily revenue series",
     "new_vs_returning": "daily series",
     "stickiness_dau_wau": "daily series",
     "ltv_curve": "weekly cohort series",
