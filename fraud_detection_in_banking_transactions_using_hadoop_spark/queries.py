@@ -91,6 +91,8 @@ def registry() -> list[Query]:
         queries_ext18,
         queries_ext19,
         queries_ext20,
+        queries_ext21,
+        queries_ext22,
         queries_feat,
         queries_funcs,
         queries_funcs2,

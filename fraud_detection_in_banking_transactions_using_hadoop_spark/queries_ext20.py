@@ -269,7 +269,8 @@ def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT n.n_name AS nation,
              CAST(year(o.o_orderdate) AS INTEGER) AS yr,
              CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
-             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                           AS BIGINT)) AS BIGINT) AS rev
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
       JOIN customer c ON o.o_custkey = c.c_custkey
@@ -287,20 +288,25 @@ def q_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT nation,
            CAST(q0 AS BIGINT) AS q0, CAST(q1 AS BIGINT) AS q1,
-           r0, r1,
-           round(r1 - r0, 2) AS delta_rev,
-           round((q1 - q0) * (r0 / q0), 2) AS volume_effect,
-           round((r1 / q1 - r0 / q0) * q0, 2) AS price_effect,
-           round((q1 - q0) * (r1 / q1 - r0 / q0), 2) AS mix_effect
+           CAST(r0 AS BIGINT) AS r0_cents, CAST(r1 AS BIGINT) AS r1_cents,
+           CAST(r1 - r0 AS BIGINT) AS delta_cents,
+           CAST(round((q1 - q0) * (CAST(r0 AS DOUBLE) / q0), 0) AS BIGINT)
+             AS volume_effect_cents,
+           CAST(round((CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0) * q0, 0)
+             AS BIGINT) AS price_effect_cents,
+           CAST(round((q1 - q0) * (CAST(r1 AS DOUBLE) / q1 - CAST(r0 AS DOUBLE) / q0), 0)
+             AS BIGINT) AS mix_effect_cents
     FROM piv WHERE q0 IS NOT NULL AND q1 IS NOT NULL
     """,
     tags=("finance", "bridge", "pivot"),
 )
 def q_revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dRev = dq*p0 + dp*q0 + dq*dp per nation, with p_y derived from
-    the round(2) revenue and the exact bigint quantity, so each effect
-    is one double expression of already-agreed values. Plain grouped
-    agg + 25-row pivot; every join is an equi-join on dimension keys."""
+    """dRev = dq*p0 + dp*q0 + dq*dp per nation. Revenue is summed in
+    EXACT per-line-rounded cents (a float sum would differ by 1 ulp
+    between engines and flip a round(2) half boundary -- seen at
+    sf0.001), so every effect is one IEEE expression of exact bigints,
+    emitted as e2 integers. Plain grouped agg + 25-row pivot; every
+    join is an equi-join on dimension keys."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
     c = read_table(spark, sf_dir, "customer")
@@ -313,7 +319,13 @@ def q_revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("yr"))
         .agg(
             F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev"),
         )
     )
     piv = base.groupBy("nation").agg(
@@ -322,18 +334,22 @@ def q_revenue_bridge_pvm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("yr") == 1997, F.col("qty"))).alias("q1"),
         F.max(F.when(F.col("yr") == 1997, F.col("rev"))).alias("r1"),
     )
-    p0 = F.col("r0") / F.col("q0")
-    p1 = F.col("r1") / F.col("q1")
+    p0 = F.col("r0").cast("double") / F.col("q0")
+    p1 = F.col("r1").cast("double") / F.col("q1")
     return piv.where(F.col("q0").isNotNull() & F.col("q1").isNotNull()).select(
         "nation",
         F.col("q0").cast("bigint").alias("q0"),
         F.col("q1").cast("bigint").alias("q1"),
-        "r0",
-        "r1",
-        F.round(F.col("r1") - F.col("r0"), 2).alias("delta_rev"),
-        F.round((F.col("q1") - F.col("q0")) * p0, 2).alias("volume_effect"),
-        F.round((p1 - p0) * F.col("q0"), 2).alias("price_effect"),
-        F.round((F.col("q1") - F.col("q0")) * (p1 - p0), 2).alias("mix_effect"),
+        F.col("r0").cast("bigint").alias("r0_cents"),
+        F.col("r1").cast("bigint").alias("r1_cents"),
+        (F.col("r1") - F.col("r0")).cast("bigint").alias("delta_cents"),
+        F.round((F.col("q1") - F.col("q0")) * p0, 0)
+        .cast("bigint")
+        .alias("volume_effect_cents"),
+        F.round((p1 - p0) * F.col("q0"), 0).cast("bigint").alias("price_effect_cents"),
+        F.round((F.col("q1") - F.col("q0")) * (p1 - p0), 0)
+        .cast("bigint")
+        .alias("mix_effect_cents"),
     )
 
 

@@ -128,16 +128,18 @@ def test_revenue_bridge_additivity_and_values(spark, sf_dir):
     rows = q_revenue_bridge_pvm(spark, sf_dir).collect()
     assert rows, "both years must exist in the corpus"
     for r in rows:
-        p0, p1 = r["r0"] / r["q0"], r["r1"] / r["q1"]
+        p0, p1 = r["r0_cents"] / r["q0"], r["r1_cents"] / r["q1"]
         # exact decomposition identity before rounding
         want_v = (r["q1"] - r["q0"]) * p0
         want_p = (p1 - p0) * r["q0"]
         want_m = (r["q1"] - r["q0"]) * (p1 - p0)
-        assert math.isclose(want_v + want_p + want_m, r["r1"] - r["r0"], rel_tol=1e-9)
-        assert math.isclose(r["volume_effect"], round(want_v, 2), abs_tol=0.011)
-        assert math.isclose(r["price_effect"], round(want_p, 2), abs_tol=0.011)
-        assert math.isclose(r["mix_effect"], round(want_m, 2), abs_tol=0.011)
-        assert math.isclose(r["delta_rev"], round(r["r1"] - r["r0"], 2), abs_tol=0.011)
+        assert math.isclose(
+            want_v + want_p + want_m, r["r1_cents"] - r["r0_cents"], rel_tol=1e-9
+        )
+        assert abs(r["volume_effect_cents"] - want_v) <= 0.51
+        assert abs(r["price_effect_cents"] - want_p) <= 0.51
+        assert abs(r["mix_effect_cents"] - want_m) <= 0.51
+        assert r["delta_cents"] == r["r1_cents"] - r["r0_cents"]
 
 
 def test_assortativity_matches_numpy_pearson(spark, sf_dir):

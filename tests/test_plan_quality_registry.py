@@ -63,6 +63,12 @@ ALLOWED_NESTED_LOOP = {
     "threshold_sweep_confusion",
     # 1-row corpus-totals broadcast onto the per-token table
     "jsd_source_divergence",
+    # constant 16-model table + 1-row totals broadcast
+    "ransac_trend_fit",
+    # 1-row pooled-rate and BH-cutoff broadcasts
+    "bh_fdr_screen",
+    # constant 30-row calendar-spine broadcast
+    "fano_burstiness",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -90,6 +96,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "seasonal_decompose": "daily revenue series",
     "max_drawdown": "daily revenue series",
     "changepoint_max_cusum": "daily revenue series",
+    "ransac_trend_fit": "daily revenue series + 16-row model scores",
+    "bh_fdr_screen": "25-row nation summary",
     "new_vs_returning": "daily series",
     "stickiness_dau_wau": "daily series",
     "ltv_curve": "weekly cohort series",
@@ -127,6 +135,11 @@ EAGER = {
     # eager localCheckpoint of the sign-bucket table (feeds both sides
     # of the self-join; lineage would otherwise compute twice)
     "semantic_dedup_prune",
+    # CC-operator pipelines (eager pair checkpoint) + per-round
+    # checkpointed peel loop
+    "dbscan_grid_clusters",
+    "entity_resolution_golden",
+    "kcore_membership",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
