@@ -69,6 +69,8 @@ ALLOWED_NESTED_LOOP = {
     "bh_fdr_screen",
     # constant 30-row calendar-spine broadcast
     "fano_burstiness",
+    # 1-row high-water-mark broadcast
+    "source_freshness_audit",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -140,6 +142,8 @@ EAGER = {
     "dbscan_grid_clusters",
     "entity_resolution_golden",
     "kcore_membership",
+    # runs the persisted minhash/LSH candidate pipeline
+    "lsh_recall_eval",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
