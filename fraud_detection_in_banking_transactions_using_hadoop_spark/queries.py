@@ -94,6 +94,7 @@ def registry() -> list[Query]:
         queries_ext21,
         queries_ext22,
         queries_ext23,
+        queries_ext24,
         queries_feat,
         queries_funcs,
         queries_funcs2,

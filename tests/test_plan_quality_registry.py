@@ -71,6 +71,8 @@ ALLOWED_NESTED_LOOP = {
     "fano_burstiness",
     # 1-row high-water-mark broadcast
     "source_freshness_audit",
+    # 1-row global (n, k) proportion broadcast
+    "round_amount_bias",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -144,6 +146,10 @@ EAGER = {
     "kcore_membership",
     # runs the persisted minhash/LSH candidate pipeline
     "lsh_recall_eval",
+    # persist + localCheckpoint self-join contracts (ext24)
+    "containment_dup_pairs",
+    "adamic_adar_linkpred",
+    "hits_scores",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
