@@ -95,6 +95,7 @@ def registry() -> list[Query]:
         queries_ext22,
         queries_ext23,
         queries_ext24,
+        queries_ext25,
         queries_feat,
         queries_funcs,
         queries_funcs2,

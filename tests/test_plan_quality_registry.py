@@ -73,6 +73,11 @@ ALLOWED_NESTED_LOOP = {
     "source_freshness_audit",
     # 1-row global (n, k) proportion broadcast
     "round_amount_bias",
+    # 1-row totals broadcasts (ext25)
+    "woe_information_value",
+    "psi_price_drift",
+    "bootstrap_ci_revenue",
+    "permutation_entropy",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -123,6 +128,8 @@ ALLOWED_GLOBAL_WINDOW = {
     # bounded post-limit window: TakeOrderedAndProject emits 20 rows,
     # the rank window runs on those 20 only
     "weighted_sample_topk": "20-row top-k output",
+    "bootstrap_ci_revenue": "daily spine index + 200-row replicate means",
+    "permutation_entropy": "daily revenue series",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
