@@ -50,6 +50,7 @@ HEADLINE = [
     "pattern_match_sequences",  # per-user motif counts (regex over event strings)
     "quantile_binning",  # distributed exact ntile (operators/rank two-level)
     "gini_coefficient",  # distributed global rank + prefix identity
+    "substring_dup_spans",  # k-gram substring-dup profile (shingle-key shuffle)
 ]
 
 

@@ -78,6 +78,13 @@ ALLOWED_NESTED_LOOP = {
     "psi_price_drift",
     "bootstrap_ci_revenue",
     "permutation_entropy",
+    # calendar-bounded daily-summary pair join (|days|^2 constant in
+    # SF) + 1-row tie-count broadcasts
+    "kendall_tau_daily",
+    # bounded <=10-row bin-summary minimax joins (PAV closed form)
+    "isotonic_calibration",
+    # 1-row method-of-moments parameter broadcast
+    "eb_shrunk_rates",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
