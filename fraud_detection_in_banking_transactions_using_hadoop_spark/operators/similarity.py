@@ -19,13 +19,55 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+EMB_DIM = 64  # corpus embedding dimensionality (embeddings.parquet)
+
+
 def dot(x: Column, y: Column) -> Column:
-    """Sequential-fold dot product of two array<double> columns."""
+    """Sequential-fold dot product of two array<double> columns.
+
+    Works for any length, but higher-order functions are
+    CodegenFallback (interpreted, ~5x per element); prefer
+    dot_unrolled when the dimension is statically known."""
     return F.aggregate(F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z)
 
 
-def cosine(x: Column, y: Column) -> Column:
+def dot_unrolled_sql(x: str, y: str, dim: int = EMB_DIM) -> str:
+    """SQL text of the unrolled dot product of two array<double> SQL
+    fragments. Parses to the left-associative chain
+    ((0.0 + x[0]*y[0]) + x[1]*y[1]) + ... which is VALUE-IDENTICAL to
+    the sequential fold in dot() (including the 0.0 seed), so oracles
+    written against the fold stay bit-exact."""
+    terms = " + ".join(f"({x})[{i}] * ({y})[{i}]" for i in range(dim))
+    return f"0.0D + {terms}"
+
+
+def dot_unrolled(x: str, y: str, dim: int = EMB_DIM) -> Column:
+    """Codegen'd dot product of two array<double> SQL fragments.
+
+    Two traps this avoids: (1) higher-order functions (dot()) are
+    CodegenFallback -- interpreted per element; (2) building the
+    64-term chain through the Python Column API costs hundreds of
+    py4j round-trips (~4 s of DRIVER time per query -- measured).
+    One F.expr over generated SQL text is a single py4j call and the
+    whole chain runs inside whole-stage codegen."""
+    return F.expr(dot_unrolled_sql(x, y, dim))
+
+
+def cosine_fold(x: Column, y: Column) -> Column:
+    """Interpreted-fold cosine (any length). Right choice for SMALL
+    candidate sets (LSH/IVF reranks): the unrolled SQL variant pays
+    ~1 s of whole-stage-codegen compilation per query, which only
+    amortizes on large pair counts."""
     return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
+
+
+def cosine(x: str, y: str, dim: int = EMB_DIM) -> Column:
+    """Codegen'd cosine over statically-sized array<double> SQL
+    fragments (same value as dot/sqrt composition of the folds)."""
+    num = dot_unrolled_sql(x, y, dim)
+    dx = dot_unrolled_sql(x, x, dim)
+    dy = dot_unrolled_sql(y, y, dim)
+    return F.expr(f"({num}) / (sqrt({dx}) * sqrt({dy}))")
 
 
 def cosine_topk(
@@ -49,7 +91,7 @@ def cosine_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cosine"),
+            F.round(cosine("qv", vec_col), 6).alias("cosine"),
         )
     )
     from pyspark.sql import Window
@@ -74,17 +116,21 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
-def signature_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def signature_bucket(vec: str, dim: int, n_planes: int = 8) -> Column:
     """Random-hyperplane signature: bit b = sign(vec . plane_b). Vectors
-    with equal signatures lie in the same angular wedge."""
-    bits = []
+    with equal signatures lie in the same angular wedge. `vec` is a SQL
+    fragment; each plane dot is emitted as unrolled SQL text with the
+    plane coefficients inlined as double literals (repr() round-trips
+    exactly), so the whole signature is ONE F.expr that runs in
+    whole-stage codegen -- value-identical to the fold-based form."""
+    parts = []
     for p in range(n_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
-        bits.append(F.when(dot(vec, plane) >= 0, F.lit(1)).otherwise(F.lit(0)) * (2**p))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+        plane = _hyperplane(dim, p)
+        d = " + ".join(f"({vec})[{i}] * {plane[i]!r}D" for i in range(dim))
+        parts.append(
+            f"(CASE WHEN (0.0D + {d}) >= 0 THEN 1 ELSE 0 END) * {2 ** p}"
+        )
+    return F.expr(" + ".join(parts))
 
 
 def ivf_train_bucket_count(n: int, n_cells: int, train_sample_per_cell: int) -> int | None:
@@ -252,7 +298,7 @@ def ivf_cosine_topk(
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cosine"),
+            F.round(cosine_fold(F.col("qv"), F.col(vec_col)), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -278,18 +324,18 @@ def lsh_cosine_topk(
     The bucket join shuffles on the (small-int) bucket id; heavily skewed
     buckets split under AQE.
     """
-    bb = base.withColumn("bucket", signature_bucket(F.col(vec_col), dim, n_planes))
+    bb = base.withColumn("bucket", signature_bucket(vec_col, dim, n_planes))
     qq = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
-    ).withColumn("bucket", signature_bucket(F.col("qv"), dim, n_planes))
+    ).withColumn("bucket", signature_bucket("qv", dim, n_planes))
     sims = (
         bb.join(F.broadcast(qq), "bucket")
         .filter(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             F.col(id_col).alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("cosine"),
+            F.round(cosine_fold(F.col("qv"), F.col(vec_col)), 6).alias("cosine"),
         )
     )
     from pyspark.sql import Window

@@ -277,7 +277,7 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = cosine(F.col("a.v"), F.col("b.v"))
+    cos = cosine("a.v", "b.v")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

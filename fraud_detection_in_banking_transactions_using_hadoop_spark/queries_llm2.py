@@ -290,7 +290,7 @@ def q_bm25_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast scalars; the rerank join touches only BM25 candidates --
     the standard candidate-generation/rerank cost split. Fusion rounds
     each component BEFORE combining so the cross-engine sum is exact."""
-    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import cosine
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import cosine_fold
 
     docs = read_table(spark, sf_dir, "documents")
     emb = read_table(spark, sf_dir, "embeddings")
@@ -325,7 +325,7 @@ def q_bm25_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round("kw", 6).alias("kw_score"),
             F.round(
-                cosine(F.col("embedding").cast("array<double>"), F.col("qv")), 6
+                cosine_fold(F.col("embedding").cast("array<double>"), F.col("qv")), 6
             ).alias("cos_score"),
         )
     )

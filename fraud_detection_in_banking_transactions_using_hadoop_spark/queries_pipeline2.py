@@ -401,25 +401,25 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-size independent. Recall loss vs the all-pairs baseline is
     part of the checked contract (same literal planes in the oracle)."""
     from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import (
-        dot,
+        dot_unrolled,
         signature_bucket,
     )
 
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    # Normalize ONCE per row (norm as its own column so the fold isn't
-    # re-evaluated inside the lambda); pairs then cost ONE dot-product
-    # fold instead of three -- the folds are interpreted (higher-order
-    # functions are CodegenFallback), so this is a direct 3x on the
-    # dominant per-pair cost. The oracle applies the identical
-    # normalize-then-dot arithmetic.
+    # Normalize ONCE per row (norm as its own column so it isn't
+    # re-evaluated per element); pairs then cost ONE dot product
+    # instead of three. The per-pair dot is dot_unrolled -- a
+    # codegen'd 64-term chain, value-identical to the interpreted
+    # fold, so the oracle's normalize-then-dot arithmetic still
+    # matches bit-for-bit.
     base = (
-        emb.withColumn("norm", F.sqrt(dot(F.col("v"), F.col("v"))))
+        emb.withColumn("norm", F.sqrt(dot_unrolled("v", "v")))
         .select(
             "vec_id",
             F.transform("v", lambda x: x / F.col("norm")).alias("nv"),
-            signature_bucket(F.col("v"), 64, 6).alias("bucket"),
+            signature_bucket("v", 64, 6).alias("bucket"),
         )
     )
     # base feeds BOTH sides of the self-join and its lineage is the
@@ -443,7 +443,7 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            dot(F.col("a.nv"), F.col("b.nv")).alias("cos"),
+            dot_unrolled("a.nv", "b.nv").alias("cos"),
         )
         .filter(F.col("cos") >= 0.3)
     )
