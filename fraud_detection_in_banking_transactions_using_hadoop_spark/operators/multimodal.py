@@ -191,3 +191,54 @@ def image_channel_stats(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(op, schema=RAW_STATS_SCHEMA)
+
+
+FRAME_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.LongType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("byte_sum", T.LongType(), True),
+    T.StructField("mean_byte", T.DoubleType(), True),
+])
+
+
+def frame_sample_stats(
+    media: DataFrame, frame_bytes: int, every_n: int = 2
+) -> DataFrame:
+    """REAL frame sampling over a raw binary 'video': content is a
+    contiguous sequence of fixed-size frames; every_n-th frame is
+    decoded (numpy frombuffer + reshape) and summarized map-side.
+    This is the video-frame-sample plumbing at its scalable shape --
+    bytes never shuffle, one narrow row per SAMPLED frame leaves the
+    Arrow batch, and a corrupt row (size not a frame multiple) yields
+    a NULL-stats row instead of poisoning the batch. A codec-backed
+    implementation swaps decode_raw8 for the container parser; the
+    sampling/batching contract is unchanged."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "frame_idx", "n_bytes", "byte_sum", "mean_byte")}
+            for row in pdf.itertuples():
+                buf = bytes(row.content)
+                if len(buf) == 0 or len(buf) % frame_bytes:
+                    out["media_id"].append(row.media_id)
+                    out["frame_idx"].append(None)
+                    out["n_bytes"].append(len(buf))
+                    out["byte_sum"].append(None)
+                    out["mean_byte"].append(None)
+                    continue
+                frames = np.frombuffer(buf, dtype=np.uint8).reshape(
+                    -1, frame_bytes
+                )
+                for idx in range(0, frames.shape[0], every_n):
+                    f = frames[idx].astype(np.float64)
+                    out["media_id"].append(row.media_id)
+                    out["frame_idx"].append(idx)
+                    out["n_bytes"].append(frame_bytes)
+                    out["byte_sum"].append(int(f.sum()))
+                    out["mean_byte"].append(float(f.mean()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=FRAME_STATS_SCHEMA)

@@ -164,6 +164,8 @@ EAGER = {
     "containment_dup_pairs",
     "adamic_adar_linkpred",
     "hits_scores",
+    # live streaming replay (foreachBatch histogram fold)
+    "streaming_psi_monitor",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
