@@ -98,6 +98,7 @@ def registry() -> list[Query]:
         queries_ext25,
         queries_ext26,
         queries_ext27,
+        queries_ext28,
         queries_feat,
         queries_funcs,
         queries_funcs2,

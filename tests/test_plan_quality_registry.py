@@ -85,6 +85,8 @@ ALLOWED_NESTED_LOOP = {
     "isotonic_calibration",
     # 1-row method-of-moments parameter broadcast
     "eb_shrunk_rates",
+    # operators/rank broadcast range join (B-row edge table)
+    "nearest_spend_match",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -137,6 +139,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "weighted_sample_topk": "20-row top-k output",
     "bootstrap_ci_revenue": "daily spine index + 200-row replicate means",
     "permutation_entropy": "daily revenue series",
+    "nearest_spend_match": "B-row bucket offsets (x3 rank/prefix legs)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
@@ -166,6 +169,8 @@ EAGER = {
     "hits_scores",
     # live streaming replay (foreachBatch histogram fold)
     "streaming_psi_monitor",
+    # persisted edge table feeding degree + two walk steps
+    "ppr_seeded",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
