@@ -99,6 +99,7 @@ def registry() -> list[Query]:
         queries_ext26,
         queries_ext27,
         queries_ext28,
+        queries_ext29,
         queries_feat,
         queries_funcs,
         queries_funcs2,

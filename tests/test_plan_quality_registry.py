@@ -87,6 +87,8 @@ ALLOWED_NESTED_LOOP = {
     "eb_shrunk_rates",
     # operators/rank broadcast range join (B-row edge table)
     "nearest_spend_match",
+    # 1-row global-mean broadcast
+    "item_bias_model",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -140,6 +142,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "bootstrap_ci_revenue": "daily spine index + 200-row replicate means",
     "permutation_entropy": "daily revenue series",
     "nearest_spend_match": "B-row bucket offsets (x3 rank/prefix legs)",
+    "sign_test_weekly": "daily revenue series",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
