@@ -100,6 +100,7 @@ def registry() -> list[Query]:
         queries_ext27,
         queries_ext28,
         queries_ext29,
+        queries_ext30,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -89,6 +89,9 @@ ALLOWED_NESTED_LOOP = {
     "nearest_spend_match",
     # 1-row global-mean broadcast
     "item_bias_model",
+    # 1-row fit/quantile + max-id broadcasts; constant 4-row look grid
+    "conformal_interval",
+    "sequential_ab_looks",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -143,6 +146,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "permutation_entropy": "daily revenue series",
     "nearest_spend_match": "B-row bucket offsets (x3 rank/prefix legs)",
     "sign_test_weekly": "daily revenue series",
+    "conformal_interval": "daily calibration series (order statistic)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
