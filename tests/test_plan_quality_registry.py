@@ -92,6 +92,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row fit/quantile + max-id broadcasts; constant 4-row look grid
     "conformal_interval",
     "sequential_ab_looks",
+    # 1-row eval-total broadcast
+    "ece_reliability",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -176,6 +178,8 @@ EAGER = {
     "hits_scores",
     # live streaming replay (foreachBatch histogram fold)
     "streaming_psi_monitor",
+    # live streaming replay (foreachBatch sketch fold)
+    "streaming_hll_replay",
     # persisted edge table feeding degree + two walk steps
     "ppr_seeded",
 }
