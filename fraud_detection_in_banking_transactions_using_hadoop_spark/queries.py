@@ -102,6 +102,7 @@ def registry() -> list[Query]:
         queries_ext29,
         queries_ext30,
         queries_ext31,
+        queries_ext32,
         queries_feat,
         queries_funcs,
         queries_funcs2,

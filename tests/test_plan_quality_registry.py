@@ -94,6 +94,9 @@ ALLOWED_NESTED_LOOP = {
     "sequential_ab_looks",
     # 1-row eval-total broadcast
     "ece_reliability",
+    # 1-row totals / fraction-mu broadcasts
+    "cramer_von_mises",
+    "learning_curve",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -149,6 +152,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "nearest_spend_match": "B-row bucket offsets (x3 rank/prefix legs)",
     "sign_test_weekly": "daily revenue series",
     "conformal_interval": "daily calibration series (order statistic)",
+    "cramer_von_mises": "distinct cent-value spine",
+    "g_test_independence": "9-cell contingency table",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
