@@ -103,6 +103,7 @@ def registry() -> list[Query]:
         queries_ext30,
         queries_ext31,
         queries_ext32,
+        queries_ext33,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -97,6 +97,10 @@ ALLOWED_NESTED_LOOP = {
     # 1-row totals / fraction-mu broadcasts
     "cramer_von_mises",
     "learning_curve",
+    # 1-row totals / observed-statistic / list-size broadcasts
+    "stratified_ate",
+    "permutation_sign_test",
+    "capture_recapture",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -154,6 +158,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "conformal_interval": "daily calibration series (order statistic)",
     "cramer_von_mises": "distinct cent-value spine",
     "g_test_independence": "9-cell contingency table",
+    "permutation_sign_test": "daily revenue series",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
