@@ -104,6 +104,7 @@ def registry() -> list[Query]:
         queries_ext31,
         queries_ext32,
         queries_ext33,
+        queries_ext34,
         queries_feat,
         queries_funcs,
         queries_funcs2,

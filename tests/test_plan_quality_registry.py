@@ -101,6 +101,9 @@ ALLOWED_NESTED_LOOP = {
     "stratified_ate",
     "permutation_sign_test",
     "capture_recapture",
+    # 1-row totals / reference order-statistic broadcasts
+    "decision_stump_split",
+    "hill_tail_index",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -159,6 +162,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "cramer_von_mises": "distinct cent-value spine",
     "g_test_independence": "9-cell contingency table",
     "permutation_sign_test": "daily revenue series",
+    "decision_stump_split": "distinct cent-value spine",
+    "hill_tail_index": "101-row post-limit order statistics",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
