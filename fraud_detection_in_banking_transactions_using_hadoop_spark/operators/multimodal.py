@@ -242,3 +242,59 @@ def frame_sample_stats(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(op, schema=FRAME_STATS_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("win_idx", T.LongType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("peak_abs", T.LongType(), True),
+    T.StructField("n_zero_cross", T.LongType(), True),
+    T.StructField("rms", T.DoubleType(), True),
+])
+
+
+def audio_window_stats(
+    media: DataFrame, window_samples: int = 64
+) -> DataFrame:
+    """REAL audio feature extraction over raw PCM: content is int16
+    little-endian mono samples; each fixed-size window is reduced
+    map-side to (RMS, zero crossings, peak) -- the VAD/energy-gating
+    front end of every audio-corpus pipeline. Bytes never shuffle;
+    only narrow per-window rows leave the Arrow batch; a corrupt row
+    (odd byte count or non-multiple window) yields one NULL-stats row.
+    A codec-backed implementation swaps the frombuffer for the decoder;
+    the windowing/batching contract is unchanged."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "win_idx", "n_samples", "peak_abs",
+                    "n_zero_cross", "rms")}
+            for row in pdf.itertuples():
+                buf = bytes(row.content)
+                n = len(buf) // 2
+                if len(buf) == 0 or len(buf) % 2 or n % window_samples:
+                    out["media_id"].append(row.media_id)
+                    out["win_idx"].append(None)
+                    out["n_samples"].append(n)
+                    for k in ("peak_abs", "n_zero_cross", "rms"):
+                        out[k].append(None)
+                    continue
+                samples = np.frombuffer(buf, dtype="<i2").astype(np.int64)
+                for w, start in enumerate(range(0, n, window_samples)):
+                    s = samples[start:start + window_samples]
+                    out["media_id"].append(row.media_id)
+                    out["win_idx"].append(w)
+                    out["n_samples"].append(window_samples)
+                    out["peak_abs"].append(int(np.abs(s).max()))
+                    out["n_zero_cross"].append(
+                        int(((s[:-1] * s[1:]) < 0).sum())
+                    )
+                    out["rms"].append(
+                        float(np.sqrt((s.astype(np.float64) ** 2).mean()))
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=AUDIO_STATS_SCHEMA)

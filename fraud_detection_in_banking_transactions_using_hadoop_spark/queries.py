@@ -105,6 +105,7 @@ def registry() -> list[Query]:
         queries_ext32,
         queries_ext33,
         queries_ext34,
+        queries_ext35,
         queries_feat,
         queries_funcs,
         queries_funcs2,

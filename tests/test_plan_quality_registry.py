@@ -104,6 +104,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row totals / reference order-statistic broadcasts
     "decision_stump_split",
     "hill_tail_index",
+    # 1-row rank-bound broadcast
+    "median_ci_orderstat",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -164,6 +166,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "permutation_sign_test": "daily revenue series",
     "decision_stump_split": "distinct cent-value spine",
     "hill_tail_index": "101-row post-limit order statistics",
+    "median_ci_orderstat": "distinct cent-value spine",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
