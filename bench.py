@@ -51,6 +51,8 @@ HEADLINE = [
     "quantile_binning",  # distributed exact ntile (operators/rank two-level)
     "gini_coefficient",  # distributed global rank + prefix identity
     "substring_dup_spans",  # k-gram substring-dup profile (shingle-key shuffle)
+    "nearest_spend_match",  # 1-D matching via rank-operator prefix counts
+    "decision_stump_split",  # GBDT split search on the distinct-value spine
 ]
 
 
