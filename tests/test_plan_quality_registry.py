@@ -200,6 +200,8 @@ EAGER = {
     "streaming_hll_replay",
     # persisted edge table feeding degree + two walk steps
     "ppr_seeded",
+    # runs the persisted minhash/LSH candidate pipeline
+    "clustering_coefficient",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
