@@ -167,6 +167,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "decision_stump_split": "distinct cent-value spine",
     "hill_tail_index": "101-row post-limit order statistics",
     "median_ci_orderstat": "distinct cent-value spine",
+    "ndcg_at_k": "10-row post-limit popularity ranking",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
