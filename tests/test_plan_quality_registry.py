@@ -106,6 +106,8 @@ ALLOWED_NESTED_LOOP = {
     "hill_tail_index",
     # 1-row rank-bound broadcast
     "median_ci_orderstat",
+    # operators/rank broadcast range join + 1-row grand-total broadcast
+    "abc_xyz_classes",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -168,6 +170,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "hill_tail_index": "101-row post-limit order statistics",
     "median_ci_orderstat": "distinct cent-value spine",
     "ndcg_at_k": "10-row post-limit popularity ranking",
+    "chatterjee_xi": "daily revenue series",
+    "abc_xyz_classes": "B-row bucket offsets",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
