@@ -109,6 +109,7 @@ def registry() -> list[Query]:
         queries_ext36,
         queries_ext37,
         queries_ext38,
+        queries_ext39,
         queries_feat,
         queries_funcs,
         queries_funcs2,
