@@ -110,6 +110,7 @@ def registry() -> list[Query]:
         queries_ext37,
         queries_ext38,
         queries_ext39,
+        queries_ext40,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -108,6 +108,8 @@ ALLOWED_NESTED_LOOP = {
     "median_ci_orderstat",
     # operators/rank broadcast range join + 1-row grand-total broadcast
     "abc_xyz_classes",
+    # 1-row (total, count) scalar broadcast
+    "theil_index",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
