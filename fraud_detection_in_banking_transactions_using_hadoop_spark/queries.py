@@ -111,6 +111,7 @@ def registry() -> list[Query]:
         queries_ext38,
         queries_ext39,
         queries_ext40,
+        queries_ext41,
         queries_feat,
         queries_funcs,
         queries_funcs2,

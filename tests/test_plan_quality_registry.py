@@ -174,6 +174,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "ndcg_at_k": "10-row post-limit popularity ranking",
     "chatterjee_xi": "daily revenue series",
     "abc_xyz_classes": "B-row bucket offsets",
+    "haar_wavelet_energy": "256-day bounded series index",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
