@@ -112,6 +112,7 @@ def registry() -> list[Query]:
         queries_ext39,
         queries_ext40,
         queries_ext41,
+        queries_ext42,
         queries_feat,
         queries_funcs,
         queries_funcs2,
