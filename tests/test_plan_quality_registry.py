@@ -110,6 +110,8 @@ ALLOWED_NESTED_LOOP = {
     "abc_xyz_classes",
     # 1-row (total, count) scalar broadcast
     "theil_index",
+    # 1-row true-max scalar broadcast
+    "german_tank_estimate",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
