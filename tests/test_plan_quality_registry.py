@@ -112,6 +112,8 @@ ALLOWED_NESTED_LOOP = {
     "theil_index",
     # 1-row true-max scalar broadcast
     "german_tank_estimate",
+    # 1-row horizon / group-total broadcasts
+    "logrank_test",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -177,6 +179,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "chatterjee_xi": "daily revenue series",
     "abc_xyz_classes": "B-row bucket offsets",
     "haar_wavelet_energy": "256-day bounded series index",
+    "logrank_test": "distinct day-gap spine (calendar-bounded)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
