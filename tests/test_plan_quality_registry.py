@@ -180,6 +180,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "abc_xyz_classes": "B-row bucket offsets",
     "haar_wavelet_energy": "256-day bounded series index",
     "logrank_test": "distinct day-gap spine (calendar-bounded)",
+    "wilcoxon_signed_rank": "daily series + distinct |diff| spine",
+    "quartile_mobility_matrix": "per-year distinct-spend spine",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
