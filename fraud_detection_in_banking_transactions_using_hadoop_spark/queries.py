@@ -116,6 +116,7 @@ def registry() -> list[Query]:
         queries_ext43,
         queries_ext44,
         queries_ext45,
+        queries_ext46,
         queries_feat,
         queries_funcs,
         queries_funcs2,

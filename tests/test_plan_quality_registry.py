@@ -114,6 +114,9 @@ ALLOWED_NESTED_LOOP = {
     "german_tank_estimate",
     # 1-row horizon / group-total broadcasts
     "logrank_test",
+    # 1-row margin-product / class-total broadcasts
+    "cohens_kappa",
+    "youden_j_threshold",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -182,6 +185,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "logrank_test": "distinct day-gap spine (calendar-bounded)",
     "wilcoxon_signed_rank": "daily series + distinct |diff| spine",
     "quartile_mobility_matrix": "per-year distinct-spend spine",
+    "youden_j_threshold": "distinct score-value spine",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
