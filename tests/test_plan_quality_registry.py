@@ -117,6 +117,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row margin-product / class-total broadcasts
     "cohens_kappa",
     "youden_j_threshold",
+    # 1-row (n, cut) rank-bound broadcast
+    "trimmed_mean",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -186,6 +188,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "wilcoxon_signed_rank": "daily series + distinct |diff| spine",
     "quartile_mobility_matrix": "per-year distinct-spend spine",
     "youden_j_threshold": "distinct score-value spine",
+    "trimmed_mean": "distinct cent-value spine",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
