@@ -189,6 +189,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "quartile_mobility_matrix": "per-year distinct-spend spine",
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "distinct cent-value spine",
+    "turning_point_test": "daily revenue series",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
@@ -220,6 +221,8 @@ EAGER = {
     "streaming_psi_monitor",
     # live streaming replay (foreachBatch sketch fold)
     "streaming_hll_replay",
+    # live streaming replay (foreachBatch histogram fold -> median)
+    "streaming_median_monitor",
     # persisted edge table feeding degree + two walk steps
     "ppr_seeded",
     # runs the persisted minhash/LSH candidate pipeline
