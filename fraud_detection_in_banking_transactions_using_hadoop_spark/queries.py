@@ -120,6 +120,7 @@ def registry() -> list[Query]:
         queries_ext47,
         queries_ext48,
         queries_ext49,
+        queries_ext50,
         queries_feat,
         queries_funcs,
         queries_funcs2,

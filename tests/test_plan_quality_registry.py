@@ -119,6 +119,8 @@ ALLOWED_NESTED_LOOP = {
     "youden_j_threshold",
     # 1-row (n, cut) rank-bound broadcast
     "trimmed_mean",
+    # 1-row common-part-count / tie-total broadcasts
+    "kendalls_w",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
