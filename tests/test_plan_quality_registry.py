@@ -121,6 +121,8 @@ ALLOWED_NESTED_LOOP = {
     "trimmed_mean",
     # 1-row common-part-count / tie-total broadcasts
     "kendalls_w",
+    # 1-row source-count broadcast
+    "lexical_dispersion",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
