@@ -122,6 +122,7 @@ def registry() -> list[Query]:
         queries_ext49,
         queries_ext50,
         queries_ext51,
+        queries_ext52,
         queries_feat,
         queries_funcs,
         queries_funcs2,
