@@ -123,6 +123,7 @@ def registry() -> list[Query]:
         queries_ext50,
         queries_ext51,
         queries_ext52,
+        queries_ext53,
         queries_feat,
         queries_funcs,
         queries_funcs2,

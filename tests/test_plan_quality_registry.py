@@ -123,6 +123,9 @@ ALLOWED_NESTED_LOOP = {
     "kendalls_w",
     # 1-row source-count broadcast
     "lexical_dispersion",
+    # calendar-bounded daily-summary pair join (|days|^2 constant in
+    # SF) + 1-row rank broadcast
+    "hodges_lehmann",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -194,6 +197,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "distinct cent-value spine",
     "turning_point_test": "daily revenue series",
+    "goertzel_weekly_power": "daily revenue series",
+    "hodges_lehmann": "distinct Walsh-sum spine (bounded pairs)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
