@@ -123,6 +123,8 @@ ALLOWED_NESTED_LOOP = {
     "kendalls_w",
     # 1-row source-count broadcast
     "lexical_dispersion",
+    # 1-row fit/per-origin-count broadcasts (4 origins)
+    "rolling_origin_backtest",
     # calendar-bounded daily-summary pair join (|days|^2 constant in
     # SF) + 1-row rank broadcast
     "hodges_lehmann",
@@ -236,6 +238,7 @@ EAGER = {
     "ppr_seeded",
     # runs the persisted minhash/LSH candidate pipeline
     "clustering_coefficient",
+    "rich_club_coefficient",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
