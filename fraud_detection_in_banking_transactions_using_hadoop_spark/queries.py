@@ -125,6 +125,7 @@ def registry() -> list[Query]:
         queries_ext52,
         queries_ext53,
         queries_ext54,
+        queries_ext55,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -125,6 +125,8 @@ ALLOWED_NESTED_LOOP = {
     "lexical_dispersion",
     # 1-row fit/per-origin-count broadcasts (4 origins)
     "rolling_origin_backtest",
+    # 1-row grand-total broadcast
+    "share_cascade",
     # calendar-bounded daily-summary pair join (|days|^2 constant in
     # SF) + 1-row rank broadcast
     "hodges_lehmann",
@@ -239,6 +241,8 @@ EAGER = {
     # runs the persisted minhash/LSH candidate pipeline
     "clustering_coefficient",
     "rich_club_coefficient",
+    # runs the adaptive CC operator (eager pair checkpoint)
+    "cluster_size_histogram",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
