@@ -126,6 +126,7 @@ def registry() -> list[Query]:
         queries_ext53,
         queries_ext54,
         queries_ext55,
+        queries_ext56,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -127,6 +127,9 @@ ALLOWED_NESTED_LOOP = {
     "rolling_origin_backtest",
     # 1-row grand-total broadcast
     "share_cascade",
+    # 1-row pooled-count / digit-total broadcasts
+    "simpsons_paradox_check",
+    "last_digit_uniformity",
     # calendar-bounded daily-summary pair join (|days|^2 constant in
     # SF) + 1-row rank broadcast
     "hodges_lehmann",
@@ -203,6 +206,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "turning_point_test": "daily revenue series",
     "goertzel_weekly_power": "daily revenue series",
     "hodges_lehmann": "distinct Walsh-sum spine (bounded pairs)",
+    "longest_increase_streak": "daily revenue series",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
