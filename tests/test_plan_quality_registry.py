@@ -130,6 +130,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row pooled-count / digit-total broadcasts
     "simpsons_paradox_check",
     "last_digit_uniformity",
+    # 1-row positive/total broadcasts + constant 3-row budget grid
+    "average_precision",
+    "review_capacity_capture",
     # calendar-bounded daily-summary pair join (|days|^2 constant in
     # SF) + 1-row rank broadcast
     "hodges_lehmann",
@@ -207,6 +210,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "goertzel_weekly_power": "daily revenue series",
     "hodges_lehmann": "distinct Walsh-sum spine (bounded pairs)",
     "longest_increase_streak": "daily revenue series",
+    "average_precision": "distinct score-value spine",
+    "review_capacity_capture": "distinct score-value spine",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
