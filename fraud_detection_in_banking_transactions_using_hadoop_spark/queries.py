@@ -128,6 +128,7 @@ def registry() -> list[Query]:
         queries_ext55,
         queries_ext56,
         queries_ext57,
+        queries_ext58,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -133,6 +133,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row positive/total broadcasts + constant 3-row budget grid
     "average_precision",
     "review_capacity_capture",
+    # 1-row majority-class broadcast
+    "mcnemar_test",
     # calendar-bounded daily-summary pair join (|days|^2 constant in
     # SF) + 1-row rank broadcast
     "hodges_lehmann",
