@@ -214,6 +214,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "longest_increase_streak": "daily revenue series",
     "average_precision": "distinct score-value spine",
     "review_capacity_capture": "distinct score-value spine",
+    "bernoulli_cusum_monitor": "daily rate series",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
