@@ -130,6 +130,7 @@ def registry() -> list[Query]:
         queries_ext57,
         queries_ext58,
         queries_ext59,
+        queries_ext60,
         queries_feat,
         queries_funcs,
         queries_funcs2,
