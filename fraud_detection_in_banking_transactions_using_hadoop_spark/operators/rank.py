@@ -49,6 +49,7 @@ def with_global_rank(
     n_buckets: int = 32,
     rank_col: str = "global_rank",
     prefix_sum: dict[str, str] | None = None,
+    prefix_max_excl: dict[str, str] | None = None,
 ) -> DataFrame:
     """Append an exact 1-based global row_number under the total order
     `order_cols` (whose leading component must be `value_col`,
@@ -60,6 +61,16 @@ def with_global_rank(
     measure totals prefix-summed into offsets + an in-bucket running
     window). Exact for integral/decimal measures; for doubles the
     bucket-then-row addition order differs from a serial scan.
+
+    `prefix_max_excl` maps output-column -> measure column; each output
+    gets the EXCLUSIVE running max (max over rows STRICTLY BEFORE this
+    one under the global order; NULL for the global first row). Same
+    two-level plan: per-bucket maxima -> running max over the B-row
+    offset table (strictly-preceding buckets) combined via greatest()
+    with the in-bucket strictly-preceding running max -- greatest()
+    ignores NULLs in Spark, which is exactly the empty-prefix
+    semantics wanted. Max is associative, so bucket-then-row order is
+    exact for every type (no float caveat).
 
     Rows with NULL in `value_col` are dropped (a global order over
     NULLs has no business meaning here; callers filter first).
@@ -85,19 +96,27 @@ def with_global_rank(
         F.broadcast(edges), (v >= F.col("_lo")) & (v < F.col("_hi"))
     ).drop("_lo", "_hi")
     measures = prefix_sum or {}
-    aggs = [F.count(F.lit(1)).alias("_bc")] + [
-        F.sum(src).alias(f"_bm_{out}") for out, src in measures.items()
-    ]
+    maxes = prefix_max_excl or {}
+    aggs = (
+        [F.count(F.lit(1)).alias("_bc")]
+        + [F.sum(src).alias(f"_bm_{out}") for out, src in measures.items()]
+        + [F.max(src).alias(f"_bx_{out}") for out, src in maxes.items()]
+    )
     counts = assigned.groupBy("_b").agg(*aggs)
     border = F.col("_b").asc() if ascending else F.col("_b").desc()
     w_off = Window.orderBy(border).rowsBetween(Window.unboundedPreceding, -1)
-    off_cols = ["_b", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")] + [
-        F.coalesce(F.sum(f"_bm_{out}").over(w_off), F.lit(0)).alias(f"_moff_{out}")
-        for out in measures
-    ]
+    off_cols = (
+        ["_b", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")]
+        + [
+            F.coalesce(F.sum(f"_bm_{out}").over(w_off), F.lit(0)).alias(f"_moff_{out}")
+            for out in measures
+        ]
+        + [F.max(f"_bx_{out}").over(w_off).alias(f"_xoff_{out}") for out in maxes]
+    )
     offsets = counts.select(*off_cols)
     w_in = Window.partitionBy("_b").orderBy(*order_cols)
     w_in_cum = w_in.rowsBetween(Window.unboundedPreceding, 0)
+    w_in_excl = w_in.rowsBetween(Window.unboundedPreceding, -1)
     out_df = assigned.join(F.broadcast(offsets), "_b").withColumn(
         rank_col, (F.col("_off") + F.row_number().over(w_in)).cast("bigint")
     )
@@ -107,6 +126,14 @@ def with_global_rank(
             out, F.col(f"_moff_{out}") + F.sum(src).over(w_in_cum)
         )
         drop.append(f"_moff_{out}")
+    for out, src in maxes.items():
+        # greatest() ignores NULLs: NULL bucket-offset (first bucket) or
+        # NULL in-bucket prefix (first row of a bucket) falls back to the
+        # other side; both NULL -> NULL (empty global prefix).
+        out_df = out_df.withColumn(
+            out, F.greatest(F.col(f"_xoff_{out}"), F.max(src).over(w_in_excl))
+        )
+        drop.append(f"_xoff_{out}")
     return out_df.drop(*drop)
 
 

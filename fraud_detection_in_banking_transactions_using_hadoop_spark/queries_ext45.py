@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -164,9 +165,15 @@ def _year_quartiles_sql(year: int, alias: str) -> str:
 def q_quartile_mobility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers active in both 1996 and 1997, bucketed into spend
     quartiles per year via the distinct-spend spine (cumulative counts
-    vs 4*cc <= k*n thresholds -- ties share a quartile, no data-grain
-    global window), then the 4x4 transition matrix with exact ppm row
-    shares. Diagonal mass = spend-rank persistence."""
+    vs 4*cc <= k*n thresholds -- ties share a quartile), then the 4x4
+    transition matrix with exact ppm row shares. Diagonal mass =
+    spend-rank persistence.
+
+    Scale: the distinct-spend spine is O(active customers) per year, so
+    its cumulative count runs on operators/rank.with_global_rank
+    (two-level plan: B-row bucket offsets + per-bucket windows) instead
+    of a single-task global window; the year total is a 1-row broadcast
+    scalar."""
     orders = read_table(spark, sf_dir, "orders")
 
     def year_q(year: int) -> DataFrame:
@@ -179,11 +186,11 @@ def q_quartile_mobility_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("sp"))
         )
         spine = spend.groupBy("sp").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        wv = Window.orderBy("sp").rowsBetween(Window.unboundedPreceding, 0)
-        cum = spine.select(
-            "sp",
-            F.sum("c").over(wv).alias("cc"),
-            F.sum("c").over(Window.partitionBy()).alias("n"),
+        total = spine.agg(F.sum("c").cast("bigint").alias("n"))
+        cum = (
+            with_global_rank(spine, "sp", [F.col("sp")], prefix_sum={"cc": "c"})
+            .drop("global_rank", "c")
+            .crossJoin(F.broadcast(total))
         )
         return spend.join(cum, "sp").select(
             "ck",

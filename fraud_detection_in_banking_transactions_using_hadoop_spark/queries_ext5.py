@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -113,15 +114,20 @@ def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline without the O(n^2) dominance self-join: a part
     survives iff it has the max size AT its price AND every strictly
     cheaper price's max size is smaller. Phase 1 (per-price max) is a
-    map-side-combinable aggregate; phase 2 is a prefix max over the
-    distinct-price spine -- the only single-partition step, sized
-    |distinct prices| << |parts| (at 100 TB: range-partition the spine
-    and broadcast per-partition maxima for the carry-in). The oracle's
-    NOT EXISTS form independently checks the rewrite."""
+    map-side-combinable aggregate; phase 2 is the EXCLUSIVE prefix max
+    over the distinct-price spine -- the spine is O(distinct prices),
+    which grows with the part count, so it runs on
+    operators/rank.with_global_rank's two-level plan (per-bucket maxima
+    + B-row offset window) rather than a single-task global window. The
+    oracle's NOT EXISTS form independently checks the rewrite."""
     part = read_table(spark, sf_dir, "part")
     spine = part.groupBy("p_retailprice").agg(F.max("p_size").alias("mps"))
-    w = Window.orderBy("p_retailprice").rowsBetween(Window.unboundedPreceding, -1)
-    spine = spine.withColumn("prev_max", F.max("mps").over(w))
+    spine = with_global_rank(
+        spine,
+        "p_retailprice",
+        [F.col("p_retailprice")],
+        prefix_max_excl={"prev_max": "mps"},
+    ).drop("global_rank")
     joined = part.join(F.broadcast(spine), "p_retailprice")
     survive = (F.col("p_size") == F.col("mps")) & (
         F.col("prev_max").isNull() | (F.col("prev_max") < F.col("p_size"))

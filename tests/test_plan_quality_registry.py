@@ -59,6 +59,8 @@ ALLOWED_NESTED_LOOP = {
     "zipf_powerlaw_fit",
     "rfm_segmentation",
     "roc_auc_score",
+    "quartile_mobility_matrix",
+    "pareto_frontier",
     # constant 10-row threshold-grid broadcast cross join
     "threshold_sweep_confusion",
     # 1-row corpus-totals broadcast onto the per-token table
@@ -179,14 +181,11 @@ ALLOWED_GLOBAL_WINDOW = {
     "largest_remainder_allocation": "25-row nation seat table",
     "mixture_schedule": "per-(source,step) schedule table",
     "rle_compressibility": "per-column run tables (grouped runs)",
-    # entity-level rankings over aggregated (not fact-grain) tables;
-    # at extreme scale these migrate to with_global_rank on the
-    # aggregate -- documented tradeoff, not an accident
-    "association_rules": "item-pair support table",
     "bm25_hybrid_search": "per-query candidate set (term-filtered)",
-    "pareto_frontier": "per-part skyline candidates",
+    "pareto_frontier": "B-row bucket offsets (with_global_rank prefix max)",
     # bounded post-limit window: TakeOrderedAndProject emits 20 rows,
     # the rank window runs on those 20 only
+    "association_rules": "20-row post-limit output (rank runs after LIMIT 20)",
     "weighted_sample_topk": "20-row top-k output",
     "bootstrap_ci_revenue": "daily spine index + 200-row replicate means",
     "permutation_entropy": "daily revenue series",
@@ -205,7 +204,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "haar_wavelet_energy": "256-day bounded series index",
     "logrank_test": "distinct day-gap spine (calendar-bounded)",
     "wilcoxon_signed_rank": "daily series + distinct |diff| spine",
-    "quartile_mobility_matrix": "per-year distinct-spend spine",
+    "quartile_mobility_matrix": "B-row bucket offsets (x2 year legs)",
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "distinct cent-value spine",
     "turning_point_test": "daily revenue series",

@@ -79,3 +79,36 @@ def test_rank_null_values_dropped(spark):
     df = spark.createDataFrame([(1.0, 1), (None, 2), (2.0, 3)], "v double, k bigint")
     out = with_global_rank(df, "v", [F.col("v").asc(), F.col("k").asc()], rank_col="r")
     assert {(r["k"], r["r"]) for r in out.collect()} == {(1, 1), (3, 2)}
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 32])
+def test_prefix_sum_matches_literal_running_sum(spark, tied_df, n_buckets):
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = {
+        r["k"]: r["cs"]
+        for r in with_global_rank(
+            tied_df, "v", order, n_buckets=n_buckets, prefix_sum={"cs": "k"}
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cs"] for r in tied_df.select("k", F.sum("k").over(w).alias("cs")).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 32])
+def test_prefix_max_excl_matches_literal_exclusive_max(spark, tied_df, n_buckets):
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = {
+        r["k"]: r["pm"]
+        for r in with_global_rank(
+            tied_df, "v", order, n_buckets=n_buckets, prefix_max_excl={"pm": "k"}
+        ).collect()
+    }
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["k"]: r["pm"] for r in tied_df.select("k", F.max("k").over(w).alias("pm")).collect()
+    }
+    # the global first row has an empty prefix -> NULL in both paths
+    assert got == want
