@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -78,7 +79,12 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a value with `below` predecessors and multiplicity c is the
     exact integer 2*below + c + 1, and U plus the tie-corrected normal
     z close over HUGEINT sums. Ties cost nothing extra -- they ARE the
-    spine. (Same machinery as spearman_corr's average ranks.)"""
+    spine. (Same machinery as spearman_corr's average ranks.)
+
+    Scale: o_totalprice is an order-level SUM, so its distinct-cent
+    spine is ~O(rows) (measured: 15.0k/150k distinct at sf0.01/0.1) --
+    the cumulative count runs on operators/rank.with_global_rank's
+    two-level plan, never a single-task global window."""
     orders = read_table(spark, sf_dir, "orders")
     arms = orders.where(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
@@ -90,10 +96,9 @@ def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("c"),
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
     )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = spine.select(
-        "c", "c1", F.coalesce(F.sum("c").over(wv), F.lit(0)).alias("below")
-    )
+    ranked = with_global_rank(
+        spine, "v", [F.col("v")], prefix_sum={"cc": "c"}
+    ).select("c", "c1", (F.col("cc") - F.col("c")).alias("below"))
     agg = ranked.agg(
         F.sum(
             F.col("c1").cast(_DEC) * (2 * F.col("below") + F.col("c") + 1).cast(_DEC)

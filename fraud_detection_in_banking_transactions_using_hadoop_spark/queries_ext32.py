@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -87,14 +88,13 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = arms.groupBy("v").agg(
         F.count(F.lit(1)).cast(_DEC).alias("c"),
         F.sum("arm").cast(_DEC).alias("cx"),
-    )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = spine.select(
-        "c",
-        "cx",
-        F.sum("cx").over(wv).cast(_DEC).alias("a"),
-        F.sum(F.col("c") - F.col("cx")).over(wv).cast(_DEC).alias("b"),
-    )
+    ).withColumn("cy", F.col("c") - F.col("cx"))
+    # the distinct-cent spine of o_totalprice is ~O(rows): inclusive
+    # cumulative arm counts via the two-level rank plan, not a
+    # single-task global window
+    cum = with_global_rank(
+        spine, "v", [F.col("v")], prefix_sum={"a": "cx", "b": "cy"}
+    ).select("c", "cx", F.col("a").cast(_DEC).alias("a"), F.col("b").cast(_DEC).alias("b"))
     tot = spine.agg(
         F.sum("cx").cast(_DEC).alias("n"),
         F.sum(F.col("c") - F.col("cx")).cast(_DEC).alias("m"),

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -112,12 +113,11 @@ def q_decision_stump_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast(_DEC).alias("c"),
         F.sum("y").cast(_DEC).alias("k"),
     )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = spine.select(
-        "v",
-        F.sum("c").over(wv).cast(_DEC).alias("nl"),
-        F.sum("k").over(wv).cast(_DEC).alias("kl"),
-    )
+    # the distinct-cent spine of o_totalprice is ~O(rows): inclusive
+    # cumulative (count, positive) pairs via the two-level rank plan
+    cum = with_global_rank(
+        spine, "v", [F.col("v")], prefix_sum={"nl": "c", "kl": "k"}
+    ).select("v", F.col("nl").cast(_DEC).alias("nl"), F.col("kl").cast(_DEC).alias("kl"))
     tot = spine.agg(
         F.sum("c").cast(_DEC).alias("n"), F.sum("k").cast(_DEC).alias("kk")
     )

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -211,8 +212,11 @@ def q_median_ci_orderstat(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = orders.select(F.expr(_CENTS).alias("v")).groupBy("v").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = spine.select("v", F.sum("c").over(wv).alias("cc"))
+    # o_totalprice's distinct-cent spine is ~O(rows): cumulative count
+    # via the two-level rank plan, not a single-task global window
+    cum = with_global_rank(
+        spine, "v", [F.col("v")], prefix_sum={"cc": "c"}
+    ).select("v", "cc")
     sn = F.sum("c")
     tot = spine.agg(
         sn.cast("bigint").alias("n"),

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -145,14 +146,11 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = orders.select(F.expr(_CENTS).alias("v")).groupBy("v").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    w_hi = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    w_lo = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    cum = spine.select(
-        "v",
-        "c",
-        F.sum("c").over(w_hi).alias("hi"),
-        F.coalesce(F.sum("c").over(w_lo), F.lit(0)).alias("lo"),
-    )
+    # o_totalprice's distinct-cent spine is ~O(rows): inclusive running
+    # count hi via the two-level rank plan; lo = hi - c (exclusive)
+    cum = with_global_rank(
+        spine, "v", [F.col("v")], prefix_sum={"hi": "c"}
+    ).select("v", "c", "hi", (F.col("hi") - F.col("c")).alias("lo"))
     tot = spine.agg(
         F.sum("c").cast("bigint").alias("n"),
         F.expr("CAST(sum(c) DIV 10 AS BIGINT)").alias("cut"),

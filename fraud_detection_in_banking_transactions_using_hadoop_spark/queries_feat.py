@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -226,26 +227,29 @@ _SPEARMAN_SQL = """
 @register("spearman_corr", _SPEARMAN_SQL, tags=("stats", "rank"))
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spearman rho without a global rank window: average ranks come
-    from the distinct-value spine (grouped counts + prefix sum over
-    |distinct values| rows), joined back broadcast -- so the only
-    per-row work is two map-side joins, and the single-partition step
-    is the small spine, exactly the pareto_frontier pattern. Robust to
-    the outliers that break Pearson (reported alongside)."""
+    from the distinct-value spine (grouped counts + prefix sum). The
+    x spine (l_quantity) is domain-bounded at 50 values and broadcasts;
+    the y spine (l_extendedprice) is ~O(rows) (measured 59.8k/583k
+    distinct at sf0.01/0.1), so its prefix sum runs on
+    operators/rank.with_global_rank's two-level plan and the join-back
+    is a plain shuffle equi-join, never a broadcast. Robust to the
+    outliers that break Pearson (reported alongside)."""
     li = read_table(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y")
     )
 
     def rank_spine(df: DataFrame, col: str) -> DataFrame:
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        spine = df.groupBy(col).agg(F.count("*").alias("c"))
         return (
-            df.groupBy(col)
-            .agg(F.count("*").alias("c"))
-            .withColumn("cb", F.coalesce(F.sum("c").over(w), F.lit(0)))
-            .select(col, (F.col("cb") + (F.col("c") + 1.0) / 2).alias(f"r_{col}"))
+            with_global_rank(spine, col, [F.col(col)], prefix_sum={"cc": "c"})
+            .select(
+                col,
+                (F.col("cc") - F.col("c") + (F.col("c") + 1.0) / 2).alias(f"r_{col}"),
+            )
         )
 
     ranked = li.join(F.broadcast(rank_spine(li, "x")), "x").join(
-        F.broadcast(rank_spine(li, "y")), "y"
+        rank_spine(li, "y"), "y"
     )
     return ranked.agg(
         F.count("*").cast("bigint").alias("n"),

@@ -61,6 +61,12 @@ ALLOWED_NESTED_LOOP = {
     "roc_auc_score",
     "quartile_mobility_matrix",
     "pareto_frontier",
+    "mann_whitney_u",
+    "spearman_corr",
+    "cramer_von_mises",
+    "decision_stump_split",
+    "median_ci_orderstat",
+    "trimmed_mean",
     # constant 10-row threshold-grid broadcast cross join
     "threshold_sweep_confusion",
     # 1-row corpus-totals broadcast onto the per-token table
@@ -174,8 +180,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "ltv_curve": "weekly cohort series",
     "kaplan_meier_survival": "distinct event-time (day) spine",
     # distinct-value spines (bounded by the value DOMAIN, not row count)
-    "mann_whitney_u": "distinct cent-value spine",
-    "spearman_corr": "distinct cent-value spine",
+    "mann_whitney_u": "B-row bucket offsets (with_global_rank spine)",
+    "spearman_corr": "B-row bucket offsets (x2 rank-spine legs)",
     "length_drift_ks": "distinct length spine",
     # small-dimension summaries
     "largest_remainder_allocation": "25-row nation seat table",
@@ -192,12 +198,12 @@ ALLOWED_GLOBAL_WINDOW = {
     "nearest_spend_match": "B-row bucket offsets (x3 rank/prefix legs)",
     "sign_test_weekly": "daily revenue series",
     "conformal_interval": "daily calibration series (order statistic)",
-    "cramer_von_mises": "distinct cent-value spine",
+    "cramer_von_mises": "B-row bucket offsets (with_global_rank spine)",
     "g_test_independence": "9-cell contingency table",
     "permutation_sign_test": "daily revenue series",
-    "decision_stump_split": "distinct cent-value spine",
+    "decision_stump_split": "B-row bucket offsets (with_global_rank spine)",
     "hill_tail_index": "101-row post-limit order statistics",
-    "median_ci_orderstat": "distinct cent-value spine",
+    "median_ci_orderstat": "B-row bucket offsets (with_global_rank spine)",
     "ndcg_at_k": "10-row post-limit popularity ranking",
     "chatterjee_xi": "daily revenue series",
     "abc_xyz_classes": "B-row bucket offsets",
@@ -206,7 +212,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "wilcoxon_signed_rank": "daily series + distinct |diff| spine",
     "quartile_mobility_matrix": "B-row bucket offsets (x2 year legs)",
     "youden_j_threshold": "distinct score-value spine",
-    "trimmed_mean": "distinct cent-value spine",
+    "trimmed_mean": "B-row bucket offsets (with_global_rank spine)",
     "turning_point_test": "daily revenue series",
     "goertzel_weekly_power": "daily revenue series",
     "hodges_lehmann": "distinct Walsh-sum spine (bounded pairs)",
