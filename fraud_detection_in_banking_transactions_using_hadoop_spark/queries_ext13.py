@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -235,27 +236,37 @@ def q_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """How run-length-friendly is each column under the table's natural
-    key order? One global sort (deterministic total order) feeds three
-    lag comparisons in the same window; runs = change boundaries + 1st
-    row. High run_ratio means RLE/delta encoding won't help unless the
-    layout changes -- the decision input for write_zordered
-    (operators/layout.py). Three unioned summaries share the single
-    sorted pass in one plan."""
+    key order? Runs = change boundaries + 1st row, counted against each
+    row's PREDECESSOR under the deterministic total order. The
+    predecessor is found WITHOUT a single-task global sort: every row
+    gets its exact global rank from operators/rank.with_global_rank
+    (two-level plan), and lag() becomes a distributed equi-join on
+    rank = rank - 1 -- the scale path for fact-grain adjacency. (The
+    synthetic key stays < 2^53, so the operator's double-ranged bucket
+    join is exact.) Three unioned summaries share the ranked pass."""
     li = read_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy(
-        F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+    sm = F.date_format("l_shipdate", "yyyy-MM")
+    keyed = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("k"),
         "l_quantity",
         "l_extendedprice",
-    )
-    sm = F.date_format("l_shipdate", "yyyy-MM")
-    ordered = li.select(
         F.col("l_returnflag").alias("rf"),
         F.col("l_linestatus").alias("ls"),
         sm.alias("shipmonth"),
-        F.lag("l_returnflag").over(w).alias("p_rf"),
-        F.lag("l_linestatus").over(w).alias("p_ls"),
-        F.lag(sm).over(w).alias("p_sm"),
     )
+    ranked = with_global_rank(
+        keyed,
+        "k",
+        [F.col("k"), F.col("l_quantity"), F.col("l_extendedprice")],
+        rank_col="r",
+    ).select("r", "rf", "ls", "shipmonth")
+    prev = ranked.select(
+        (F.col("r") + 1).alias("r"),
+        F.col("rf").alias("p_rf"),
+        F.col("ls").alias("p_ls"),
+        F.col("shipmonth").alias("p_sm"),
+    )
+    ordered = ranked.join(prev, "r", "left")
 
     def summarize(col, prev, name):
         chg = F.sum(

@@ -332,11 +332,17 @@ def q_bm25_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     score = F.round(F.col("kw_score") * 0.5 + F.col("cos_score") * 0.5, 6)
-    w = Window.partitionBy(F.lit(0)).orderBy(F.col("fused_score").desc(), "doc_id")
-    return (
+    # the term-filtered candidate set grows with the corpus: take the
+    # global top-20 via TakeOrderedAndProject (per-partition heaps, no
+    # single-task window), then rank the 20 survivors
+    top = (
         fused.withColumn("fused_score", score)
-        .withColumn("rk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rk") <= 20)
+        .orderBy(F.col("fused_score").desc(), "doc_id")
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("fused_score").desc(), "doc_id")
+    return (
+        top.withColumn("rk", F.row_number().over(w).cast("int"))
         .select("doc_id", "kw_score", "cos_score", "fused_score", "rk")
     )
 

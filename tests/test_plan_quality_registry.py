@@ -67,6 +67,7 @@ ALLOWED_NESTED_LOOP = {
     "decision_stump_split",
     "median_ci_orderstat",
     "trimmed_mean",
+    "rle_compressibility",
     # constant 10-row threshold-grid broadcast cross join
     "threshold_sweep_confusion",
     # 1-row corpus-totals broadcast onto the per-token table
@@ -186,8 +187,8 @@ ALLOWED_GLOBAL_WINDOW = {
     # small-dimension summaries
     "largest_remainder_allocation": "25-row nation seat table",
     "mixture_schedule": "per-(source,step) schedule table",
-    "rle_compressibility": "per-column run tables (grouped runs)",
-    "bm25_hybrid_search": "per-query candidate set (term-filtered)",
+    "rle_compressibility": "B-row bucket offsets (rank equi-join lag)",
+    "bm25_hybrid_search": "20-row post-limit output (rank runs after LIMIT 20)",
     "pareto_frontier": "B-row bucket offsets (with_global_rank prefix max)",
     # bounded post-limit window: TakeOrderedAndProject emits 20 rows,
     # the rank window runs on those 20 only
