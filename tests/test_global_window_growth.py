@@ -1,0 +1,206 @@
+"""Measured growth gate for ALLOWED_GLOBAL_WINDOW: every justification
+in the plan gate's allowlist must be FALSIFIABLE, so each entry declares
+a growth class here and DuckDB measures its window-input cardinality at
+two scale factors:
+
+- STRUCTURAL: the window input is bounded by construction (the B-row
+  bucket-offset table of operators/rank.with_global_rank, a post-LIMIT
+  result, a fixed grid). Asserted constant <= 256 -- no probe needed.
+- CALENDAR: the input is an aggregate series over the date domain,
+  which SATURATES as rows grow (the testdata date range is fixed, as is
+  any real warehouse's). Probed; growth must be ~flat.
+- DOMAIN: the input is a distinct-VALUE spine whose cardinality grows
+  sublinearly because the value domain saturates. Probed; growth must
+  be well under the base table's row growth.
+
+sf0.01 -> sf0.1 is the measuring pair (not sf0.001 -> sf0.01) because
+calendar spines are still filling the date range at sf0.001 (measured:
+orders days 1094 -> 2399 -> 2405); the saturation the justification
+claims only becomes visible once the domain is covered.
+
+The companion completeness test forces every FUTURE allowlist entry to
+declare a class -- an unclassified justification fails the suite, which
+is exactly the backsliding catch this gate exists for. Probes measure
+the growth DRIVER of each spine (days, distinct cents, category cells),
+not necessarily the exact window-input row count.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from tests.test_plan_quality_registry import ALLOWED_GLOBAL_WINDOW
+
+SF_SMALL = os.environ.get("SPARK_GRAFT_GROWTH_SMALL", "/root/testdata/sf0.01")
+SF_LARGE = os.environ.get("SPARK_GRAFT_GROWTH_LARGE", "/root/testdata/sf0.1")
+
+# window input bounded by construction: B-row offsets (B = 32 buckets,
+# some queries run several rank legs and/or a <=10-row decile summary),
+# post-LIMIT outputs, fixed grids
+STRUCTURAL = {
+    "gini_coefficient": 64,
+    "lorenz_curve": 74,
+    "quantile_binning": 64,
+    "lift_gains_table": 74,
+    "pareto_80_20": 64,
+    "zipf_powerlaw_fit": 64,
+    "rfm_segmentation": 96,
+    "roc_auc_score": 64,
+    "mann_whitney_u": 32,
+    "spearman_corr": 64,
+    "cramer_von_mises": 32,
+    "decision_stump_split": 32,
+    "median_ci_orderstat": 32,
+    "trimmed_mean": 32,
+    "rle_compressibility": 32,
+    "pareto_frontier": 32,
+    "quartile_mobility_matrix": 64,
+    "nearest_spend_match": 96,
+    "abc_xyz_classes": 64,
+    "bm25_hybrid_search": 20,
+    "association_rules": 20,
+    "weighted_sample_topk": 20,
+    "hill_tail_index": 101,
+    "ndcg_at_k": 10,
+    "haar_wavelet_energy": 256,
+}
+
+# name -> probe key (shared probes measured once per sf)
+CALENDAR = {
+    "autocorr_daily_revenue": "orders_days",
+    "cusum_drift_detection": "orders_days",
+    "rolling_correlation": "orders_days",
+    "runs_test_randomness": "orders_days",
+    "seasonal_decompose": "orders_days",
+    "max_drawdown": "orders_days",
+    "changepoint_max_cusum": "orders_days",
+    "ransac_trend_fit": "orders_days",
+    "permutation_entropy": "orders_days",
+    "sign_test_weekly": "orders_days",
+    "conformal_interval": "orders_days",
+    "permutation_sign_test": "orders_days",
+    "chatterjee_xi": "orders_days",
+    "turning_point_test": "orders_days",
+    "goertzel_weekly_power": "orders_days",
+    "longest_increase_streak": "orders_days",
+    "bernoulli_cusum_monitor": "orders_days",
+    "bootstrap_ci_revenue": "orders_days",
+    "wilcoxon_signed_rank": "orders_days",
+    "logrank_test": "orders_days",
+    "ltv_curve": "orders_days",
+    "new_vs_returning": "events_days",
+    "stickiness_dau_wau": "events_days",
+    "kaplan_meier_survival": "events_days",
+    # Walsh pair-sum spine over the daily series: saturates at
+    # ~days^2/2 (measured 2.87M -> 2.89M across sf0.01 -> sf0.1)
+    "hodges_lehmann": "walsh_sums",
+}
+
+# name -> (probe key, base-table probe key)
+DOMAIN = {
+    "length_drift_ks": ("doc_nchars", "documents_rows"),
+    "youden_j_threshold": ("event_value_cents", "events_rows"),
+    "average_precision": ("event_value_cents", "events_rows"),
+    "review_capacity_capture": ("event_value_cents", "events_rows"),
+    "mixture_schedule": ("doc_sources", "documents_rows"),
+    "g_test_independence": ("rf_ls_cells", "lineitem_rows"),
+    "largest_remainder_allocation": ("cust_nations", "customer_rows"),
+    "bh_fdr_screen": ("cust_nations", "customer_rows"),
+}
+
+PROBES = {
+    "orders_days": "SELECT count(DISTINCT o_orderdate) FROM orders",
+    "events_days": "SELECT count(DISTINCT CAST(ts AS DATE)) FROM events",
+    "walsh_sums": """
+        WITH d AS (
+          SELECT o_orderdate AS dt,
+                 CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS s
+          FROM orders GROUP BY o_orderdate)
+        SELECT count(DISTINCT a.s + b.s) FROM d a JOIN d b ON a.dt <= b.dt
+    """,
+    "event_value_cents": (
+        "SELECT count(DISTINCT CAST(round(value * 100, 0) AS BIGINT)) FROM events"
+    ),
+    "doc_nchars": "SELECT count(DISTINCT n_chars) FROM documents",
+    "doc_sources": "SELECT count(DISTINCT source) FROM documents",
+    "rf_ls_cells": (
+        "SELECT count(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus"
+        " FROM lineitem)"
+    ),
+    "cust_nations": "SELECT count(DISTINCT c_nationkey) FROM customer",
+    "orders_rows": "SELECT count(*) FROM orders",
+    "lineitem_rows": "SELECT count(*) FROM lineitem",
+    "events_rows": "SELECT count(*) FROM events",
+    "documents_rows": "SELECT count(*) FROM documents",
+    "customer_rows": "SELECT count(*) FROM customer",
+}
+
+_TABLES = ("orders", "lineitem", "events", "documents", "customer")
+
+
+def _measure(sf_dir: str) -> dict[str, int]:
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return {k: con.execute(q).fetchone()[0] for k, q in PROBES.items()}
+
+
+@pytest.fixture(scope="module")
+def measured():
+    return _measure(SF_SMALL), _measure(SF_LARGE)
+
+
+def test_every_allowlist_entry_declares_a_growth_class():
+    classified = STRUCTURAL.keys() | CALENDAR.keys() | DOMAIN.keys()
+    allow = set(ALLOWED_GLOBAL_WINDOW)
+    assert allow - classified == set(), (
+        f"allowlist entries without a measured growth class: "
+        f"{sorted(allow - classified)} -- add them to STRUCTURAL/"
+        f"CALENDAR/DOMAIN in test_global_window_growth.py with a probe"
+    )
+    assert classified - allow == set(), (
+        f"stale growth-class entries no longer in the allowlist: "
+        f"{sorted(classified - allow)}"
+    )
+
+
+def test_structural_bounds_are_constant():
+    for name, bound in STRUCTURAL.items():
+        assert bound <= 256, f"{name}: declared bound {bound} is not constant-small"
+
+
+def test_calendar_spines_saturate(measured):
+    small, large = measured
+    for name, key in CALENDAR.items():
+        n0, n1 = small[key], large[key]
+        growth = n1 / max(n0, 1)
+        assert growth <= 1.5, (
+            f"{name}: calendar spine '{key}' grew {n0} -> {n1} ({growth:.2f}x)"
+            f" across a 10x data scale-up -- the date-domain saturation"
+            f" claim is false; migrate to with_global_rank"
+        )
+
+
+def test_domain_spines_grow_sublinearly(measured):
+    small, large = measured
+    for name, (key, base_key) in DOMAIN.items():
+        n0, n1 = small[key], large[key]
+        b0, b1 = small[base_key], large[base_key]
+        base_growth = b1 / max(b0, 1)
+        growth = n1 / max(n0, 1)
+        assert base_growth >= 5, (
+            f"{name}: base probe '{base_key}' grew only {base_growth:.2f}x"
+            f" between {SF_SMALL} and {SF_LARGE} -- the sublinearity"
+            f" comparison is meaningless; fix the probe pair"
+        )
+        assert growth <= 0.5 * base_growth, (
+            f"{name}: domain spine '{key}' grew {n0} -> {n1} ({growth:.2f}x)"
+            f" vs base {base_growth:.2f}x -- not sublinear; migrate to"
+            f" with_global_rank"
+        )
