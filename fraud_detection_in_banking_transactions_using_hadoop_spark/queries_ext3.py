@@ -318,10 +318,80 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Structured Streaming replay through the batch contract: payload-ize the
 # events table, stream it file-by-file through the stateful per-card fold,
-# return the scored table. Rows-only: the sequential read-your-writes fold
-# has no SQL equivalent (tests carry the python-oracle gate).
+# return the scored table. FULLY ORACLED since round 5: the sequential
+# read-your-writes fold IS SQL-expressible as a per-card recursive CTE --
+# the replay's lookup is constant (ucl=300, score=500, so the score rule
+# is statically false), the geo map has 4 cities whose pairwise
+# law-of-cosines distances are inlined below as Python-computed double
+# literals (the fold and the oracle therefore share one libm), and the
+# state carry (last_postcode, last_second) advances only on GENUINE --
+# exactly fold_events (streaming/stateful.py:81). Event order inside the
+# fold is (micro-batch half, second-truncated ts, pos_id), deterministic
+# because event_id is unique.
 # ---------------------------------------------------------------------------
-@register("streaming_stateful_replay", None, tags=("T2", "T4", "streaming"))
+def _stateful_replay_sql() -> str:
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.stateful import law_of_cosines_km
+
+    geo = {
+        100: (40.7128, -74.0060), 101: (34.0522, -118.2437),
+        102: (51.5074, -0.1278), 103: (35.6762, 139.6503),
+    }
+    branches = []
+    for a, (la1, lo1) in geo.items():
+        for b, (la2, lo2) in geo.items():
+            d = law_of_cosines_km(la1, lo1, la2, lo2)
+            branches.append(f"WHEN s.postcode = {a} AND r.last_pc = {b} THEN {d!r}")
+    dist = "CASE " + " ".join(branches) + " END"
+    # rule order mirrors fold_events: amount > ucl; dt <= 0 always fires
+    # when a previous GENUINE ts exists; the speed rule needs both geos.
+    fraud = f"""(
+        coalesce(s.amount > 300.0, FALSE)
+        OR (r.last_sec IS NOT NULL AND s.ts_sec - r.last_sec <= 0)
+        OR (r.last_sec IS NOT NULL AND s.ts_sec - r.last_sec > 0
+            AND s.postcode IS NOT NULL AND r.last_pc IS NOT NULL
+            AND ({dist}) / (s.ts_sec - r.last_sec) > 0.25)
+    )"""
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT user_id AS card_id, user_id AS member_id, value AS amount,
+             event_id AS pos_id,
+             TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) % 4 + 100
+               AS postcode,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS transaction_dt,
+             event_id % 2 AS half,
+             CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS ts_sec
+      FROM (SELECT * FROM events ORDER BY event_id LIMIT 2000)
+    ),
+    seq AS (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY card_id ORDER BY half, ts_sec, pos_id) AS BIGINT) AS i
+      FROM base
+    ),
+    rec AS (
+      SELECT card_id, member_id, amount, pos_id, postcode, transaction_dt,
+             ts_sec, i,
+             CASE WHEN coalesce(amount > 300.0, FALSE)
+                  THEN 'FRAUD' ELSE 'GENUINE' END AS status,
+             CASE WHEN coalesce(amount > 300.0, FALSE)
+                  THEN CAST(NULL AS INTEGER) ELSE postcode END AS last_pc,
+             CASE WHEN coalesce(amount > 300.0, FALSE)
+                  THEN CAST(NULL AS BIGINT) ELSE ts_sec END AS last_sec
+      FROM seq WHERE i = 1
+      UNION ALL
+      SELECT s.card_id, s.member_id, s.amount, s.pos_id, s.postcode,
+             s.transaction_dt, s.ts_sec, s.i,
+             CASE WHEN {fraud} THEN 'FRAUD' ELSE 'GENUINE' END AS status,
+             CASE WHEN {fraud} THEN r.last_pc ELSE s.postcode END AS last_pc,
+             CASE WHEN {fraud} THEN r.last_sec ELSE s.ts_sec END AS last_sec
+      FROM rec r JOIN seq s ON s.card_id = r.card_id AND s.i = r.i + 1
+    )
+    SELECT card_id, member_id, amount, pos_id,
+           CAST(postcode AS INTEGER) AS postcode, transaction_dt, status
+    FROM rec
+    """
+
+
+@register("streaming_stateful_replay", _stateful_replay_sql(), tags=("T2", "T4", "streaming"))
 def q_streaming_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import tempfile
@@ -346,7 +416,10 @@ def q_streaming_stateful_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("transaction_dt"),
             (F.col("event_id") % 2).alias("half"),
         )
-        .limit(2000)  # bound replay size; semantics, not throughput, is under test
+        # bound replay size deterministically (event_id is the unique
+        # ts-monotone key); semantics, not throughput, is under test
+        .orderBy("event_id")
+        .limit(2000)
     )
     rows = ev.collect()
 
