@@ -9,7 +9,10 @@ batch iteration, UDF signatures. Decoding comes in two tiers:
   extracted FOR REAL in numpy (`decode_raw8`, `resize_nearest`,
   `image_channel_stats`) -- no codec library needed, so this path is
   fully exercised in tests.
-- Compressed codecs (jpeg/png/mp3/...) are STUBBED
+- PNG is decoded (and encoded) FOR REAL with stdlib zlib + numpy filter
+  reconstruction (`decode_png`/`encode_png`/`png_channel_stats`): chunk
+  CRCs verified, all five scanline filters, 8-bit gray/RGB/RGBA.
+- Remaining lossy codecs (jpeg/mp3/...) are STUBBED
   (`_decode_image_stub`, deterministic fake, clearly marked) because
   codec libraries are not in this environment; swap it for
   PIL/libvips/ffmpeg in a real deployment without touching the
@@ -336,3 +339,197 @@ def image_dhash(media: DataFrame, width: int = 4, height: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(op, schema=DHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec (stdlib zlib + numpy filter reconstruction). This closes
+# the "compressed codec decode is stubbed" gap for PNG: no codec library
+# needed -- PNG's container is chunked (length/type/data/CRC32), its
+# compression is zlib, and its per-row filters (None/Sub/Up/Average/
+# Paeth) are integer arithmetic. 8-bit gray/RGB/RGBA, non-interlaced.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(img, filter_mode: str = "cycle", level: int = 6) -> bytes:
+    """REAL PNG encoder for uint8 H x W x C numpy images (C in 1/3/4).
+    `filter_mode='cycle'` applies filter type (row % 5) so a roundtrip
+    exercises every filter the decoder must reconstruct; 'none' writes
+    unfiltered rows. Chunk CRCs are real (zlib.crc32)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[c]
+    bpp = c  # bytes per pixel at bit depth 8
+    raw = img.reshape(h, w * c).astype(np.int32)
+    lines = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for r in range(h):
+        cur = raw[r]
+        ft = (r % 5) if filter_mode == "cycle" else 0
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if ft == 0:
+            out = cur
+        elif ft == 1:
+            out = cur - left
+        elif ft == 2:
+            out = cur - prev
+        elif ft == 3:
+            out = cur - (left + prev) // 2
+        else:
+            pred = np.array(
+                [_paeth(int(left[i]), int(prev[i]), int(upleft[i]))
+                 for i in range(w * c)],
+                dtype=np.int32,
+            )
+            out = cur - pred
+        lines.append(bytes([ft]) + (out % 256).astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines), level)
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes):
+    """REAL PNG decoder: parses chunks (verifying CRC32), inflates the
+    IDAT stream, reconstructs all five scanline filters, and returns the
+    uint8 H x W x C numpy image. Supports bit depth 8, color types
+    0 (gray) / 2 (RGB) / 6 (RGBA), non-interlaced. Raises ValueError on
+    anything malformed -- like any decoder on corrupt bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not isinstance(data, (bytes, bytearray)) or bytes(data[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    data = bytes(data)
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported PNG variant")
+    channels = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported color type {color_type}")
+    stride, bpp = w * channels, channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("inflated size mismatch")
+    img = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prev) % 256
+        elif ft in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + prev[i]) // 2
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    pred = _paeth(int(a), int(prev[i]), c)
+                cur[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        img[r] = cur.astype(np.uint8)
+        prev = cur
+    return img.reshape(h, w, channels)
+
+
+def png_channel_stats(media: DataFrame) -> DataFrame:
+    """image_channel_stats twin for REAL 'image/png' content: decode via
+    decode_png (zlib + filter reconstruction), verify the container
+    roundtrip, emit narrow stats map-side. Corrupt rows yield NULLs."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "n_bytes", "mean_r", "mean_g", "mean_b",
+                    "std_gray", "roundtrip_exact")}
+            for row in pdf.itertuples():
+                out["media_id"].append(row.media_id)
+                try:
+                    img = decode_png(bytes(row.content))
+                except (ValueError, TypeError):
+                    for k in ("n_bytes", "mean_r", "mean_g", "mean_b",
+                              "std_gray", "roundtrip_exact"):
+                        out[k].append(None)
+                    continue
+                f = img.astype(np.float64)
+                h, w, c = img.shape
+                out["n_bytes"].append(int(h * w * c))
+                out["mean_r"].append(float(f[..., 0].mean()))
+                out["mean_g"].append(float(f[..., min(1, c - 1)].mean()))
+                out["mean_b"].append(float(f[..., min(2, c - 1)].mean()))
+                out["std_gray"].append(float(f[..., :3].mean(axis=2).std()))
+                redecoded = decode_png(encode_png(img, filter_mode="cycle"))
+                out["roundtrip_exact"].append(bool((redecoded == img).all()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(op, schema=PNG_STATS_SCHEMA)
+
+
+PNG_STATS_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("mean_r", T.DoubleType(), True),
+    T.StructField("mean_g", T.DoubleType(), True),
+    T.StructField("mean_b", T.DoubleType(), True),
+    T.StructField("std_gray", T.DoubleType(), True),
+    T.StructField("roundtrip_exact", T.BooleanType(), True),
+])

@@ -411,6 +411,119 @@ def q_multimodal_raw8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# REAL compressed-codec multimodal tier: deterministic 5x4 RGB images are
+# encoded to genuine PNG bytes (zlib IDAT, cycling through all five
+# scanline filters, real chunk CRCs) and decoded back through the
+# stdlib-only decoder in operators/multimodal.py. The oracle rebuilds the
+# pixel bytes from the hex digests and aggregates them directly -- so the
+# hash gate independently checks that decode(encode(img)) reproduced the
+# pixels exactly through a real compressed container.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_png_stats",
+    """
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             md5(CAST(doc_id AS VARCHAR) || 'a')
+               || md5(CAST(doc_id AS VARCHAR) || 'b')
+               || md5(CAST(doc_id AS VARCHAR) || 'c')
+               || md5(CAST(doc_id AS VARCHAR) || 'd') AS hex
+      FROM documents),
+    b AS (
+      SELECT media_id,
+             ('0x' || substr(hex, i * 2 + 1, 2))::BIGINT AS v,
+             i % 3 AS channel,
+             i // 3 AS pixel
+      FROM h, (SELECT unnest(range(0, 60)) AS i) idx),
+    px AS (
+      SELECT media_id, pixel, avg(v) AS gray FROM b GROUP BY media_id, pixel)
+    SELECT b.media_id,
+           CAST(60 AS BIGINT) AS n_bytes,
+           round(avg(CASE WHEN channel = 0 THEN v END), 6) AS mean_r,
+           round(avg(CASE WHEN channel = 1 THEN v END), 6) AS mean_g,
+           round(avg(CASE WHEN channel = 2 THEN v END), 6) AS mean_b,
+           round((SELECT stddev_pop(gray) FROM px WHERE px.media_id = b.media_id), 6)
+             AS std_gray,
+           TRUE AS roundtrip_exact
+    FROM b GROUP BY b.media_id
+    """,
+    tags=("multimodal", "arrow", "codec"),
+)
+def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG tier of the multimodal surface: 5-row images force the encoder
+    through every PNG filter type (row % 5), the decoder reconstructs
+    them from the zlib stream, and a second in-op roundtrip asserts
+    exactness. The oracle never sees PNG -- it derives the expected
+    stats from the deterministic pixel bytes, which is precisely what
+    makes the decode REAL: a wrong filter reconstruction shifts every
+    mean and fails the hash."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import (
+        decode_raw8,
+        encode_png,
+        png_channel_stats,
+    )
+    from pyspark.sql import types as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    raw = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.unhex(
+                F.concat(
+                    F.md5(F.concat(d, F.lit("a"))),
+                    F.md5(F.concat(d, F.lit("b"))),
+                    F.md5(F.concat(d, F.lit("c"))),
+                    F.md5(F.concat(d, F.lit("d"))),
+                )
+            ),
+            1,
+            60,
+        ).alias("content"),
+    )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("mime_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def encode_op(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            png = [
+                bytes(encode_png(decode_raw8(bytes(c), 4, 5), filter_mode="cycle"))
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": png,
+                    "mime_type": "image/png",
+                    "width": 4,
+                    "height": 5,
+                }
+            )
+
+    media = raw.mapInPandas(encode_op, schema=enc_schema)
+    stats = png_channel_stats(media)
+    return stats.select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+        "roundtrip_exact",
+    )
+
+
+# ---------------------------------------------------------------------------
 # EWMA (exponential smoothing) as a WINDOW rewrite: the recursive
 # ewma_t = a*x_t + (1-a)*ewma_{t-1} unrolls to a running sum of
 # rescaled terms u_i = coef_i * x_i / r^i with one final r^t multiply.

@@ -245,3 +245,77 @@ def test_resize_nearest_identity_and_downscale():
     np.testing.assert_array_equal(half, img[[0, 2]][:, [0, 2]])
     up = resize_nearest(img, 8, 8)
     assert up.shape == (8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (round 5): the stdlib-zlib encoder/decoder must roundtrip
+# pixel-exactly across every filter type, reject corrupt containers, and
+# the Arrow operator must surface stats + roundtrip proof.
+# ---------------------------------------------------------------------------
+def test_png_roundtrip_all_filters_and_shapes():
+    import numpy as np
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    # >=5 rows forces 'cycle' mode through None/Sub/Up/Average/Paeth
+    for shape in [(5, 4, 3), (8, 8, 1), (7, 3, 4), (1, 1, 3), (13, 17, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for mode in ("cycle", "none"):
+            out = decode_png(encode_png(img, filter_mode=mode))
+            assert out.shape == img.shape
+            assert (out == img).all(), (shape, mode)
+    # gradient image: Sub/Up/Average/Paeth all predict well -> small IDAT
+    grad = np.add.outer(np.arange(32), np.arange(32))[..., None].astype(np.uint8)
+    grad = np.repeat(grad, 3, axis=2)
+    assert (decode_png(encode_png(grad)) == grad).all()
+
+
+def test_png_decoder_rejects_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    img = np.arange(60, dtype=np.uint8).reshape(5, 4, 3)
+    good = encode_png(img)
+    with _pytest.raises(ValueError):
+        decode_png(b"JFIF not a png")
+    flipped = bytearray(good)
+    flipped[20] ^= 0xFF  # inside IHDR body -> CRC mismatch
+    with _pytest.raises(ValueError):
+        decode_png(bytes(flipped))
+    with _pytest.raises(ValueError):
+        decode_png(good[: len(good) // 2])  # truncated
+
+
+def test_png_channel_stats_matches_numpy(spark):
+    import numpy as np
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import (
+        encode_png,
+        png_channel_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    imgs = {i: rng.integers(0, 256, (5, 4, 3), dtype=np.uint8) for i in range(4)}
+    rows = [
+        (i, bytes(encode_png(im)), "image/png", 4, 5) for i, im in imgs.items()
+    ] + [(99, b"corrupt", "image/png", 4, 5)]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, mime_type string, width int, height int"
+    )
+    got = {r["media_id"]: r for r in png_channel_stats(media).collect()}
+    assert got[99]["n_bytes"] is None and got[99]["roundtrip_exact"] is None
+    for i, im in imgs.items():
+        f = im.astype(np.float64)
+        assert got[i]["n_bytes"] == 60
+        assert got[i]["roundtrip_exact"] is True
+        assert abs(got[i]["mean_r"] - f[..., 0].mean()) < 1e-12
+        assert abs(got[i]["std_gray"] - f.mean(axis=2).std()) < 1e-12
