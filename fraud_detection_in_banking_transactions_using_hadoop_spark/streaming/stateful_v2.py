@@ -67,12 +67,31 @@ class CardScoringProcessor(StatefulProcessor):
         pass
 
 
+def tws_runtime_available() -> bool:
+    """Live probe for the transformWithState runtime: the state-server
+    protocol needs google.protobuf, absent in some images. Probed at
+    call time (not import) so importing this module never fails."""
+    import importlib.util
+
+    try:  # find_spec imports the parent package, which may itself be absent
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
 def score_stream_stateful_v2(
     stream: DataFrame,
     lookup: dict,
     geo: dict,
     cfg: EngineConfig = DEFAULT_CONFIG,
 ) -> DataFrame:
+    if not tws_runtime_available():
+        raise RuntimeError(
+            "transformWithStateInPandas requires google.protobuf, which this"
+            " environment lacks; the v2 backend is EXPERIMENTAL -- use"
+            " streaming.stateful.score_stream_stateful (v1, identical"
+            " semantics via the shared fold_events)"
+        )
     spark = stream.sparkSession
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",

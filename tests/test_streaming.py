@@ -337,15 +337,12 @@ def test_transform_with_state_matches_v1_backend(spark, tmp_path_factory):
         msg = str(e)
         if has_tws_runtime:
             raise
-        # no protobuf -> the transformWithState driver worker cannot start;
-        # assert it fails in the documented way, not some new way
-        assert any(
-            s in msg
-            for s in (
-                "RocksDB", "rocksdb", "driver worker exited",
-                "STREAMING_PYTHON_RUNNER_INITIALIZATION",
-            )
-        ), f"unexpected v2-backend failure mode: {msg[:300]}"
+        # no protobuf -> the call-time probe in stateful_v2 rejects the
+        # backend with ITS error, deterministically (anything else is a
+        # regression in the gate itself)
+        assert "google.protobuf" in msg and "EXPERIMENTAL" in msg, (
+            f"unexpected v2-backend failure mode: {msg[:300]}"
+        )
         return
 
     # v1 backend on the same batch
