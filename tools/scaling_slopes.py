@@ -1,0 +1,72 @@
+"""Scaling-slope measurement for the heavy headline queries: run each at
+sf0.001 / sf0.01 / sf0.1 in ONE warmed session and print a
+rows-vs-seconds table plus the log-log slope between successive scale
+factors (slope 1.0 = linear in input rows; < 1 = sublinear; the
+interesting failures are > 1).
+
+Interpretation caveats for a single-node local[32] run: fixed per-query
+overhead (plan + task launch, ~0.3-0.5 s) dominates at sf0.001, which
+BIASES slopes downward at the small end -- the sf0.01 -> sf0.1 column is
+the honest one. Usage:
+
+    python tools/scaling_slopes.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+HEAVY = [
+    "minhash_lsh_pairs",
+    "minhash_shingle_pairs",
+    "dedup_clusters",
+    "ann_ivf_topk",
+    "semantic_dedup_prune",
+    "interval_overlap_pairs",
+]
+
+SFS = ["sf0.001", "sf0.01", "sf0.1"]
+BASE = "/root/testdata"
+
+
+def main() -> None:
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.session import get_spark
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+
+    names = sys.argv[1:] or HEAVY
+    spark = get_spark("scaling")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    by_name = {q.name: q for q in registry()}
+
+    rows = {}
+    for sf in SFS:
+        rows[sf] = read_table(spark, f"{BASE}/{sf}", "lineitem").count()
+
+    print(f"{'query':28s} " + " ".join(f"{sf:>9s}" for sf in SFS) + "  slope(.001->.01) slope(.01->.1)")
+    for name in names:
+        q = by_name[name]
+        # warm the plan path once at the smallest sf so the first timed
+        # run is not paying one-time codegen/import costs
+        q.fn(spark, f"{BASE}/sf0.001").count()
+        t = {}
+        for sf in SFS:
+            t0 = time.time()
+            q.fn(spark, f"{BASE}/{sf}").count()
+            t[sf] = time.time() - t0
+        s01 = math.log(t["sf0.01"] / t["sf0.001"]) / math.log(10)
+        s1 = math.log(t["sf0.1"] / t["sf0.01"]) / math.log(10)
+        print(
+            f"{name:28s} "
+            + " ".join(f"{t[sf]:8.2f}s" for sf in SFS)
+            + f"  {s01:14.2f} {s1:13.2f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
