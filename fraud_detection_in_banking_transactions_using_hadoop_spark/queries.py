@@ -131,6 +131,7 @@ def registry() -> list[Query]:
         queries_ext58,
         queries_ext59,
         queries_ext60,
+        queries_ext61,
         queries_feat,
         queries_funcs,
         queries_funcs2,

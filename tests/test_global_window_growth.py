@@ -66,6 +66,7 @@ STRUCTURAL = {
     "hill_tail_index": 101,
     "ndcg_at_k": 10,
     "haar_wavelet_energy": 256,
+    "wasserstein_price_gap": 64,
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -97,6 +98,7 @@ CALENDAR = {
     # Walsh pair-sum spine over the daily series: saturates at
     # ~days^2/2 (measured 2.87M -> 2.89M across sf0.01 -> sf0.1)
     "hodges_lehmann": "walsh_sums",
+    "pettitt_changepoint": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

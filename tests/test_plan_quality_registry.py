@@ -147,6 +147,12 @@ ALLOWED_NESTED_LOOP = {
     # calendar-bounded daily-summary pair join (|days|^2 constant in
     # SF) + 1-row rank broadcast
     "hodges_lehmann",
+    # calendar-bounded daily pair join (|days|^2 constant in SF)
+    "mann_kendall_trend",
+    # operators/rank B-row range join + 1-row totals broadcast
+    "wasserstein_price_gap",
+    # 1-row day-count broadcast
+    "pettitt_changepoint",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -212,6 +218,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "logrank_test": "distinct day-gap spine (calendar-bounded)",
     "wilcoxon_signed_rank": "daily series + distinct |diff| spine",
     "quartile_mobility_matrix": "B-row bucket offsets (x2 year legs)",
+    "wasserstein_price_gap": "B-row bucket offsets (with_global_rank spine)",
+    "pettitt_changepoint": "daily revenue series (x2: value spine + day prefix)",
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "B-row bucket offsets (with_global_rank spine)",
     "turning_point_test": "daily revenue series",
