@@ -132,6 +132,7 @@ def registry() -> list[Query]:
         queries_ext59,
         queries_ext60,
         queries_ext61,
+        queries_ext62,
         queries_feat,
         queries_funcs,
         queries_funcs2,

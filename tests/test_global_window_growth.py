@@ -99,6 +99,7 @@ CALENDAR = {
     # ~days^2/2 (measured 2.87M -> 2.89M across sf0.01 -> sf0.1)
     "hodges_lehmann": "walsh_sums",
     "pettitt_changepoint": "orders_days",
+    "page_hinkley_drift": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -153,6 +153,10 @@ ALLOWED_NESTED_LOOP = {
     "wasserstein_price_gap",
     # 1-row day-count broadcast
     "pettitt_changepoint",
+    # 1-row totals / peak broadcasts
+    "page_hinkley_drift",
+    # 1-row transition-total broadcast
+    "markov_entropy_rate",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -220,6 +224,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "quartile_mobility_matrix": "B-row bucket offsets (x2 year legs)",
     "wasserstein_price_gap": "B-row bucket offsets (with_global_rank spine)",
     "pettitt_changepoint": "daily revenue series (x2: value spine + day prefix)",
+    "page_hinkley_drift": "daily revenue series",
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "B-row bucket offsets (with_global_rank spine)",
     "turning_point_test": "daily revenue series",
