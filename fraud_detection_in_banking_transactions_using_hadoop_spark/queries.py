@@ -133,6 +133,7 @@ def registry() -> list[Query]:
         queries_ext60,
         queries_ext61,
         queries_ext62,
+        queries_ext63,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -67,6 +67,7 @@ STRUCTURAL = {
     "ndcg_at_k": 10,
     "haar_wavelet_energy": 256,
     "wasserstein_price_gap": 64,
+    "huber_location_2step": 64,
 }
 
 # name -> probe key (shared probes measured once per sf)

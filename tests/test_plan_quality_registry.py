@@ -157,6 +157,11 @@ ALLOWED_NESTED_LOOP = {
     "page_hinkley_drift",
     # 1-row transition-total broadcast
     "markov_entropy_rate",
+    # 1-row side-fit broadcast (left x right intercept gap)
+    "regression_discontinuity",
+    # operators/rank B-row range joins + 1-row median/MAD/iterate
+    # broadcasts (IRLS scalars)
+    "huber_location_2step",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -225,6 +230,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "wasserstein_price_gap": "B-row bucket offsets (with_global_rank spine)",
     "pettitt_changepoint": "daily revenue series (x2: value spine + day prefix)",
     "page_hinkley_drift": "daily revenue series",
+    "huber_location_2step": "B-row bucket offsets (x2 spine medians)",
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "B-row bucket offsets (with_global_rank spine)",
     "turning_point_test": "daily revenue series",
@@ -274,6 +280,8 @@ EAGER = {
     "rich_club_coefficient",
     # runs the adaptive CC operator (eager pair checkpoint)
     "cluster_size_histogram",
+    # runs the eager pagerank loop over the token graph
+    "textrank_keywords",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
