@@ -134,6 +134,7 @@ def registry() -> list[Query]:
         queries_ext61,
         queries_ext62,
         queries_ext63,
+        queries_ext64,
         queries_feat,
         queries_funcs,
         queries_funcs2,

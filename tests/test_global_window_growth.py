@@ -96,6 +96,7 @@ CALENDAR = {
     "new_vs_returning": "events_days",
     "stickiness_dau_wau": "events_days",
     "kaplan_meier_survival": "events_days",
+    "nelson_aalen_hazard": "events_days",
     # Walsh pair-sum spine over the daily series: saturates at
     # ~days^2/2 (measured 2.87M -> 2.89M across sf0.01 -> sf0.1)
     "hodges_lehmann": "walsh_sums",

@@ -162,6 +162,8 @@ ALLOWED_NESTED_LOOP = {
     # operators/rank B-row range joins + 1-row median/MAD/iterate
     # broadcasts (IRLS scalars)
     "huber_location_2step",
+    # 1-row observation-total broadcast (risk sets)
+    "nelson_aalen_hazard",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -195,6 +197,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "stickiness_dau_wau": "daily series",
     "ltv_curve": "weekly cohort series",
     "kaplan_meier_survival": "distinct event-time (day) spine",
+    "nelson_aalen_hazard": "distinct event-time (day) spine",
     # distinct-value spines (bounded by the value DOMAIN, not row count)
     "mann_whitney_u": "B-row bucket offsets (with_global_rank spine)",
     "spearman_corr": "B-row bucket offsets (x2 rank-spine legs)",
