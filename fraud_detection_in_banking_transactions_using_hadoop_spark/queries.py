@@ -135,6 +135,7 @@ def registry() -> list[Query]:
         queries_ext62,
         queries_ext63,
         queries_ext64,
+        queries_ext65,
         queries_feat,
         queries_funcs,
         queries_funcs2,

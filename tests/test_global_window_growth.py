@@ -68,6 +68,7 @@ STRUCTURAL = {
     "haar_wavelet_energy": 256,
     "wasserstein_price_gap": 64,
     "huber_location_2step": 64,
+    "kmeans_1d_lloyd": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

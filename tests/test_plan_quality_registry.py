@@ -164,6 +164,9 @@ ALLOWED_NESTED_LOOP = {
     "huber_location_2step",
     # 1-row observation-total broadcast (risk sets)
     "nelson_aalen_hazard",
+    # operators/rank B-row range join + 1-row center-table broadcasts
+    # (Lloyd rounds)
+    "kmeans_1d_lloyd",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -234,6 +237,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "pettitt_changepoint": "daily revenue series (x2: value spine + day prefix)",
     "page_hinkley_drift": "daily revenue series",
     "huber_location_2step": "B-row bucket offsets (x2 spine medians)",
+    "kmeans_1d_lloyd": "B-row bucket offsets (seed order statistics)",
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "B-row bucket offsets (with_global_rank spine)",
     "turning_point_test": "daily revenue series",
