@@ -136,6 +136,7 @@ def registry() -> list[Query]:
         queries_ext63,
         queries_ext64,
         queries_ext65,
+        queries_ext66,
         queries_feat,
         queries_funcs,
         queries_funcs2,

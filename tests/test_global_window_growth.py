@@ -103,6 +103,7 @@ CALENDAR = {
     "hodges_lehmann": "walsh_sums",
     "pettitt_changepoint": "orders_days",
     "page_hinkley_drift": "orders_days",
+    "pacf_daily_revenue": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

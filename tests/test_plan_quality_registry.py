@@ -167,6 +167,10 @@ ALLOWED_NESTED_LOOP = {
     # operators/rank B-row range join + 1-row center-table broadcasts
     # (Lloyd rounds)
     "kmeans_1d_lloyd",
+    # 1-row totals broadcast + constant 15-cell contingency pair join
+    "goodman_kruskal_gamma",
+    # 1-row totals / c0 / day-count broadcasts
+    "pacf_daily_revenue",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -238,6 +242,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "page_hinkley_drift": "daily revenue series",
     "huber_location_2step": "B-row bucket offsets (x2 spine medians)",
     "kmeans_1d_lloyd": "B-row bucket offsets (seed order statistics)",
+    "pacf_daily_revenue": "daily revenue series (day index)",
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "B-row bucket offsets (with_global_rank spine)",
     "turning_point_test": "daily revenue series",
