@@ -137,6 +137,7 @@ def registry() -> list[Query]:
         queries_ext64,
         queries_ext65,
         queries_ext66,
+        queries_ext67,
         queries_feat,
         queries_funcs,
         queries_funcs2,

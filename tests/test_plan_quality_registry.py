@@ -294,6 +294,9 @@ EAGER = {
     "cluster_size_histogram",
     # runs the eager pagerank loop over the token graph
     "textrank_keywords",
+    # live streaming replays (foreachBatch daily-sum / reservoir folds)
+    "streaming_page_hinkley_replay",
+    "streaming_topk_sample_replay",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
