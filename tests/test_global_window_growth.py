@@ -104,6 +104,7 @@ CALENDAR = {
     "pettitt_changepoint": "orders_days",
     "page_hinkley_drift": "orders_days",
     "pacf_daily_revenue": "orders_days",
+    "hurst_exponent_rs": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -243,6 +243,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "huber_location_2step": "B-row bucket offsets (x2 spine medians)",
     "kmeans_1d_lloyd": "B-row bucket offsets (seed order statistics)",
     "pacf_daily_revenue": "daily revenue series (day index)",
+    "hurst_exponent_rs": "daily revenue series (day index)",
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "B-row bucket offsets (with_global_rank spine)",
     "turning_point_test": "daily revenue series",
