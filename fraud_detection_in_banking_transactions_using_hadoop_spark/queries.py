@@ -139,6 +139,7 @@ def registry() -> list[Query]:
         queries_ext66,
         queries_ext67,
         queries_ext68,
+        queries_ext69,
         queries_feat,
         queries_funcs,
         queries_funcs2,

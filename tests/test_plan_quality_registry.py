@@ -169,6 +169,8 @@ ALLOWED_NESTED_LOOP = {
     "kmeans_1d_lloyd",
     # 1-row totals broadcast + constant 15-cell contingency pair join
     "goodman_kruskal_gamma",
+    # constant 32-probe broadcast pair join (distortion audit sample)
+    "jl_projection_distortion",
     # 1-row totals / c0 / day-count broadcasts
     "pacf_daily_revenue",
 }
