@@ -52,7 +52,14 @@ HEADLINE = [
     "gini_coefficient",  # distributed global rank + prefix identity
     "substring_dup_spans",  # k-gram substring-dup profile (shingle-key shuffle)
     "nearest_spend_match",  # 1-D matching via rank-operator prefix counts
-    "decision_stump_split",  # GBDT split search on the distinct-value spine
+    "decision_stump_split",  # GBDT split search (round 5: two-level rank plan)
+    # round-5 additions
+    "wasserstein_price_gap",  # EDF-area distance on the rank-operator spine
+    "hilbert_locality",  # Hilbert layout key (linear projection chain)
+    "kmeans_1d_lloyd",  # exact integer Lloyd rounds (IVF trainer shape)
+    "multimodal_png_stats",  # real zlib PNG decode through mapInPandas
+    "jl_projection_distortion",  # 64->16 random-projection audit
+    "huber_location_2step",  # robust location (2x spine medians + IRLS)
 ]
 
 

@@ -202,6 +202,11 @@ def q_huber_location_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = orders.select(F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"))
 
     def spine_median(df: DataFrame, col: str, n_col: DataFrame) -> DataFrame:
+        # Perf note (measured at sf0.1): the ~8 s wall clock is stage
+        # COUNT (two rank passes + two IRLS aggregates over 32-way tiny
+        # shuffles), not recompute -- persisting the spine did not help
+        # (8.2 -> 8.4 s) and was dropped. On a real cluster the stages
+        # parallelize; locally they serialize through the scheduler.
         spine = df.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         cum = with_global_rank(spine, col, [F.col(col)], prefix_sum={"cc": "c"})
         return (
