@@ -140,6 +140,7 @@ def registry() -> list[Query]:
         queries_ext67,
         queries_ext68,
         queries_ext69,
+        queries_ext70,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -105,6 +105,7 @@ CALENDAR = {
     "page_hinkley_drift": "orders_days",
     "pacf_daily_revenue": "orders_days",
     "hurst_exponent_rs": "orders_days",
+    "sharpe_sortino_daily": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -171,6 +171,12 @@ ALLOWED_NESTED_LOOP = {
     "goodman_kruskal_gamma",
     # constant 32-probe broadcast pair join (distortion audit sample)
     "jl_projection_distortion",
+    # 1-row group-stat broadcasts (3 OLS fits)
+    "oaxaca_blinder_gap",
+    # 1-row moment + underwater broadcasts
+    "sharpe_sortino_daily",
+    # constant 21-row factorial grid + 1-row rate broadcast (k < c join)
+    "erlang_c_staffing",
     # 1-row totals / c0 / day-count broadcasts
     "pacf_daily_revenue",
 }
@@ -246,6 +252,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "kmeans_1d_lloyd": "B-row bucket offsets (seed order statistics)",
     "pacf_daily_revenue": "daily revenue series (day index)",
     "hurst_exponent_rs": "daily revenue series (day index)",
+    "sharpe_sortino_daily": "daily revenue series",
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "B-row bucket offsets (with_global_rank spine)",
     "turning_point_test": "daily revenue series",
