@@ -141,6 +141,7 @@ def registry() -> list[Query]:
         queries_ext68,
         queries_ext69,
         queries_ext70,
+        queries_ext71,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -69,6 +69,7 @@ STRUCTURAL = {
     "wasserstein_price_gap": 64,
     "huber_location_2step": 64,
     "kmeans_1d_lloyd": 32,
+    "allan_variance": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -98,6 +99,7 @@ CALENDAR = {
     "stickiness_dau_wau": "events_days",
     "kaplan_meier_survival": "events_days",
     "nelson_aalen_hazard": "events_days",
+    "mean_residual_life": "events_days",
     # Walsh pair-sum spine over the daily series: saturates at
     # ~days^2/2 (measured 2.87M -> 2.89M across sf0.01 -> sf0.1)
     "hodges_lehmann": "walsh_sums",

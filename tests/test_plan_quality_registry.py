@@ -177,6 +177,10 @@ ALLOWED_NESTED_LOOP = {
     "sharpe_sortino_daily",
     # constant 21-row factorial grid + 1-row rate broadcast (k < c join)
     "erlang_c_staffing",
+    # operators/rank B-row range join (global event order)
+    "allan_variance",
+    # 1-row totals broadcast (risk sets + horizon)
+    "mean_residual_life",
     # 1-row totals / c0 / day-count broadcasts
     "pacf_daily_revenue",
 }
@@ -253,6 +257,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "pacf_daily_revenue": "daily revenue series (day index)",
     "hurst_exponent_rs": "daily revenue series (day index)",
     "sharpe_sortino_daily": "daily revenue series",
+    "allan_variance": "B-row bucket offsets (with_global_rank order)",
+    "mean_residual_life": "distinct event-time (day) spine",
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "B-row bucket offsets (with_global_rank spine)",
     "turning_point_test": "daily revenue series",
