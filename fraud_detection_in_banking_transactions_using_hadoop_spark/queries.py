@@ -142,6 +142,7 @@ def registry() -> list[Query]:
         queries_ext69,
         queries_ext70,
         queries_ext71,
+        queries_ext72,
         queries_feat,
         queries_funcs,
         queries_funcs2,

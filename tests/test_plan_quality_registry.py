@@ -181,6 +181,10 @@ ALLOWED_NESTED_LOOP = {
     "allan_variance",
     # 1-row totals broadcast (risk sets + horizon)
     "mean_residual_life",
+    # 1-row grand-total broadcast (double demeaning)
+    "twoway_fe_within",
+    # 1-row global-distribution broadcast (EMD cuts)
+    "t_closeness_audit",
     # 1-row totals / c0 / day-count broadcasts
     "pacf_daily_revenue",
 }
