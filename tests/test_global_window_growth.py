@@ -70,6 +70,7 @@ STRUCTURAL = {
     "huber_location_2step": 64,
     "kmeans_1d_lloyd": 32,
     "allan_variance": 32,
+    "rank_biased_overlap": 50,
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -108,6 +109,7 @@ CALENDAR = {
     "pacf_daily_revenue": "orders_days",
     "hurst_exponent_rs": "orders_days",
     "sharpe_sortino_daily": "orders_days",
+    "variance_changepoint_scan": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

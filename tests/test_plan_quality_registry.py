@@ -185,6 +185,11 @@ ALLOWED_NESTED_LOOP = {
     "twoway_fe_within",
     # 1-row global-distribution broadcast (EMD cuts)
     "t_closeness_audit",
+    # 1-row totals broadcast (prefix scan) / constant 50-row depth grid
+    "variance_changepoint_scan",
+    "rank_biased_overlap",
+    # constant 20-row source-grid broadcast densify join
+    "token_trend_slopes",
     # 1-row totals / c0 / day-count broadcasts
     "pacf_daily_revenue",
 }
@@ -262,6 +267,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "hurst_exponent_rs": "daily revenue series (day index)",
     "sharpe_sortino_daily": "daily revenue series",
     "allan_variance": "B-row bucket offsets (with_global_rank order)",
+    "variance_changepoint_scan": "daily revenue series",
+    "rank_biased_overlap": "50-row post-limit rankings (x2 year legs)",
     "mean_residual_life": "distinct event-time (day) spine",
     "youden_j_threshold": "distinct score-value spine",
     "trimmed_mean": "B-row bucket offsets (with_global_rank spine)",
