@@ -50,6 +50,7 @@ def with_global_rank(
     rank_col: str = "global_rank",
     prefix_sum: dict[str, str] | None = None,
     prefix_max_excl: dict[str, str] | None = None,
+    partition_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Append an exact 1-based global row_number under the total order
     `order_cols` (whose leading component must be `value_col`,
@@ -74,15 +75,29 @@ def with_global_rank(
 
     Rows with NULL in `value_col` are dropped (a global order over
     NULLs has no business meaning here; callers filter first).
+
+    `partition_cols` makes every guarantee above PER GROUP: percentile
+    cuts, bucket assignment, offsets, and windows all carry the group
+    key, so the rank/prefix outputs restart per group while no task
+    ever sees more than one (group, bucket) slice. This is the scale
+    path for low-cardinality grouped windows too: a plain
+    `Window.partitionBy(group)` over a 5-value group still funnels
+    rows/5 through single tasks, whereas here each group fans out over
+    its n_buckets ranges. The broadcast edge table is
+    |groups| * n_buckets rows -- keep groups bounded (dashboard-shaped
+    dimensions), or lift n_buckets instead.
     """
+    pcols = list(partition_cols or [])
     probs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
-    cuts = df.agg(
-        F.expr(f"approx_percentile({value_col}, array({probs}), 10000)").alias("qs")
-    )
+    pct = F.expr(f"approx_percentile({value_col}, array({probs}), 10000)").alias("qs")
+    cuts = df.groupBy(*pcols).agg(pct) if pcols else df.agg(pct)
     last = n_buckets - 1
     edges = cuts.select(
-        F.posexplode(F.expr(f"array_repeat(0, {n_buckets})")).alias("_b", "_z"), "qs"
+        *pcols,
+        F.posexplode(F.expr(f"array_repeat(0, {n_buckets})")).alias("_b", "_z"),
+        "qs",
     ).select(
+        *pcols,
         F.col("_b"),
         F.when(F.col("_b") == 0, F.lit(-1e308))
         .otherwise(F.element_at("qs", F.col("_b")))
@@ -92,9 +107,19 @@ def with_global_rank(
         .alias("_hi"),
     )
     v = F.col(value_col).cast("double")
-    assigned = df.join(
-        F.broadcast(edges), (v >= F.col("_lo")) & (v < F.col("_hi"))
-    ).drop("_lo", "_hi")
+    range_cond = (v >= F.col("_lo")) & (v < F.col("_hi"))
+    if pcols:
+        ed = edges
+        for c in pcols:
+            ed = ed.withColumnRenamed(c, f"_g_{c}")
+        cond = range_cond
+        for c in pcols:
+            cond = cond & (F.col(c) == F.col(f"_g_{c}"))
+        assigned = df.join(F.broadcast(ed), cond).drop(
+            "_lo", "_hi", *[f"_g_{c}" for c in pcols]
+        )
+    else:
+        assigned = df.join(F.broadcast(edges), range_cond).drop("_lo", "_hi")
     measures = prefix_sum or {}
     maxes = prefix_max_excl or {}
     aggs = (
@@ -102,11 +127,13 @@ def with_global_rank(
         + [F.sum(src).alias(f"_bm_{out}") for out, src in measures.items()]
         + [F.max(src).alias(f"_bx_{out}") for out, src in maxes.items()]
     )
-    counts = assigned.groupBy("_b").agg(*aggs)
+    counts = assigned.groupBy(*pcols, "_b").agg(*aggs)
     border = F.col("_b").asc() if ascending else F.col("_b").desc()
-    w_off = Window.orderBy(border).rowsBetween(Window.unboundedPreceding, -1)
+    w_off = Window.partitionBy(*pcols).orderBy(border).rowsBetween(
+        Window.unboundedPreceding, -1
+    ) if pcols else Window.orderBy(border).rowsBetween(Window.unboundedPreceding, -1)
     off_cols = (
-        ["_b", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")]
+        [*pcols, "_b", F.coalesce(F.sum("_bc").over(w_off), F.lit(0)).alias("_off")]
         + [
             F.coalesce(F.sum(f"_bm_{out}").over(w_off), F.lit(0)).alias(f"_moff_{out}")
             for out in measures
@@ -114,10 +141,10 @@ def with_global_rank(
         + [F.max(f"_bx_{out}").over(w_off).alias(f"_xoff_{out}") for out in maxes]
     )
     offsets = counts.select(*off_cols)
-    w_in = Window.partitionBy("_b").orderBy(*order_cols)
+    w_in = Window.partitionBy(*pcols, "_b").orderBy(*order_cols)
     w_in_cum = w_in.rowsBetween(Window.unboundedPreceding, 0)
     w_in_excl = w_in.rowsBetween(Window.unboundedPreceding, -1)
-    out_df = assigned.join(F.broadcast(offsets), "_b").withColumn(
+    out_df = assigned.join(F.broadcast(offsets), [*pcols, "_b"]).withColumn(
         rank_col, (F.col("_off") + F.row_number().over(w_in)).cast("bigint")
     )
     drop = ["_b", "_off"]

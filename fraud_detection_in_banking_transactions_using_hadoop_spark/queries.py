@@ -144,6 +144,7 @@ def registry() -> list[Query]:
         queries_ext71,
         queries_ext72,
         queries_ext73,
+        queries_ext74,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -203,22 +203,26 @@ def q_boxplot_five_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boxplot statistics per order priority: exact 'first value whose
     cumulative count reaches the rank' quartiles (ties share, the
     median_ci convention), Tukey fences at 1.5 IQR in integer floor
-    arithmetic, and the outlier count outside them. Every window is
-    PARTITIONED by the 5-value group -- the per-group spine never
-    funnels into one task."""
+    arithmetic, and the outlier count outside them. The per-group
+    cumulative runs on the GROUPED two-level rank plan
+    (with_global_rank(partition_cols=["grp"])): a plain 5-partition
+    window would still push rows/5 through single tasks, whereas each
+    group here fans out over its bucket ranges."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
+
     orders = read_table(spark, sf_dir, "orders")
     vals = orders.select(
         F.col("o_orderpriority").alias("grp"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"),
     )
     spine = vals.groupBy("grp", "v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    wg = Window.partitionBy("grp").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = spine.select(
-        "grp",
-        "v",
-        "c",
-        F.sum("c").over(wg).alias("cc"),
-        F.sum("c").over(Window.partitionBy("grp")).alias("n"),
+    totals = spine.groupBy("grp").agg(F.sum("c").cast("bigint").alias("n"))
+    cum = (
+        with_global_rank(
+            spine, "v", [F.col("v")], prefix_sum={"cc": "c"}, partition_cols=["grp"]
+        )
+        .drop("global_rank")
+        .join(F.broadcast(totals), "grp")
     )
     qs = cum.groupBy("grp").agg(
         F.max("n").cast("bigint").alias("n"),

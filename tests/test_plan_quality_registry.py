@@ -190,6 +190,8 @@ ALLOWED_NESTED_LOOP = {
     "rank_biased_overlap",
     # constant 20-row source-grid broadcast densify join
     "token_trend_slopes",
+    # constant 5-row percentile-grid broadcast rank join
+    "quantile_treatment_effects",
     # 1-row totals / c0 / day-count broadcasts
     "pacf_daily_revenue",
 }

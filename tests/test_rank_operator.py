@@ -112,3 +112,47 @@ def test_prefix_max_excl_matches_literal_exclusive_max(spark, tied_df, n_buckets
     }
     # the global first row has an empty prefix -> NULL in both paths
     assert got == want
+
+
+@pytest.mark.parametrize("n_buckets", [1, 4, 16])
+def test_grouped_rank_matches_partitioned_row_number(spark, n_buckets):
+    rows = [(i % 3, float((i * 7) % 11), i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g int, v double, k bigint").persist()
+    order = [F.col("v").asc(), F.col("k").asc()]
+    got = {
+        (r["g"], r["k"]): (r["r"], r["cs"])
+        for r in with_global_rank(
+            df, "v", order, n_buckets=n_buckets, rank_col="r",
+            prefix_sum={"cs": "k"}, partition_cols=["g"],
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy(*order)
+    want = {
+        (r["g"], r["k"]): (r["r"], r["cs"])
+        for r in df.select(
+            "g",
+            "k",
+            F.row_number().over(w).cast("bigint").alias("r"),
+            F.sum("k").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_rank_plan_has_no_unpartitioned_window(spark):
+    from tests.test_plan_quality_registry import _unpartitioned_windows
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i % 17), i) for i in range(100)], "g int, v double, k bigint"
+    )
+    plan = (
+        with_global_rank(
+            df, "v", [F.col("v").asc(), F.col("k").asc()], partition_cols=["g"]
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the grouped variant keeps EVERY window partitioned (by group or
+    # by group+bucket) -- no unpartitioned ordered window at all
+    assert _unpartitioned_windows(plan) == []
