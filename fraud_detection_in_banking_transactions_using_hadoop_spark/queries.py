@@ -145,6 +145,7 @@ def registry() -> list[Query]:
         queries_ext72,
         queries_ext73,
         queries_ext74,
+        queries_ext75,
         queries_feat,
         queries_funcs,
         queries_funcs2,

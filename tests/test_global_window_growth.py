@@ -110,6 +110,9 @@ CALENDAR = {
     "hurst_exponent_rs": "orders_days",
     "sharpe_sortino_daily": "orders_days",
     "variance_changepoint_scan": "orders_days",
+    "durbin_watson": "orders_days",
+    "cooks_distance_topk": "orders_days",
+    "breusch_pagan": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

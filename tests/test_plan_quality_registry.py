@@ -194,6 +194,10 @@ ALLOWED_NESTED_LOOP = {
     "quantile_treatment_effects",
     # 1-row totals / c0 / day-count broadcasts
     "pacf_daily_revenue",
+    # 1-row exact-moment OLS fit broadcast onto the daily series (ext75)
+    "durbin_watson",
+    "cooks_distance_topk",
+    "breusch_pagan",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -281,6 +285,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "average_precision": "distinct score-value spine",
     "review_capacity_capture": "distinct score-value spine",
     "bernoulli_cusum_monitor": "daily rate series",
+    "durbin_watson": "daily revenue series (day index + lag)",
+    "cooks_distance_topk": "daily revenue series (day index)",
+    "breusch_pagan": "daily revenue series (day index)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
