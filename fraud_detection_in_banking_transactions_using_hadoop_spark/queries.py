@@ -146,6 +146,7 @@ def registry() -> list[Query]:
         queries_ext73,
         queries_ext74,
         queries_ext75,
+        queries_ext76,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -71,6 +71,9 @@ STRUCTURAL = {
     "kmeans_1d_lloyd": 32,
     "allan_variance": 32,
     "rank_biased_overlap": 50,
+    "kruskal_wallis": 32,
+    "moods_median_test": 32,
+    "cliffs_delta": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

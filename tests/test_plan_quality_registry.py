@@ -198,6 +198,11 @@ ALLOWED_NESTED_LOOP = {
     "durbin_watson",
     "cooks_distance_topk",
     "breusch_pagan",
+    # operators/rank broadcast range join + 1-row totals/median broadcasts
+    # (ext76 spine-rank tests)
+    "kruskal_wallis",
+    "moods_median_test",
+    "cliffs_delta",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -288,6 +293,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "durbin_watson": "daily revenue series (day index + lag)",
     "cooks_distance_topk": "daily revenue series (day index)",
     "breusch_pagan": "daily revenue series (day index)",
+    "kruskal_wallis": "B-row bucket offsets (with_global_rank spine)",
+    "moods_median_test": "B-row bucket offsets (with_global_rank spine)",
+    "cliffs_delta": "B-row bucket offsets (with_global_rank spine)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
