@@ -147,6 +147,7 @@ def registry() -> list[Query]:
         queries_ext74,
         queries_ext75,
         queries_ext76,
+        queries_ext77,
         queries_feat,
         queries_funcs,
         queries_funcs2,
