@@ -148,6 +148,7 @@ def registry() -> list[Query]:
         queries_ext75,
         queries_ext76,
         queries_ext77,
+        queries_ext78,
         queries_feat,
         queries_funcs,
         queries_funcs2,

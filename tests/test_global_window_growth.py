@@ -74,6 +74,7 @@ STRUCTURAL = {
     "kruskal_wallis": 32,
     "moods_median_test": 32,
     "cliffs_delta": 32,
+    "event_study_car": 11,
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -116,6 +117,7 @@ CALENDAR = {
     "durbin_watson": "orders_days",
     "cooks_distance_topk": "orders_days",
     "breusch_pagan": "orders_days",
+    "forecast_eval_suite": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -203,6 +203,13 @@ ALLOWED_NESTED_LOOP = {
     "kruskal_wallis",
     "moods_median_test",
     "cliffs_delta",
+    # 1-row column-totals broadcast (ext77 Cochran's Q)
+    "cochrans_q",
+    # 1-row cutoff-date / estimation-window / event-date broadcasts +
+    # constant 3-row percentile grid (ext78 forecast eval)
+    "forecast_eval_suite",
+    "pinball_loss_dow",
+    "event_study_car",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -296,6 +303,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "kruskal_wallis": "B-row bucket offsets (with_global_rank spine)",
     "moods_median_test": "B-row bucket offsets (with_global_rank spine)",
     "cliffs_delta": "B-row bucket offsets (with_global_rank spine)",
+    "forecast_eval_suite": "daily revenue series (lag windows)",
+    "event_study_car": "11-row event window CAR",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
