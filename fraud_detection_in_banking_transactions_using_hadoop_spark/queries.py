@@ -149,6 +149,7 @@ def registry() -> list[Query]:
         queries_ext76,
         queries_ext77,
         queries_ext78,
+        queries_ext79,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -75,6 +75,8 @@ STRUCTURAL = {
     "moods_median_test": 32,
     "cliffs_delta": 32,
     "event_study_car": 11,
+    "energy_distance": 32,
+    "ks_two_sample_acctbal": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

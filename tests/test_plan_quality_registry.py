@@ -210,6 +210,11 @@ ALLOWED_NESTED_LOOP = {
     "forecast_eval_suite",
     "pinball_loss_dow",
     "event_study_car",
+    # rank-plan range joins + 1-row totals / fof broadcasts (ext79)
+    "energy_distance",
+    "crps_ensemble",
+    "good_turing_counts",
+    "ks_two_sample_acctbal",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -305,6 +310,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "cliffs_delta": "B-row bucket offsets (with_global_rank spine)",
     "forecast_eval_suite": "daily revenue series (lag windows)",
     "event_study_car": "11-row event window CAR",
+    "energy_distance": "B-row bucket offsets (with_global_rank spine)",
+    "ks_two_sample_acctbal": "B-row bucket offsets (with_global_rank spine)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
