@@ -120,6 +120,7 @@ CALENDAR = {
     "cooks_distance_topk": "orders_days",
     "breusch_pagan": "orders_days",
     "forecast_eval_suite": "orders_days",
+    "savgol_spike_days": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -312,6 +312,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "event_study_car": "11-row event window CAR",
     "energy_distance": "B-row bucket offsets (with_global_rank spine)",
     "ks_two_sample_acctbal": "B-row bucket offsets (with_global_rank spine)",
+    "savgol_spike_days": "daily revenue series (15-tap SG kernel)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
