@@ -215,6 +215,9 @@ ALLOWED_NESTED_LOOP = {
     "crps_ensemble",
     "good_turing_counts",
     "ks_two_sample_acctbal",
+    # 1-row vocab-size / central-moment broadcasts (ext81)
+    "naive_bayes_langid",
+    "mahalanobis_outliers_2d",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
