@@ -77,6 +77,7 @@ STRUCTURAL = {
     "event_study_car": 11,
     "energy_distance": 32,
     "ks_two_sample_acctbal": 32,
+    "weighted_kappa_ordinal": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

@@ -218,6 +218,11 @@ ALLOWED_NESTED_LOOP = {
     # 1-row vocab-size / central-moment broadcasts (ext81)
     "naive_bayes_langid",
     "mahalanobis_outliers_2d",
+    # per-round 1-row moment broadcasts / 1-row group-stat + margins
+    # cross joins (ext82)
+    "gesd_outliers",
+    "hotelling_t2",
+    "weighted_kappa_ordinal",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -316,6 +321,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "energy_distance": "B-row bucket offsets (with_global_rank spine)",
     "ks_two_sample_acctbal": "B-row bucket offsets (with_global_rank spine)",
     "savgol_spike_days": "daily revenue series (15-tap SG kernel)",
+    "weighted_kappa_ordinal": "B-row bucket offsets (with_global_rank quintile)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
