@@ -60,6 +60,9 @@ HEADLINE = [
     "multimodal_png_stats",  # real zlib PNG decode through mapInPandas
     "jl_projection_distortion",  # 64->16 random-projection audit
     "huber_location_2step",  # robust location (2x spine medians + IRLS)
+    "energy_distance",  # pairwise-|diff| sums via spine prefix identities
+    "naive_bayes_langid",  # trained classifier: counts model + token join
+    "crps_ensemble",  # dow pair-join scoring (calendar-bounded quadratic)
 ]
 
 

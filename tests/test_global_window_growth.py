@@ -78,6 +78,7 @@ STRUCTURAL = {
     "energy_distance": 32,
     "ks_two_sample_acctbal": 32,
     "weighted_kappa_ordinal": 32,
+    "jonckheere_terpstra": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

@@ -223,6 +223,9 @@ ALLOWED_NESTED_LOOP = {
     "gesd_outliers",
     "hotelling_t2",
     "weighted_kappa_ordinal",
+    # 1-row totals / group-term broadcasts (ext83 variance + JT tests)
+    "brown_forsythe",
+    "jonckheere_terpstra",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -322,6 +325,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "ks_two_sample_acctbal": "B-row bucket offsets (with_global_rank spine)",
     "savgol_spike_days": "daily revenue series (15-tap SG kernel)",
     "weighted_kappa_ordinal": "B-row bucket offsets (with_global_rank quintile)",
+    "jonckheere_terpstra": "B-row bucket offsets (with_global_rank spine)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
