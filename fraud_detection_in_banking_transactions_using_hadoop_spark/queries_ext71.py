@@ -148,7 +148,7 @@ def q_taylors_power_law(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM blocks a JOIN blocks b ON b.m = a.m AND b.blk = a.blk + 1)
     SELECT CAST(m AS INTEGER) AS m_gaps,
            CAST(count(*) AS BIGINT) AS n_pairs,
-           round(CAST(sum(d2_ms) AS DOUBLE) / (2.0 * count(*)), 6) AS avar_ms2,
+           CAST((10 * sum(d2_ms)) // (2 * count(*)) AS DOUBLE) / 10.0 AS avar_ms2,
            round(sqrt(CAST(sum(d2_ms) AS DOUBLE) / (2.0 * count(*))), 6)
              AS adev_ms
     FROM diffs GROUP BY m
@@ -162,7 +162,9 @@ def q_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed equi-join on block index -- never a series-wide lag
     window), each term rounded to an integer ms^2 before the order-free
     sum. White-noise cadence halves AVAR per 4x m; drifting cadence
-    does not -- the diagnostic is the m-profile."""
+    does not -- the diagnostic is the m-profile. avar is reported as
+    the EXACT floor((10 S)/(2 n))/10 (one decimal): round(x, 6) on a
+    ~4e11 double multiplies past 2^53 in DuckDB and drifts by 1e-4."""
     from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 
     ev = read_table(spark, sf_dir, "events")
@@ -212,9 +214,9 @@ def q_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return diffs.groupBy(F.col("m").cast("int").alias("m_gaps")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(F.sum("d2_ms").cast("double") / (2.0 * F.count(F.lit(1))), 6).alias(
-            "avar_ms2"
-        ),
+        (
+            F.expr("CAST((10 * sum(d2_ms)) DIV (2 * count(1)) AS DOUBLE)") / 10.0
+        ).alias("avar_ms2"),
         F.round(
             F.sqrt(F.sum("d2_ms").cast("double") / (2.0 * F.count(F.lit(1)))), 6
         ).alias("adev_ms"),

@@ -67,7 +67,9 @@ def test_allan_matches_literal_blocks(spark, sf_dir):
         r = got[m]
         assert r["n_pairs"] == len(d2)
         avar = sum(d2) / (2 * len(d2))
-        assert abs(r["avar_ms2"] - avar) < 1e-4
+        # the query reports the exact floor((10 S)/(2 n))/10 truncation
+        assert abs(r["avar_ms2"] - (10 * sum(d2)) // (2 * len(d2)) / 10) < 1e-9
+        assert abs(r["avar_ms2"] - avar) <= 0.1
         assert abs(r["adev_ms"] - math.sqrt(avar)) < 1e-6
     # pooled events arrive ~independently: ADEV must shrink as m grows
     assert got[_ALLAN_MS[-1]]["adev_ms"] < got[_ALLAN_MS[0]]["adev_ms"]

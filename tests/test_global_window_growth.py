@@ -79,6 +79,7 @@ STRUCTURAL = {
     "ks_two_sample_acctbal": 32,
     "weighted_kappa_ordinal": 32,
     "jonckheere_terpstra": 32,
+    "weibull_median_rank_fit": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

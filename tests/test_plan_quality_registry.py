@@ -226,6 +226,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row totals / group-term broadcasts (ext83 variance + JT tests)
     "brown_forsythe",
     "jonckheere_terpstra",
+    # 1-row totals broadcast + constant 5-row group-pair join (ext84)
+    "weibull_median_rank_fit",
+    "tukey_hsd_contrasts",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -326,6 +329,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "savgol_spike_days": "daily revenue series (15-tap SG kernel)",
     "weighted_kappa_ordinal": "B-row bucket offsets (with_global_rank quintile)",
     "jonckheere_terpstra": "B-row bucket offsets (with_global_rank spine)",
+    "weibull_median_rank_fit": "B-row bucket offsets (with_global_rank spine)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
