@@ -155,6 +155,7 @@ def registry() -> list[Query]:
         queries_ext82,
         queries_ext83,
         queries_ext84,
+        queries_ext85,
         queries_feat,
         queries_funcs,
         queries_funcs2,

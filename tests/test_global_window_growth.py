@@ -80,6 +80,7 @@ STRUCTURAL = {
     "weighted_kappa_ordinal": 32,
     "jonckheere_terpstra": 32,
     "weibull_median_rank_fit": 32,
+    "ansari_bradley": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

@@ -229,6 +229,10 @@ ALLOWED_NESTED_LOOP = {
     # 1-row totals broadcast + constant 5-row group-pair join (ext84)
     "weibull_median_rank_fit",
     "tukey_hsd_contrasts",
+    # 1-row totals / user-count broadcasts (ext85)
+    "ansari_bradley",
+    "sequence_support_pairs",
+    "sequence_support_triples",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -330,6 +334,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "weighted_kappa_ordinal": "B-row bucket offsets (with_global_rank quintile)",
     "jonckheere_terpstra": "B-row bucket offsets (with_global_rank spine)",
     "weibull_median_rank_fit": "B-row bucket offsets (with_global_rank spine)",
+    "ansari_bradley": "B-row bucket offsets (with_global_rank spine)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
