@@ -156,6 +156,7 @@ def registry() -> list[Query]:
         queries_ext83,
         queries_ext84,
         queries_ext85,
+        queries_ext86,
         queries_feat,
         queries_funcs,
         queries_funcs2,

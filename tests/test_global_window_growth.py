@@ -81,6 +81,7 @@ STRUCTURAL = {
     "jonckheere_terpstra": 32,
     "weibull_median_rank_fit": 32,
     "ansari_bradley": 32,
+    "dunn_posthoc_pairs": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -125,6 +126,7 @@ CALENDAR = {
     "breusch_pagan": "orders_days",
     "forecast_eval_suite": "orders_days",
     "savgol_spike_days": "orders_days",
+    "von_neumann_ratio": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -233,6 +233,8 @@ ALLOWED_NESTED_LOOP = {
     "ansari_bradley",
     "sequence_support_pairs",
     "sequence_support_triples",
+    # 5-row group-pair join + 1-row tie-totals broadcast (ext86)
+    "dunn_posthoc_pairs",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -335,6 +337,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "jonckheere_terpstra": "B-row bucket offsets (with_global_rank spine)",
     "weibull_median_rank_fit": "B-row bucket offsets (with_global_rank spine)",
     "ansari_bradley": "B-row bucket offsets (with_global_rank spine)",
+    "dunn_posthoc_pairs": "B-row bucket offsets (with_global_rank spine)",
+    "von_neumann_ratio": "daily revenue series (lag window)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
