@@ -157,6 +157,7 @@ def registry() -> list[Query]:
         queries_ext84,
         queries_ext85,
         queries_ext86,
+        queries_ext87,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -82,6 +82,7 @@ STRUCTURAL = {
     "weibull_median_rank_fit": 32,
     "ansari_bradley": 32,
     "dunn_posthoc_pairs": 32,
+    "palma_ratio": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

@@ -235,6 +235,10 @@ ALLOWED_NESTED_LOOP = {
     "sequence_support_triples",
     # 5-row group-pair join + 1-row tie-totals broadcast (ext86)
     "dunn_posthoc_pairs",
+    # 1-row year-total / rank-cut / arm-stat broadcasts (ext87)
+    "tornqvist_price_index",
+    "palma_ratio",
+    "srm_delta_ratio",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -339,6 +343,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "ansari_bradley": "B-row bucket offsets (with_global_rank spine)",
     "dunn_posthoc_pairs": "B-row bucket offsets (with_global_rank spine)",
     "von_neumann_ratio": "daily revenue series (lag window)",
+    "palma_ratio": "B-row bucket offsets (with_global_rank prefix)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
