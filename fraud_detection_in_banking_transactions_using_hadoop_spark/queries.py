@@ -158,6 +158,7 @@ def registry() -> list[Query]:
         queries_ext85,
         queries_ext86,
         queries_ext87,
+        queries_ext88,
         queries_feat,
         queries_funcs,
         queries_funcs2,

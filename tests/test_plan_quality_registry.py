@@ -239,6 +239,8 @@ ALLOWED_NESTED_LOOP = {
     "tornqvist_price_index",
     "palma_ratio",
     "srm_delta_ratio",
+    # 1-row common-OR broadcast (ext88)
+    "breslow_day_test",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
