@@ -83,6 +83,7 @@ STRUCTURAL = {
     "ansari_bradley": 32,
     "dunn_posthoc_pairs": 32,
     "palma_ratio": 32,
+    "biweight_midvariance": 64,
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -128,6 +129,7 @@ CALENDAR = {
     "forecast_eval_suite": "orders_days",
     "savgol_spike_days": "orders_days",
     "von_neumann_ratio": "orders_days",
+    "record_counts_test": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

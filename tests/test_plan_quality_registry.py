@@ -241,6 +241,9 @@ ALLOWED_NESTED_LOOP = {
     "srm_delta_ratio",
     # 1-row common-OR broadcast (ext88)
     "breslow_day_test",
+    # 1-row median/MAD/grand-total broadcasts (ext89)
+    "biweight_midvariance",
+    "theil_decomposition",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -346,6 +349,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "dunn_posthoc_pairs": "B-row bucket offsets (with_global_rank spine)",
     "von_neumann_ratio": "daily revenue series (lag window)",
     "palma_ratio": "B-row bucket offsets (with_global_rank prefix)",
+    "record_counts_test": "daily revenue series (running max)",
+    "biweight_midvariance": "B-row bucket offsets (x2 spine medians)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
