@@ -160,6 +160,7 @@ def registry() -> list[Query]:
         queries_ext87,
         queries_ext88,
         queries_ext89,
+        queries_ext90,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -130,6 +130,7 @@ CALENDAR = {
     "savgol_spike_days": "orders_days",
     "von_neumann_ratio": "orders_days",
     "record_counts_test": "orders_days",
+    "western_electric_alarms": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

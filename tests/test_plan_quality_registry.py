@@ -244,6 +244,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row median/MAD/grand-total broadcasts (ext89)
     "biweight_midvariance",
     "theil_decomposition",
+    # 1-row baseline-limit / bias-limit broadcasts (ext90)
+    "western_electric_alarms",
+    "bland_altman_limits",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -351,6 +354,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "palma_ratio": "B-row bucket offsets (with_global_rank prefix)",
     "record_counts_test": "daily revenue series (running max)",
     "biweight_midvariance": "B-row bucket offsets (x2 spine medians)",
+    "western_electric_alarms": "daily revenue series (framed run rules)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
