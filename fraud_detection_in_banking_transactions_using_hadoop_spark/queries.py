@@ -161,6 +161,7 @@ def registry() -> list[Query]:
         queries_ext88,
         queries_ext89,
         queries_ext90,
+        queries_ext91,
         queries_feat,
         queries_funcs,
         queries_funcs2,

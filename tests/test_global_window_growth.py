@@ -84,6 +84,7 @@ STRUCTURAL = {
     "dunn_posthoc_pairs": 32,
     "palma_ratio": 32,
     "biweight_midvariance": 64,
+    "concentration_curve_crk": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -131,6 +132,7 @@ CALENDAR = {
     "von_neumann_ratio": "orders_days",
     "record_counts_test": "orders_days",
     "western_electric_alarms": "orders_days",
+    "sprt_replay": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -247,6 +247,10 @@ ALLOWED_NESTED_LOOP = {
     # 1-row baseline-limit / bias-limit broadcasts (ext90)
     "western_electric_alarms",
     "bland_altman_limits",
+    # 1-row arm-stat / crossing / rank-cut broadcasts (ext91)
+    "tost_equivalence",
+    "sprt_replay",
+    "concentration_curve_crk",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -355,6 +359,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "record_counts_test": "daily revenue series (running max)",
     "biweight_midvariance": "B-row bucket offsets (x2 spine medians)",
     "western_electric_alarms": "daily revenue series (framed run rules)",
+    "sprt_replay": "daily summary series (LLR prefix walk)",
+    "concentration_curve_crk": "B-row bucket offsets (with_global_rank prefix)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
