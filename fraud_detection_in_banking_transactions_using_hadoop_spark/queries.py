@@ -162,6 +162,7 @@ def registry() -> list[Query]:
         queries_ext89,
         queries_ext90,
         queries_ext91,
+        queries_ext92,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -85,6 +85,7 @@ STRUCTURAL = {
     "palma_ratio": 32,
     "biweight_midvariance": 64,
     "concentration_curve_crk": 32,
+    "auc_delong_ci": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

@@ -251,6 +251,10 @@ ALLOWED_NESTED_LOOP = {
     "tost_equivalence",
     "sprt_replay",
     "concentration_curve_crk",
+    # 1-row totals / cutoff broadcasts (ext92 model-eval trio)
+    "auc_delong_ci",
+    "brier_decomposition",
+    "hosmer_lemeshow",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -361,6 +365,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "western_electric_alarms": "daily revenue series (framed run rules)",
     "sprt_replay": "daily summary series (LLR prefix walk)",
     "concentration_curve_crk": "B-row bucket offsets (with_global_rank prefix)",
+    "auc_delong_ci": "B-row bucket offsets (with_global_rank spine)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
