@@ -163,6 +163,7 @@ def registry() -> list[Query]:
         queries_ext90,
         queries_ext91,
         queries_ext92,
+        queries_ext93,
         queries_feat,
         queries_funcs,
         queries_funcs2,

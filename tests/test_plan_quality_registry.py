@@ -255,6 +255,10 @@ ALLOWED_NESTED_LOOP = {
     "auc_delong_ci",
     "brier_decomposition",
     "hosmer_lemeshow",
+    # constant 8-row offset grid + 1-row moment broadcasts (ext93 spatial)
+    "morans_i",
+    "gearys_c",
+    "getis_ord_hotspots",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
