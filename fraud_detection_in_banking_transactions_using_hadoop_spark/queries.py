@@ -164,6 +164,7 @@ def registry() -> list[Query]:
         queries_ext91,
         queries_ext92,
         queries_ext93,
+        queries_ext94,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -134,6 +134,9 @@ CALENDAR = {
     "record_counts_test": "orders_days",
     "western_electric_alarms": "orders_days",
     "sprt_replay": "orders_days",
+    "ccf_lead_lag": "orders_days",
+    "engle_granger_adf": "orders_days",
+    "granger_causality_1lag": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -259,6 +259,9 @@ ALLOWED_NESTED_LOOP = {
     "morans_i",
     "gearys_c",
     "getis_ord_hotspots",
+    # constant 15-row lag grid + 1-row fit broadcasts (ext94 econometrics)
+    "ccf_lead_lag",
+    "engle_granger_adf",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -370,6 +373,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "sprt_replay": "daily summary series (LLR prefix walk)",
     "concentration_curve_crk": "B-row bucket offsets (with_global_rank prefix)",
     "auc_delong_ci": "B-row bucket offsets (with_global_rank spine)",
+    "ccf_lead_lag": "daily series (day index)",
+    "engle_granger_adf": "daily series (day index + resid lag)",
+    "granger_causality_1lag": "daily series (day index)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
