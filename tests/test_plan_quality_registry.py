@@ -262,6 +262,10 @@ ALLOWED_NESTED_LOOP = {
     # constant 15-row lag grid + 1-row fit broadcasts (ext94 econometrics)
     "ccf_lead_lag",
     "engle_granger_adf",
+    # 1-row corpus-total broadcasts (ext95 corpus linguistics)
+    "keyness_loglik",
+    "entropy_rate_ladder",
+    "tscore_collocations",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
