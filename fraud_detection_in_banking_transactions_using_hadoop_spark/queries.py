@@ -166,6 +166,7 @@ def registry() -> list[Query]:
         queries_ext93,
         queries_ext94,
         queries_ext95,
+        queries_ext96,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -86,6 +86,7 @@ STRUCTURAL = {
     "biweight_midvariance": 64,
     "concentration_curve_crk": 32,
     "auc_delong_ci": 32,
+    "gpd_pot_fit": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

@@ -266,6 +266,9 @@ ALLOWED_NESTED_LOOP = {
     "keyness_loglik",
     "entropy_rate_ladder",
     "tscore_collocations",
+    # 1-row threshold / severity-moment broadcasts (ext96 actuarial)
+    "gpd_pot_fit",
+    "compound_poisson_aggregate",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -380,6 +383,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "ccf_lead_lag": "daily series (day index)",
     "engle_granger_adf": "daily series (day index + resid lag)",
     "granger_causality_1lag": "daily series (day index)",
+    "gpd_pot_fit": "B-row bucket offsets (with_global_rank spine)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
