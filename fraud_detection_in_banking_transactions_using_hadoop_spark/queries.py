@@ -167,6 +167,7 @@ def registry() -> list[Query]:
         queries_ext94,
         queries_ext95,
         queries_ext96,
+        queries_ext97,
         queries_feat,
         queries_funcs,
         queries_funcs2,

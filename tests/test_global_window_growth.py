@@ -87,6 +87,7 @@ STRUCTURAL = {
     "concentration_curve_crk": 32,
     "auc_delong_ci": 32,
     "gpd_pot_fit": 32,
+    "error_interarrival_stats": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

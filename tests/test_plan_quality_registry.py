@@ -269,6 +269,11 @@ ALLOWED_NESTED_LOOP = {
     # 1-row threshold / severity-moment broadcasts (ext96 actuarial)
     "gpd_pot_fit",
     "compound_poisson_aggregate",
+    # constant 5-year grid / 1-row inspection-date + moment broadcasts
+    # (ext97 renewal-Markov)
+    "absorbing_chain_lifetime",
+    "inspection_paradox",
+    "error_interarrival_stats",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -384,6 +389,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "engle_granger_adf": "daily series (day index + resid lag)",
     "granger_causality_1lag": "daily series (day index)",
     "gpd_pot_fit": "B-row bucket offsets (with_global_rank spine)",
+    "error_interarrival_stats": "B-row bucket offsets (with_global_rank order)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
