@@ -168,6 +168,7 @@ def registry() -> list[Query]:
         queries_ext95,
         queries_ext96,
         queries_ext97,
+        queries_ext98,
         queries_feat,
         queries_funcs,
         queries_funcs2,

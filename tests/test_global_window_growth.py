@@ -88,6 +88,8 @@ STRUCTURAL = {
     "auc_delong_ci": 32,
     "gpd_pot_fit": 32,
     "error_interarrival_stats": 32,
+    "competing_risks_cif": 96,
+    "monetary_unit_sampling": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

@@ -274,6 +274,11 @@ ALLOWED_NESTED_LOOP = {
     "absorbing_chain_lifetime",
     "inspection_paradox",
     "error_interarrival_stats",
+    # 1-row totals + constant grids (100 PPS points / 5-day readout)
+    # (ext98 sampling + competing risks)
+    "neyman_allocation",
+    "competing_risks_cif",
+    "monetary_unit_sampling",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -390,6 +395,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "granger_causality_1lag": "daily series (day index)",
     "gpd_pot_fit": "B-row bucket offsets (with_global_rank spine)",
     "error_interarrival_stats": "B-row bucket offsets (with_global_rank order)",
+    "competing_risks_cif": "event-day spine (with_global_rank prefix x3)",
+    "monetary_unit_sampling": "B-row bucket offsets (with_global_rank prefix)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
