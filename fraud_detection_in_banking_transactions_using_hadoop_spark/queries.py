@@ -169,6 +169,7 @@ def registry() -> list[Query]:
         queries_ext96,
         queries_ext97,
         queries_ext98,
+        queries_ext99,
         queries_feat,
         queries_funcs,
         queries_funcs2,

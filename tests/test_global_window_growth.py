@@ -90,6 +90,8 @@ STRUCTURAL = {
     "error_interarrival_stats": 32,
     "competing_risks_cif": 96,
     "monetary_unit_sampling": 32,
+    "survival_split_stump": 64,
+    "lorenz_asymmetry": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -141,6 +143,7 @@ CALENDAR = {
     "ccf_lead_lag": "orders_days",
     "engle_granger_adf": "orders_days",
     "granger_causality_1lag": "orders_days",
+    "newey_west_slope_se": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -279,6 +279,11 @@ ALLOWED_NESTED_LOOP = {
     "neyman_allocation",
     "competing_risks_cif",
     "monetary_unit_sampling",
+    # constant 6-row lag grid / 9-row cut grid / 1-row edge broadcasts
+    # (ext99 HAC + survival split + Lorenz asymmetry)
+    "newey_west_slope_se",
+    "survival_split_stump",
+    "lorenz_asymmetry",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -397,6 +402,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "error_interarrival_stats": "B-row bucket offsets (with_global_rank order)",
     "competing_risks_cif": "event-day spine (with_global_rank prefix x3)",
     "monetary_unit_sampling": "B-row bucket offsets (with_global_rank prefix)",
+    "newey_west_slope_se": "daily series (day index)",
+    "survival_split_stump": "B-row bucket offsets (grouped rank plan)",
+    "lorenz_asymmetry": "B-row bucket offsets (with_global_rank prefix)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
