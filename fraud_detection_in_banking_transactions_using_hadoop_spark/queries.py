@@ -170,6 +170,7 @@ def registry() -> list[Query]:
         queries_ext97,
         queries_ext98,
         queries_ext99,
+        queries_ext100,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -284,6 +284,9 @@ ALLOWED_NESTED_LOOP = {
     "newey_west_slope_se",
     "survival_split_stump",
     "lorenz_asymmetry",
+    # 1-row donor/effect/total broadcasts (ext100 causal robustness)
+    "synthetic_control_nn",
+    "randomization_inference_did",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
