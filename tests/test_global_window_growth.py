@@ -144,6 +144,7 @@ CALENDAR = {
     "engle_granger_adf": "orders_days",
     "granger_causality_1lag": "orders_days",
     "newey_west_slope_se": "orders_days",
+    "chow_test": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

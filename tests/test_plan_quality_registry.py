@@ -287,6 +287,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row donor/effect/total broadcasts (ext100 causal robustness)
     "synthetic_control_nn",
     "randomization_inference_did",
+    # 1-row regime-RSS broadcasts (ext101)
+    "chow_test",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -408,6 +410,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "newey_west_slope_se": "daily series (day index)",
     "survival_split_stump": "B-row bucket offsets (grouped rank plan)",
     "lorenz_asymmetry": "B-row bucket offsets (with_global_rank prefix)",
+    "chow_test": "daily series (day index)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
@@ -421,6 +424,7 @@ EAGER = {
     "pagerank_sim_graph", "ann_ivf_topk", "incremental_watermark",
     "triangle_counts", "label_propagation", "min_plus_shortest_paths",
     "streaming_cms_replay",
+    "streaming_sprt_replay",
     # eager localCheckpoint of the sign-bucket table (feeds both sides
     # of the self-join; lineage would otherwise compute twice)
     "semantic_dedup_prune",
