@@ -172,6 +172,7 @@ def registry() -> list[Query]:
         queries_ext99,
         queries_ext100,
         queries_ext101,
+        queries_ext102,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -289,6 +289,9 @@ ALLOWED_NESTED_LOOP = {
     "randomization_inference_did",
     # 1-row regime-RSS broadcasts (ext101)
     "chow_test",
+    # 1-row fit/meat/replica-total broadcasts (ext102)
+    "cluster_robust_se",
+    "jackknife_nation_se",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
