@@ -173,6 +173,7 @@ def registry() -> list[Query]:
         queries_ext100,
         queries_ext101,
         queries_ext102,
+        queries_ext103,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -145,6 +145,7 @@ CALENDAR = {
     "granger_causality_1lag": "orders_days",
     "newey_west_slope_se": "orders_days",
     "chow_test": "orders_days",
+    "ar1_half_life": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -292,6 +292,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row fit/meat/replica-total broadcasts (ext102)
     "cluster_robust_se",
     "jackknife_nation_se",
+    # 1-row reference-group / national-total broadcasts (ext103)
+    "disparate_impact_audit",
+    "shift_share_decomposition",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -414,6 +417,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "survival_split_stump": "B-row bucket offsets (grouped rank plan)",
     "lorenz_asymmetry": "B-row bucket offsets (with_global_rank prefix)",
     "chow_test": "daily series (day index)",
+    "ar1_half_life": "daily series (day index)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
