@@ -92,6 +92,9 @@ STRUCTURAL = {
     "monetary_unit_sampling": 32,
     "survival_split_stump": 64,
     "lorenz_asymmetry": 32,
+    "equalized_odds_gap": 32,
+    "optimal_threshold_cost": 32,
+    "importance_weight_ess": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

@@ -295,6 +295,10 @@ ALLOWED_NESTED_LOOP = {
     # 1-row reference-group / national-total broadcasts (ext103)
     "disparate_impact_audit",
     "shift_share_decomposition",
+    # 1-row median/totals + constant 9-edge broadcasts (ext104)
+    "equalized_odds_gap",
+    "optimal_threshold_cost",
+    "importance_weight_ess",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -418,6 +422,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "lorenz_asymmetry": "B-row bucket offsets (with_global_rank prefix)",
     "chow_test": "daily series (day index)",
     "ar1_half_life": "daily series (day index)",
+    "equalized_odds_gap": "B-row bucket offsets (with_global_rank spine)",
+    "optimal_threshold_cost": "B-row bucket offsets (with_global_rank spine)",
+    "importance_weight_ess": "B-row bucket offsets (with_global_rank deciles)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
