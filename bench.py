@@ -63,6 +63,8 @@ HEADLINE = [
     "energy_distance",  # pairwise-|diff| sums via spine prefix identities
     "naive_bayes_langid",  # trained classifier: counts model + token join
     "crps_ensemble",  # dow pair-join scoring (calendar-bounded quadratic)
+    "auc_delong_ci",  # DeLong placements off the rank-plan spine
+    "survival_split_stump",  # 9-cut logrank search on the grouped rank plan
 ]
 
 

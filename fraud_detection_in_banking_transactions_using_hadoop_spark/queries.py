@@ -175,6 +175,7 @@ def registry() -> list[Query]:
         queries_ext102,
         queries_ext103,
         queries_ext104,
+        queries_ext105,
         queries_feat,
         queries_funcs,
         queries_funcs2,

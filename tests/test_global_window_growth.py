@@ -95,6 +95,7 @@ STRUCTURAL = {
     "equalized_odds_gap": 32,
     "optimal_threshold_cost": 32,
     "importance_weight_ess": 32,
+    "error_recovery_time": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -149,6 +150,7 @@ CALENDAR = {
     "newey_west_slope_se": "orders_days",
     "chow_test": "orders_days",
     "ar1_half_life": "orders_days",
+    "concurrency_time_percentiles": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

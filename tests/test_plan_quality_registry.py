@@ -299,6 +299,9 @@ ALLOWED_NESTED_LOOP = {
     "equalized_odds_gap",
     "optimal_threshold_cost",
     "importance_weight_ess",
+    # 1-row median/percentile-total broadcasts (ext105)
+    "error_recovery_time",
+    "concurrency_time_percentiles",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -425,6 +428,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "equalized_odds_gap": "B-row bucket offsets (with_global_rank spine)",
     "optimal_threshold_cost": "B-row bucket offsets (with_global_rank spine)",
     "importance_weight_ess": "B-row bucket offsets (with_global_rank deciles)",
+    "error_recovery_time": "B-row bucket offsets (with_global_rank spine)",
+    "concurrency_time_percentiles": "boundary-day spine (calendar-bounded)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
