@@ -176,6 +176,7 @@ def registry() -> list[Query]:
         queries_ext103,
         queries_ext104,
         queries_ext105,
+        queries_ext106,
         queries_feat,
         queries_funcs,
         queries_funcs2,

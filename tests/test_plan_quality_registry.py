@@ -302,6 +302,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row median/percentile-total broadcasts (ext105)
     "error_recovery_time",
     "concurrency_time_percentiles",
+    # 1-row member/bit-count broadcasts (ext106)
+    "bloom_fpr_calibration",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
