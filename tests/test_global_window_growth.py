@@ -96,6 +96,7 @@ STRUCTURAL = {
     "optimal_threshold_cost": 32,
     "importance_weight_ess": 32,
     "error_recovery_time": 32,
+    "law_of_one_price": 32,
 }
 
 # name -> probe key (shared probes measured once per sf)

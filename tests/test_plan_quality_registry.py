@@ -304,6 +304,9 @@ ALLOWED_NESTED_LOOP = {
     "concurrency_time_percentiles",
     # 1-row member/bit-count broadcasts (ext106)
     "bloom_fpr_calibration",
+    # 1-row edge-total / median / high-CV broadcasts (ext107)
+    "copurchase_modularity",
+    "law_of_one_price",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -432,6 +435,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "importance_weight_ess": "B-row bucket offsets (with_global_rank deciles)",
     "error_recovery_time": "B-row bucket offsets (with_global_rank spine)",
     "concurrency_time_percentiles": "boundary-day spine (calendar-bounded)",
+    "law_of_one_price": "B-row bucket offsets (with_global_rank CV spine)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
