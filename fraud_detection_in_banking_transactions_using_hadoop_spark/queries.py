@@ -178,6 +178,7 @@ def registry() -> list[Query]:
         queries_ext105,
         queries_ext106,
         queries_ext107,
+        queries_ext108,
         queries_feat,
         queries_funcs,
         queries_funcs2,

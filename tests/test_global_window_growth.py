@@ -152,6 +152,7 @@ CALENDAR = {
     "chow_test": "orders_days",
     "ar1_half_life": "orders_days",
     "concurrency_time_percentiles": "orders_days",
+    "mde_accrual_curve": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

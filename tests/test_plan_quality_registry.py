@@ -307,6 +307,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row edge-total / median / high-CV broadcasts (ext107)
     "copurchase_modularity",
     "law_of_one_price",
+    # constant 24-month grid broadcast (ext108 zero-inflation)
+    "zero_inflation_score_test",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -436,6 +438,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "error_recovery_time": "B-row bucket offsets (with_global_rank spine)",
     "concurrency_time_percentiles": "boundary-day spine (calendar-bounded)",
     "law_of_one_price": "B-row bucket offsets (with_global_rank CV spine)",
+    "mde_accrual_curve": "weekly summary series (calendar-bounded)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
