@@ -179,6 +179,7 @@ def registry() -> list[Query]:
         queries_ext106,
         queries_ext107,
         queries_ext108,
+        queries_ext109,
         queries_feat,
         queries_funcs,
         queries_funcs2,

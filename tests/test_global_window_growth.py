@@ -97,6 +97,7 @@ STRUCTURAL = {
     "importance_weight_ess": 32,
     "error_recovery_time": 32,
     "law_of_one_price": 32,
+    "bowker_symmetry_test": 64,
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -153,6 +154,7 @@ CALENDAR = {
     "ar1_half_life": "orders_days",
     "concurrency_time_percentiles": "orders_days",
     "mde_accrual_curve": "orders_days",
+    "extremal_index_runs": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -309,6 +309,9 @@ ALLOWED_NESTED_LOOP = {
     "law_of_one_price",
     # constant 24-month grid broadcast (ext108 zero-inflation)
     "zero_inflation_score_test",
+    # 1-row threshold / constant 6-pair grid broadcasts (ext109)
+    "extremal_index_runs",
+    "bowker_symmetry_test",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -439,6 +442,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "concurrency_time_percentiles": "boundary-day spine (calendar-bounded)",
     "law_of_one_price": "B-row bucket offsets (with_global_rank CV spine)",
     "mde_accrual_curve": "weekly summary series (calendar-bounded)",
+    "extremal_index_runs": "exceedance-day series (calendar-bounded)",
+    "bowker_symmetry_test": "B-row bucket offsets (grouped rank plan)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
