@@ -180,6 +180,7 @@ def registry() -> list[Query]:
         queries_ext107,
         queries_ext108,
         queries_ext109,
+        queries_ext110,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -312,6 +312,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row threshold / constant 6-pair grid broadcasts (ext109)
     "extremal_index_runs",
     "bowker_symmetry_test",
+    # constant 4-quarter / 11-coef grid broadcasts (ext110)
+    "cronbach_alpha_quarters",
+    "orthogonal_poly_contrasts",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
