@@ -315,6 +315,8 @@ ALLOWED_NESTED_LOOP = {
     # constant 4-quarter / 11-coef grid broadcasts (ext110)
     "cronbach_alpha_quarters",
     "orthogonal_poly_contrasts",
+    # 1-row pooled-rate broadcast (ext111 p-chart)
+    "p_chart_violations",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
