@@ -182,6 +182,7 @@ def registry() -> list[Query]:
         queries_ext109,
         queries_ext110,
         queries_ext111,
+        queries_ext112,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -317,6 +317,9 @@ ALLOWED_NESTED_LOOP = {
     "orthogonal_poly_contrasts",
     # 1-row pooled-rate broadcast (ext111 p-chart)
     "p_chart_violations",
+    # 1-row totals / constant 3-scale grid broadcasts (ext112)
+    "calendar_variance_decomposition",
+    "dispersion_scale_sweep",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
