@@ -183,6 +183,7 @@ def registry() -> list[Query]:
         queries_ext110,
         queries_ext111,
         queries_ext112,
+        queries_ext113,
         queries_feat,
         queries_funcs,
         queries_funcs2,

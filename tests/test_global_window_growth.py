@@ -98,6 +98,7 @@ STRUCTURAL = {
     "error_recovery_time": 32,
     "law_of_one_price": 32,
     "bowker_symmetry_test": 64,
+    "shorrocks_mobility_index": 64,
 }
 
 # name -> probe key (shared probes measured once per sf)

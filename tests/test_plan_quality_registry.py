@@ -320,6 +320,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row totals / constant 3-scale grid broadcasts (ext112)
     "calendar_variance_decomposition",
     "dispersion_scale_sweep",
+    # 1-row trace/survival broadcasts (ext113)
+    "shorrocks_mobility_index",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -452,6 +454,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "mde_accrual_curve": "weekly summary series (calendar-bounded)",
     "extremal_index_runs": "exceedance-day series (calendar-bounded)",
     "bowker_symmetry_test": "B-row bucket offsets (grouped rank plan)",
+    "shorrocks_mobility_index": "B-row bucket offsets (grouped rank plan)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
