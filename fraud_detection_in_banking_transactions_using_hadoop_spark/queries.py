@@ -184,6 +184,7 @@ def registry() -> list[Query]:
         queries_ext111,
         queries_ext112,
         queries_ext113,
+        queries_ext114,
         queries_feat,
         queries_funcs,
         queries_funcs2,
