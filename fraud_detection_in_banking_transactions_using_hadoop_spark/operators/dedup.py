@@ -177,6 +177,31 @@ def minhash_signatures(
     )
 
 
+def band_table(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 16,
+    band_size: int = 4,
+) -> DataFrame:
+    """LSH band rows (id, band_id, band_hash) from a minhash signature
+    table: band_hash = md5 of the band's '|'-joined signature slice.
+    Pure per-row projection (no shuffle) -- the shared building block
+    of the batch self-join (lsh_candidate_pairs) and the streaming fold
+    (streaming_minhash_replay), whose folded band table is row-identical
+    to the batch one because each doc's signature is computed whole
+    within its arrival micro-batch."""
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_id", "band.band_hash")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -209,16 +234,7 @@ def lsh_candidate_pairs(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    n_bands = n_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{i}") for i in range(b * band_size, (b + 1) * band_size)]
-        bands.append(
-            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *cols)).alias("band_hash"))
-        )
-    banded = signatures.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("band")
-    ).select(id_col, "band.band_id", "band.band_hash")
+    banded = band_table(signatures, id_col, n_hashes=n_hashes, band_size=band_size)
     if max_bucket_size is not None:
         # window count shares the (band_id, band_hash) shuffle the
         # self-join needs anyway -- the guard costs no extra exchange

@@ -135,9 +135,12 @@ def hilbert_level_ctes(
     """The identical arithmetic as a chain of SQL CTEs (one per level,
     avoiding the exponential blowup a flat substitution would cause).
     Returns text for `WITH ...` continuation: `{prefix}0 AS (...),
-    ..., {prefix}{bits} AS (...)`; the final CTE exposes every column of
-    `base` plus `hilbert_d`. Shift terms are fully parenthesized (SQL
-    shifts bind looser than '+')."""
+    ..., {prefix}{bits + 1} AS (...)`; the FINAL CTE is
+    `{prefix}{bits + 1}` (a rename level) and is the only one exposing
+    every column of `base` plus `hilbert_d` -- select from it, not from
+    `{prefix}{bits}` (which still carries the raw hx/hy/hd columns).
+    Shift terms are fully parenthesized (SQL shifts bind looser than
+    '+')."""
     n = 1 << bits
     parts = [
         f"{prefix}0 AS (SELECT *, CAST(({x_expr}) AS BIGINT) AS hx0,"

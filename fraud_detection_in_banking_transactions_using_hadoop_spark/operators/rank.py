@@ -51,6 +51,7 @@ def with_global_rank(
     prefix_sum: dict[str, str] | None = None,
     prefix_max_excl: dict[str, str] | None = None,
     partition_cols: Sequence[str] | None = None,
+    bucket_bits: int | None = None,
 ) -> DataFrame:
     """Append an exact 1-based global row_number under the total order
     `order_cols` (whose leading component must be `value_col`,
@@ -76,6 +77,18 @@ def with_global_rank(
     Rows with NULL in `value_col` are dropped (a global order over
     NULLs has no business meaning here; callers filter first).
 
+    `bucket_bits` is the cheap path for BOUNDED NON-NEGATIVE INTEGER
+    value domains (cent amounts, epoch days): the bucket is the pure
+    projection `value DIV 2**bucket_bits` -- monotone in the value, so
+    ties still never straddle buckets -- which removes BOTH stats
+    passes of the percentile path (no approx_percentile job, no
+    broadcast range join; the join-back becomes a broadcast EQUI join
+    on the bucket id). The offset table is bounded by
+    domain_size / 2**bucket_bits rows instead of n_buckets: pick bits
+    so that stays ~1k (cents up to ~6e7 with bits=16 -> <=916 buckets)
+    and per-bucket rows stay task-sized (<= 2**bits distinct values).
+    `n_buckets`/`ascending` ordering semantics are unchanged.
+
     `partition_cols` makes every guarantee above PER GROUP: percentile
     cuts, bucket assignment, offsets, and windows all carry the group
     key, so the rank/prefix outputs restart per group while no task
@@ -88,6 +101,14 @@ def with_global_rank(
     dimensions), or lift n_buckets instead.
     """
     pcols = list(partition_cols or [])
+    if bucket_bits is not None:
+        assigned = df.withColumn(
+            "_b", F.expr(f"CAST({value_col} DIV {1 << bucket_bits} AS BIGINT)")
+        )
+        return _rank_from_assigned(
+            assigned, order_cols, ascending=ascending, rank_col=rank_col,
+            prefix_sum=prefix_sum, prefix_max_excl=prefix_max_excl, pcols=pcols,
+        )
     probs = ", ".join(str(i / n_buckets) for i in range(1, n_buckets))
     pct = F.expr(f"approx_percentile({value_col}, array({probs}), 10000)").alias("qs")
     cuts = df.groupBy(*pcols).agg(pct) if pcols else df.agg(pct)
@@ -120,6 +141,24 @@ def with_global_rank(
         )
     else:
         assigned = df.join(F.broadcast(edges), range_cond).drop("_lo", "_hi")
+    return _rank_from_assigned(
+        assigned, order_cols, ascending=ascending, rank_col=rank_col,
+        prefix_sum=prefix_sum, prefix_max_excl=prefix_max_excl, pcols=pcols,
+    )
+
+
+def _rank_from_assigned(
+    assigned: DataFrame,
+    order_cols: Sequence[Column],
+    *,
+    ascending: bool,
+    rank_col: str,
+    prefix_sum: dict[str, str] | None,
+    prefix_max_excl: dict[str, str] | None,
+    pcols: list[str],
+) -> DataFrame:
+    """Shared tail of the two-level plan: per-bucket totals -> bounded
+    offset window -> broadcast equi-join back -> in-bucket windows."""
     measures = prefix_sum or {}
     maxes = prefix_max_excl or {}
     aggs = (

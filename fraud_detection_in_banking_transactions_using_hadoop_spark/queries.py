@@ -185,6 +185,7 @@ def registry() -> list[Query]:
         queries_ext112,
         queries_ext113,
         queries_ext114,
+        queries_ext115,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -210,7 +210,8 @@ def q_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
              lag(CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR)) OVER w AS p_sm
       FROM lineitem
       WINDOW w AS (ORDER BY l_orderkey * 100 + l_linenumber, l_quantity,
-                   l_extendedprice)
+                   l_extendedprice, l_returnflag, l_linestatus,
+                   CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR))
     )
     SELECT 'l_returnflag' AS col, CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CASE WHEN p_rf IS NULL OR rf <> p_rf THEN 1 ELSE 0 END)
@@ -243,7 +244,12 @@ def q_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     (two-level plan), and lag() becomes a distributed equi-join on
     rank = rank - 1 -- the scale path for fact-grain adjacency. (The
     synthetic key stays < 2^53, so the operator's double-ranged bucket
-    join is exact.) Three unioned summaries share the ranked pass."""
+    join is exact.) Three unioned summaries share the ranked pass.
+    The synthetic key COLLIDES in this testdata (CLAUDE.md), so the
+    three compared columns are appended to the order: any residual tie
+    then has identical (rf, ls, shipmonth), and permutations inside it
+    cannot change a run boundary -- the counts are deterministic even
+    without a fully-unique key."""
     li = read_table(spark, sf_dir, "lineitem")
     sm = F.date_format("l_shipdate", "yyyy-MM")
     keyed = li.select(
@@ -257,7 +263,14 @@ def q_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = with_global_rank(
         keyed,
         "k",
-        [F.col("k"), F.col("l_quantity"), F.col("l_extendedprice")],
+        [
+            F.col("k"),
+            F.col("l_quantity"),
+            F.col("l_extendedprice"),
+            F.col("rf"),
+            F.col("ls"),
+            F.col("shipmonth"),
+        ],
         rank_col="r",
     ).select("r", "rf", "ls", "shipmonth")
     prev = ranked.select(

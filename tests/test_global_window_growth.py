@@ -52,7 +52,8 @@ STRUCTURAL = {
     "mann_whitney_u": 32,
     "spearman_corr": 64,
     "cramer_von_mises": 32,
-    "decision_stump_split": 32,
+    # bucket_bits=16 path: offsets bounded by cents-domain / 2^16
+    "decision_stump_split": 1024,
     "median_ci_orderstat": 32,
     "trimmed_mean": 32,
     "rle_compressibility": 32,
@@ -67,7 +68,6 @@ STRUCTURAL = {
     "ndcg_at_k": 10,
     "haar_wavelet_energy": 256,
     "wasserstein_price_gap": 64,
-    "huber_location_2step": 64,
     "kmeans_1d_lloyd": 32,
     "allan_variance": 32,
     "rank_biased_overlap": 50,
@@ -99,6 +99,16 @@ STRUCTURAL = {
     "law_of_one_price": 32,
     "bowker_symmetry_test": 64,
     "shorrocks_mobility_index": 64,
+}
+
+# STRUCTURAL entries whose bound is DATA-dependent -- the rank
+# operator's bucket_bits path, where the offset table is the distinct
+# (value DIV 2^bits) set -- get a real probe at BOTH scale factors.
+# The remaining STRUCTURAL classes are data-independent by plan shape
+# (posexplode'd B-row edge tables, post-LIMIT outputs, fixed grids),
+# which test_rank_operator and the plan gate pin.
+STRUCTURAL_PROBED = {
+    "decision_stump_split": "cent_div16_buckets",
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -171,6 +181,10 @@ DOMAIN = {
 }
 
 PROBES = {
+    "cent_div16_buckets": (
+        "SELECT count(DISTINCT CAST(round(o_totalprice * 100, 0) AS BIGINT)"
+        " // 65536) FROM orders"
+    ),
     "orders_days": "SELECT count(DISTINCT o_orderdate) FROM orders",
     "events_days": "SELECT count(DISTINCT CAST(ts AS DATE)) FROM events",
     "walsh_sums": """
@@ -230,8 +244,24 @@ def test_every_allowlist_entry_declares_a_growth_class():
 
 
 def test_structural_bounds_are_constant():
+    # 1024 admits the rank operator's bucket_bits path (offset table
+    # bounded by value-domain / 2^bits, e.g. 6e7 cents / 2^16 ~ 916
+    # rows) alongside the classic B=32..96 percentile-bucket offsets.
     for name, bound in STRUCTURAL.items():
-        assert bound <= 256, f"{name}: declared bound {bound} is not constant-small"
+        assert bound <= 1024, f"{name}: declared bound {bound} is not constant-small"
+
+
+def test_structural_probed_bounds_hold(measured):
+    # the declared constant must actually bound the measured offset
+    # table at both scale factors -- a misclassified bucket_bits spine
+    # (one whose value domain keeps growing) fails here, not silently
+    for name, key in STRUCTURAL_PROBED.items():
+        bound = STRUCTURAL[name]
+        for label, sfv in zip((SF_SMALL, SF_LARGE), measured):
+            assert sfv[key] <= bound, (
+                f"{name}: measured offset-table rows {sfv[key]} at {label}"
+                f" exceed the declared STRUCTURAL bound {bound}"
+            )
 
 
 def test_calendar_spines_saturate(measured):

@@ -305,9 +305,13 @@ def test_png_channel_stats_matches_numpy(spark):
 
     rng = np.random.default_rng(3)
     imgs = {i: rng.integers(0, 256, (5, 4, 3), dtype=np.uint8) for i in range(4)}
+    gray = rng.integers(0, 256, (5, 4, 1), dtype=np.uint8)
     rows = [
         (i, bytes(encode_png(im)), "image/png", 4, 5) for i, im in imgs.items()
-    ] + [(99, b"corrupt", "image/png", 4, 5)]
+    ] + [
+        (99, b"corrupt", "image/png", 4, 5),
+        (50, bytes(encode_png(gray)), "image/png", 4, 5),
+    ]
     media = spark.createDataFrame(
         rows, "media_id long, content binary, mime_type string, width int, height int"
     )
@@ -319,3 +323,71 @@ def test_png_channel_stats_matches_numpy(spark):
         assert got[i]["roundtrip_exact"] is True
         assert abs(got[i]["mean_r"] - f[..., 0].mean()) < 1e-12
         assert abs(got[i]["std_gray"] - f.mean(axis=2).std()) < 1e-12
+    # grayscale: channel-0 mean only; green/blue must be NULL, not copies
+    g = gray.astype(np.float64)
+    assert abs(got[50]["mean_r"] - g[..., 0].mean()) < 1e-12
+    assert got[50]["mean_g"] is None and got[50]["mean_b"] is None
+    assert got[50]["roundtrip_exact"] is True
+
+
+def test_gif_codec_roundtrip_and_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    pal = ((np.arange(256)[:, None] * np.array([1, 2, 7])) % 256).astype(np.uint8)
+    # random (9->12-bit width growth + dict reset on the big one),
+    # constant (long LZW runs), gradient (repeating phrases)
+    cases = [
+        rng.integers(0, 256, (6, 10), dtype=np.uint8),
+        np.full((5, 5), 7, np.uint8),
+        (np.arange(64 * 64).reshape(64, 64) % 256).astype(np.uint8),
+        rng.integers(0, 256, (128, 128), dtype=np.uint8),
+    ]
+    for img in cases:
+        idx, p2 = decode_gif(encode_gif(img, pal))
+        assert (idx == img).all() and (p2 == pal).all()
+    good = encode_gif(cases[0], pal)
+    assert good[:6] == b"GIF89a" and good[-1] == 0x3B
+    for bad in (b"", b"GIF89a" + b"\x00" * 5, good[:-3], b"x" * 20):
+        with _pytest.raises(ValueError):
+            decode_gif(bad)
+    # LZW layer alone: a 100k-symbol run survives reset cycles
+    s = bytes([3]) * 100_000
+    assert _lzw_decompress(_lzw_compress(s)) == s
+
+
+def test_gif_channel_stats_matches_numpy(spark):
+    import numpy as np
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import (
+        encode_gif,
+        gif_channel_stats,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    imgs = {i: rng.integers(0, 256, (6, 10), dtype=np.uint8) for i in range(3)}
+    rows = [
+        (i, bytes(encode_gif(im, pal)), "image/gif", 10, 6) for i, im in imgs.items()
+    ] + [(99, b"corrupt", "image/gif", 10, 6)]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, mime_type string, width int, height int"
+    )
+    got = {r["media_id"]: r for r in gif_channel_stats(media).collect()}
+    assert got[99]["n_bytes"] is None and got[99]["roundtrip_exact"] is None
+    for i, im in imgs.items():
+        rgb = pal[im].astype(np.float64)
+        assert got[i]["n_bytes"] == 180
+        assert got[i]["roundtrip_exact"] is True
+        assert abs(got[i]["mean_r"] - rgb[..., 0].mean()) < 1e-12
+        assert abs(got[i]["mean_g"] - rgb[..., 1].mean()) < 1e-12
+        assert abs(got[i]["mean_b"] - rgb[..., 2].mean()) < 1e-12
+        assert abs(got[i]["std_gray"] - rgb.mean(axis=2).std()) < 1e-12

@@ -159,9 +159,6 @@ ALLOWED_NESTED_LOOP = {
     "markov_entropy_rate",
     # 1-row side-fit broadcast (left x right intercept gap)
     "regression_discontinuity",
-    # operators/rank B-row range joins + 1-row median/MAD/iterate
-    # broadcasts (IRLS scalars)
-    "huber_location_2step",
     # 1-row observation-total broadcast (risk sets)
     "nelson_aalen_hazard",
     # operators/rank B-row range join + 1-row center-table broadcasts
@@ -378,7 +375,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "cramer_von_mises": "B-row bucket offsets (with_global_rank spine)",
     "g_test_independence": "9-cell contingency table",
     "permutation_sign_test": "daily revenue series",
-    "decision_stump_split": "B-row bucket offsets (with_global_rank spine)",
+    "decision_stump_split": "bucket_bits offsets (cents DIV 2^16: <=1024-row bucket table)",
     "hill_tail_index": "101-row post-limit order statistics",
     "median_ci_orderstat": "B-row bucket offsets (with_global_rank spine)",
     "ndcg_at_k": "10-row post-limit popularity ranking",
@@ -391,7 +388,6 @@ ALLOWED_GLOBAL_WINDOW = {
     "wasserstein_price_gap": "B-row bucket offsets (with_global_rank spine)",
     "pettitt_changepoint": "daily revenue series (x2: value spine + day prefix)",
     "page_hinkley_drift": "daily revenue series",
-    "huber_location_2step": "B-row bucket offsets (x2 spine medians)",
     "kmeans_1d_lloyd": "B-row bucket offsets (seed order statistics)",
     "pacf_daily_revenue": "daily revenue series (day index)",
     "hurst_exponent_rs": "daily revenue series (day index)",
@@ -501,6 +497,11 @@ EAGER = {
     # live streaming replays (foreachBatch daily-sum / reservoir folds)
     "streaming_page_hinkley_replay",
     "streaming_topk_sample_replay",
+    # eager 1-row scalar checkpoints (median/MAD/iterate) + spine
+    # checkpoint -- the r6 fix for nested-broadcast recompute
+    "huber_location_2step",
+    # live streaming replay (foreachBatch minhash band fold)
+    "streaming_minhash_replay",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]

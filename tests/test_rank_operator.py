@@ -139,6 +139,56 @@ def test_grouped_rank_matches_partitioned_row_number(spark, n_buckets):
     assert got == want
 
 
+@pytest.fixture(scope="module")
+def int_df(spark):
+    # non-negative integer domain with heavy ties straddling the
+    # DIV-2^bits bucket edges (values cluster around multiples of 8)
+    rows = [((i * i * 31) % 997 // 4 * 4, i) for i in range(500)]
+    return spark.createDataFrame(rows, "v bigint, k bigint").persist()
+
+
+@pytest.mark.parametrize("bits", [2, 5, 16])
+@pytest.mark.parametrize("ascending", [True, False])
+def test_bucket_bits_rank_matches_global_row_number(spark, int_df, bits, ascending):
+    order = [F.col("v").asc() if ascending else F.col("v").desc(), F.col("k").asc()]
+    got = {
+        r["k"]: (r["r"], r["cs"])
+        for r in with_global_rank(
+            int_df, "v", order, ascending=ascending, rank_col="r",
+            prefix_sum={"cs": "k"}, bucket_bits=bits,
+        ).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["k"]: (r["r"], r["cs"])
+        for r in int_df.select(
+            "k",
+            F.row_number().over(w).cast("bigint").alias("r"),
+            F.sum("k").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bucket_bits_plan_has_no_stats_pass_and_no_nested_loop(spark, int_df):
+    from tests.test_plan_quality_registry import _unpartitioned_windows
+
+    plan = (
+        with_global_rank(
+            int_df, "v", [F.col("v").asc(), F.col("k").asc()], bucket_bits=4
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the cheap path must not pay the percentile stats job or the
+    # broadcast range join of the generic path
+    assert "approx_percentile" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for w in _unpartitioned_windows(plan):
+        assert "_b#" in w, f"unpartitioned window over non-bucket input: {w}"
+
+
 def test_grouped_rank_plan_has_no_unpartitioned_window(spark):
     from tests.test_plan_quality_registry import _unpartitioned_windows
 

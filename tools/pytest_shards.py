@@ -1,0 +1,88 @@
+"""Poor-man's pytest-xdist: run the test suite as K concurrent pytest
+subprocesses, each with its own 4-core SparkSession (the image has no
+xdist and pip installs are off).
+
+Safe because every per-process resource is already isolated: the
+SparkSession warehouse dir is a tempfile.mkdtemp per JVM, Derby JDBC
+tests use in-memory databases, and each shard gets its own pytest
+--basetemp. Files are greedy-packed into shards by size (a good proxy
+for duration here: invariant tests dominate and scale with LoC).
+
+Usage:
+    python tools/pytest_shards.py [K]          # default K=6
+Exit code is non-zero if ANY shard fails; each shard's tail is printed.
+Full-suite wall clock on this box: ~17.5 min serial -> ~4-5 min at K=6.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+# files that parametrize over the full 500-query registry run far
+# longer than their byte size suggests -- weight them like ~100 KB so
+# the greedy packer spreads them across shards instead of clumping
+# them with everything else (measured: the size-only heuristic left
+# one 12-minute shard while five finished in 5.5)
+_REGISTRY_WIDE_BONUS = 100_000
+_REGISTRY_MARKER = b"registry()"
+
+
+def _weight(p: Path) -> int:
+    w = p.stat().st_size
+    if _REGISTRY_MARKER in p.read_bytes():
+        w += _REGISTRY_WIDE_BONUS
+    return w
+
+
+def shard_files(k: int) -> list[list[Path]]:
+    files = sorted(
+        (p for p in (REPO / "tests").glob("test_*.py")),
+        key=_weight,
+        reverse=True,
+    )
+    shards: list[tuple[int, list[Path]]] = [(0, []) for _ in range(k)]
+    for f in files:
+        i = min(range(k), key=lambda j: shards[j][0])
+        size, lst = shards[i]
+        lst.append(f)
+        shards[i] = (size + _weight(f), lst)
+    return [lst for _, lst in shards if lst]
+
+
+def main() -> int:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    shards = shard_files(k)
+    t0 = time.time()
+    procs = []
+    for i, files in enumerate(shards):
+        basetemp = tempfile.mkdtemp(prefix=f"pytest-shard{i}-")
+        cmd = [
+            sys.executable, "-m", "pytest", "-q", "--tb=short",
+            f"--basetemp={basetemp}", *[str(f) for f in files],
+        ]
+        procs.append(
+            (i, subprocess.Popen(
+                cmd, cwd=REPO, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            ))
+        )
+    rc = 0
+    for i, p in procs:
+        out, _ = p.communicate()
+        tail = "\n".join(out.strip().splitlines()[-4:])
+        print(f"--- shard {i} (rc={p.returncode}) ---\n{tail}", flush=True)
+        if p.returncode != 0:
+            rc = 1
+    print(f"total wall: {time.time() - t0:.0f}s  ({len(shards)} shards)")
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

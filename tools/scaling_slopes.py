@@ -28,6 +28,12 @@ HEAVY = [
     "ann_ivf_topk",
     "semantic_dedup_prune",
     "interval_overlap_pairs",
+    # r6: the current top-of-bench lines (r5 verdict item 3)
+    "huber_location_2step",
+    "survival_split_stump",
+    "kmeans_1d_lloyd",
+    "decision_stump_split",
+    "multimodal_png_stats",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
