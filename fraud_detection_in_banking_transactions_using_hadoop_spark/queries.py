@@ -186,6 +186,7 @@ def registry() -> list[Query]:
         queries_ext113,
         queries_ext114,
         queries_ext115,
+        queries_ext116,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -99,6 +99,9 @@ STRUCTURAL = {
     "law_of_one_price": 32,
     "bowker_symmetry_test": 64,
     "shorrocks_mobility_index": 64,
+    "anderson_darling_2s": 32,
+    "brunner_munzel": 32,
+    "cucconi_location_scale": 32,
 }
 
 # STRUCTURAL entries whose bound is DATA-dependent -- the rank

@@ -21,6 +21,11 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import r
 #   build side is a 1-ROW aggregate (global mean / threshold), so the
 #   "nested loop" degenerates to a map-side constant join: O(n), scale-safe.
 ALLOWED_NESTED_LOOP = {
+    # operators/rank B-row range join + 1-row totals/means broadcasts
+    # (ext116 rank-based two-sample tests)
+    "anderson_darling_2s",
+    "brunner_munzel",
+    "cucconi_location_scale",
     "ann_cosine_topk",
     "embedding_dup_pairs",
     "source_mixture",
@@ -451,6 +456,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "extremal_index_runs": "exceedance-day series (calendar-bounded)",
     "bowker_symmetry_test": "B-row bucket offsets (grouped rank plan)",
     "shorrocks_mobility_index": "B-row bucket offsets (grouped rank plan)",
+    "anderson_darling_2s": "B-row bucket offsets (with_global_rank spine)",
+    "brunner_munzel": "B-row bucket offsets (with_global_rank spine)",
+    "cucconi_location_scale": "B-row bucket offsets (with_global_rank spine)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
