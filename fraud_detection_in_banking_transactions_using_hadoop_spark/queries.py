@@ -187,6 +187,7 @@ def registry() -> list[Query]:
         queries_ext114,
         queries_ext115,
         queries_ext116,
+        queries_ext117,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -21,6 +21,9 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import r
 #   build side is a 1-ROW aggregate (global mean / threshold), so the
 #   "nested loop" degenerates to a map-side constant join: O(n), scale-safe.
 ALLOWED_NESTED_LOOP = {
+    # 1-row pair-count marginal broadcasts (ext117 agreement metrics)
+    "adjusted_rand_index",
+    "fowlkes_mallows",
     # operators/rank B-row range join + 1-row totals/means broadcasts
     # (ext116 rank-based two-sample tests)
     "anderson_darling_2s",
