@@ -188,6 +188,7 @@ def registry() -> list[Query]:
         queries_ext115,
         queries_ext116,
         queries_ext117,
+        queries_ext118,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -102,6 +102,7 @@ STRUCTURAL = {
     "anderson_darling_2s": 32,
     "brunner_munzel": 32,
     "cucconi_location_scale": 32,
+    "croston_intermittent": 65,
 }
 
 # STRUCTURAL entries whose bound is DATA-dependent -- the rank
@@ -169,6 +170,7 @@ CALENDAR = {
     "concurrency_time_percentiles": "orders_days",
     "mde_accrual_curve": "orders_days",
     "extremal_index_runs": "orders_days",
+    "littles_law_window": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -24,6 +24,12 @@ ALLOWED_NESTED_LOOP = {
     # 1-row pair-count marginal broadcasts (ext117 agreement metrics)
     "adjusted_rand_index",
     "fowlkes_mallows",
+    # constant 21x21 factorial-grid broadcast + 1-row load broadcast
+    "erlang_b_blocking",
+    # 1-row window/arrival-total broadcasts (boundary sweep)
+    "littles_law_window",
+    # 1-row nonzero-day-total broadcast (bounded last-65 fit window)
+    "croston_intermittent",
     # operators/rank B-row range join + 1-row totals/means broadcasts
     # (ext116 rank-based two-sample tests)
     "anderson_darling_2s",
@@ -462,6 +468,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "anderson_darling_2s": "B-row bucket offsets (with_global_rank spine)",
     "brunner_munzel": "B-row bucket offsets (with_global_rank spine)",
     "cucconi_location_scale": "B-row bucket offsets (with_global_rank spine)",
+    "littles_law_window": "boundary-day spine (calendar-bounded sweep)",
+    "croston_intermittent": "65-row post-limit fit window",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
