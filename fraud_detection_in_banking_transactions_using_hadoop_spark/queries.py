@@ -189,6 +189,7 @@ def registry() -> list[Query]:
         queries_ext116,
         queries_ext117,
         queries_ext118,
+        queries_ext119,
         queries_feat,
         queries_funcs,
         queries_funcs2,

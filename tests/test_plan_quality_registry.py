@@ -30,6 +30,8 @@ ALLOWED_NESTED_LOOP = {
     "littles_law_window",
     # 1-row nonzero-day-total broadcast (bounded last-65 fit window)
     "croston_intermittent",
+    # 1-row train-corpus (n, v) totals broadcast
+    "stupid_backoff_heldout",
     # operators/rank B-row range join + 1-row totals/means broadcasts
     # (ext116 rank-based two-sample tests)
     "anderson_darling_2s",
@@ -521,6 +523,9 @@ EAGER = {
     "huber_location_2step",
     # live streaming replay (foreachBatch minhash band fold)
     "streaming_minhash_replay",
+    # eager LSH edge-table checkpoint feeding iterative joins (ext119)
+    "katz_centrality",
+    "harmonic_centrality_3hop",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
