@@ -103,6 +103,7 @@ STRUCTURAL = {
     "brunner_munzel": 32,
     "cucconi_location_scale": 32,
     "croston_intermittent": 65,
+    "shapiro_francia_daily": 32,
 }
 
 # STRUCTURAL entries whose bound is DATA-dependent -- the rank

@@ -32,6 +32,12 @@ ALLOWED_NESTED_LOOP = {
     "croston_intermittent",
     # 1-row train-corpus (n, v) totals broadcast
     "stupid_backoff_heldout",
+    # calendar-bounded daily pair join (|days|^2 constant in SF)
+    "hoeffding_d_daily",
+    # operators/rank B-row range join + 1-row day-count broadcast
+    "shapiro_francia_daily",
+    # calendar-bounded daily pair join + 1-row median broadcasts
+    "siegel_repeated_medians",
     # operators/rank B-row range join + 1-row totals/means broadcasts
     # (ext116 rank-based two-sample tests)
     "anderson_darling_2s",
@@ -472,6 +478,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "cucconi_location_scale": "B-row bucket offsets (with_global_rank spine)",
     "littles_law_window": "boundary-day spine (calendar-bounded sweep)",
     "croston_intermittent": "65-row post-limit fit window",
+    "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
