@@ -34,6 +34,10 @@ ALLOWED_NESTED_LOOP = {
     "stupid_backoff_heldout",
     # calendar-bounded daily pair join (|days|^2 constant in SF)
     "hoeffding_d_daily",
+    "tail_dependence_daily",
+    # month-block pair joins (|months|^2 constant) + 1-row broadcasts
+    "friedman_test",
+    "quade_test",
     # operators/rank B-row range join + 1-row day-count broadcast
     "shapiro_francia_daily",
     # calendar-bounded daily pair join + 1-row median broadcasts
