@@ -35,6 +35,9 @@ ALLOWED_NESTED_LOOP = {
     # calendar-bounded daily pair join (|days|^2 constant in SF)
     "hoeffding_d_daily",
     "tail_dependence_daily",
+    "distance_correlation_daily",
+    # 1-row max-day broadcast (e6 decay-weight grid)
+    "ewm_corr_daily",
     # month-block pair joins (|months|^2 constant) + 1-row broadcasts
     "friedman_test",
     "quade_test",
