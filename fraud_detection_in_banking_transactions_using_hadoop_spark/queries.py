@@ -193,6 +193,7 @@ def registry() -> list[Query]:
         queries_ext120,
         queries_ext121,
         queries_ext122,
+        queries_ext123,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -38,6 +38,8 @@ ALLOWED_NESTED_LOOP = {
     "distance_correlation_daily",
     # 1-row max-day broadcast (e6 decay-weight grid)
     "ewm_corr_daily",
+    # 1-row (cut, base_days) split broadcast
+    "activity_shift_ratio",
     # month-block pair joins (|months|^2 constant) + 1-row broadcasts
     "friedman_test",
     "quade_test",
