@@ -194,6 +194,7 @@ def registry() -> list[Query]:
         queries_ext121,
         queries_ext122,
         queries_ext123,
+        queries_ext124,
         queries_feat,
         queries_funcs,
         queries_funcs2,

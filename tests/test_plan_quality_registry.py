@@ -40,6 +40,10 @@ ALLOWED_NESTED_LOOP = {
     "ewm_corr_daily",
     # 1-row (cut, base_days) split broadcast
     "activity_shift_ratio",
+    # bounded 20-anchor broadcast cross join (ann_cosine baseline family)
+    "hard_negative_mining",
+    # 1-row global-centroid-norm broadcast
+    "label_coherence_score",
     # month-block pair joins (|months|^2 constant) + 1-row broadcasts
     "friedman_test",
     "quade_test",
@@ -542,6 +546,8 @@ EAGER = {
     # eager LSH edge-table checkpoint feeding iterative joins (ext119)
     "katz_centrality",
     "harmonic_centrality_3hop",
+    # eager greedy MMR loop (per-step checkpointed selections)
+    "mmr_rerank",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]

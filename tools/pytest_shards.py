@@ -25,18 +25,19 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 
 
-# files that parametrize over the full 500-query registry run far
-# longer than their byte size suggests -- weight them like ~100 KB so
-# the greedy packer spreads them across shards instead of clumping
-# them with everything else (measured: the size-only heuristic left
-# one 12-minute shard while five finished in 5.5)
-_REGISTRY_WIDE_BONUS = 100_000
+# Duration is dominated by Spark-job count, which tracks test-function
+# count far better than byte size; files that parametrize over the
+# full 500-query registry get a large extra bonus (measured: size-only
+# packing left one 12-minute shard while five finished in ~5).
+_REGISTRY_WIDE_BONUS = 400_000
 _REGISTRY_MARKER = b"registry()"
+_PER_TESTDEF = 6_000
 
 
 def _weight(p: Path) -> int:
-    w = p.stat().st_size
-    if _REGISTRY_MARKER in p.read_bytes():
+    src = p.read_bytes()
+    w = p.stat().st_size + _PER_TESTDEF * src.count(b"def test_")
+    if _REGISTRY_MARKER in src:
         w += _REGISTRY_WIDE_BONUS
     return w
 
