@@ -195,6 +195,7 @@ def registry() -> list[Query]:
         queries_ext122,
         queries_ext123,
         queries_ext124,
+        queries_ext125,
         queries_feat,
         queries_funcs,
         queries_funcs2,

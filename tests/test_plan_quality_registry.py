@@ -42,6 +42,10 @@ ALLOWED_NESTED_LOOP = {
     "activity_shift_ratio",
     # bounded 20-anchor broadcast cross join (ann_cosine baseline family)
     "hard_negative_mining",
+    # 1-row grand-mean / S / pooled-variance broadcasts (shrinkage)
+    "james_stein_means",
+    # 1-row per-arm trimmed-stat broadcast (2-row cross)
+    "yuen_trimmed_t",
     # 1-row global-centroid-norm broadcast
     "label_coherence_score",
     # month-block pair joins (|months|^2 constant) + 1-row broadcasts
