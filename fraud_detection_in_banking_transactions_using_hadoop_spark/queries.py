@@ -196,6 +196,7 @@ def registry() -> list[Query]:
         queries_ext123,
         queries_ext124,
         queries_ext125,
+        queries_ext126,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -547,6 +547,8 @@ EAGER = {
     "huber_location_2step",
     # live streaming replay (foreachBatch minhash band fold)
     "streaming_minhash_replay",
+    # live streaming replay (foreachBatch bloom bitset fold)
+    "streaming_bloom_replay",
     # eager LSH edge-table checkpoint feeding iterative joins (ext119)
     "katz_centrality",
     "harmonic_centrality_3hop",
