@@ -197,6 +197,7 @@ def registry() -> list[Query]:
         queries_ext124,
         queries_ext125,
         queries_ext126,
+        queries_ext127,
         queries_feat,
         queries_funcs,
         queries_funcs2,

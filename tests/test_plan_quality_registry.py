@@ -46,6 +46,10 @@ ALLOWED_NESTED_LOOP = {
     "james_stein_means",
     # 1-row per-arm trimmed-stat broadcast (2-row cross)
     "yuen_trimmed_t",
+    # 1-row frequency-grid / totals broadcasts (bounded spine DFT)
+    "spectral_entropy_daily",
+    # 1-row (7-point profile array) broadcasts into the DP mapInPandas
+    "dtw_weekday_profiles",
     # 1-row global-centroid-norm broadcast
     "label_coherence_score",
     # month-block pair joins (|months|^2 constant) + 1-row broadcasts
