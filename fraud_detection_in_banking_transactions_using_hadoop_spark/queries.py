@@ -198,6 +198,7 @@ def registry() -> list[Query]:
         queries_ext125,
         queries_ext126,
         queries_ext127,
+        queries_ext128,
         queries_feat,
         queries_funcs,
         queries_funcs2,
