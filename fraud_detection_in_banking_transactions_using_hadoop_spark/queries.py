@@ -199,6 +199,7 @@ def registry() -> list[Query]:
         queries_ext126,
         queries_ext127,
         queries_ext128,
+        queries_ext129,
         queries_feat,
         queries_funcs,
         queries_funcs2,

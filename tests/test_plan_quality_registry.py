@@ -42,6 +42,8 @@ ALLOWED_NESTED_LOOP = {
     "activity_shift_ratio",
     # bounded 20-anchor broadcast cross join (ann_cosine baseline family)
     "hard_negative_mining",
+    "mean_reciprocal_rank",
+    "precision_at_k_labels",
     # 1-row grand-mean / S / pooled-variance broadcasts (shrinkage)
     "james_stein_means",
     # 1-row per-arm trimmed-stat broadcast (2-row cross)
