@@ -200,6 +200,7 @@ def registry() -> list[Query]:
         queries_ext127,
         queries_ext128,
         queries_ext129,
+        queries_ext130,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -48,6 +48,9 @@ ALLOWED_NESTED_LOOP = {
     "james_stein_means",
     # 1-row per-arm trimmed-stat broadcast (2-row cross)
     "yuen_trimmed_t",
+    # 1-row corpus-total / 3-row temperature-grid broadcasts
+    "mixture_temperature_weights",
+    "boilerplate_strip_stats",
     # 1-row frequency-grid / totals broadcasts (bounded spine DFT)
     "spectral_entropy_daily",
     # 1-row (7-point profile array) broadcasts into the DP mapInPandas
