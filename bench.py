@@ -65,6 +65,10 @@ HEADLINE = [
     "crps_ensemble",  # dow pair-join scoring (calendar-bounded quadratic)
     "auc_delong_ci",  # DeLong placements off the rank-plan spine
     "survival_split_stump",  # 9-cut logrank search on the grouped rank plan
+    # round-6 additions
+    "multimodal_gif_stats",  # real LZW GIF codec through mapInPandas
+    "anderson_darling_2s",  # tail-weighted two-sample test on the rank spine
+    "hoeffding_d_daily",  # tie-aware dependence over the daily pair join
 ]
 
 

@@ -201,6 +201,7 @@ def registry() -> list[Query]:
         queries_ext128,
         queries_ext129,
         queries_ext130,
+        queries_ext131,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -558,6 +558,8 @@ EAGER = {
     "streaming_minhash_replay",
     # live streaming replay (foreachBatch bloom bitset fold)
     "streaming_bloom_replay",
+    # live streaming replay (carried-recursion EWMA fold)
+    "streaming_ewma_replay",
     # eager LSH edge-table checkpoint feeding iterative joins (ext119)
     "katz_centrality",
     "harmonic_centrality_3hop",
