@@ -202,6 +202,7 @@ def registry() -> list[Query]:
         queries_ext129,
         queries_ext130,
         queries_ext131,
+        queries_ext132,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -104,6 +104,7 @@ STRUCTURAL = {
     "cucconi_location_scale": 32,
     "croston_intermittent": 65,
     "shapiro_francia_daily": 32,
+    "holm_bonferroni_screen": 25,
 }
 
 # STRUCTURAL entries whose bound is DATA-dependent -- the rank

@@ -51,6 +51,10 @@ ALLOWED_NESTED_LOOP = {
     # 1-row corpus-total / 3-row temperature-grid broadcasts
     "mixture_temperature_weights",
     "boilerplate_strip_stats",
+    # constant 5-row lambda-grid + 1-row best-LL broadcasts
+    "box_cox_scan",
+    # 1-row pooled-rate broadcast (Holm spine)
+    "holm_bonferroni_screen",
     # 1-row frequency-grid / totals broadcasts (bounded spine DFT)
     "spectral_entropy_daily",
     # 1-row (7-point profile array) broadcasts into the DP mapInPandas
@@ -505,6 +509,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "littles_law_window": "boundary-day spine (calendar-bounded sweep)",
     "croston_intermittent": "65-row post-limit fit window",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
+    "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
 
 # eager at call time (streaming jobs, localCheckpoint pipelines,
