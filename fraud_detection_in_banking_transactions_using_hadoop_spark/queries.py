@@ -203,6 +203,7 @@ def registry() -> list[Query]:
         queries_ext130,
         queries_ext131,
         queries_ext132,
+        queries_ext133,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -53,6 +53,11 @@ ALLOWED_NESTED_LOOP = {
     "boilerplate_strip_stats",
     # constant 5-row lambda-grid + 1-row best-LL broadcasts
     "box_cox_scan",
+    # constant 20-cell contingency pair join (ext133)
+    "somers_d_priority_price",
+    # 1-row marginal-total broadcasts (ext133)
+    "goodman_kruskal_lambda",
+    "uncertainty_coefficient",
     # 1-row pooled-rate broadcast (Holm spine)
     "holm_bonferroni_screen",
     # 1-row frequency-grid / totals broadcasts (bounded spine DFT)
