@@ -96,3 +96,62 @@ def test_distance_symmetric_nonnegative_bounded(lat1, lon1, lat2, lon2):
     assert d == law_of_cosines_km(lat2, lon2, lat1, lon1)  # exact symmetry
     assert 0.0 <= d <= math.pi * 6371.0 + 1e-6  # half circumference bound
     assert law_of_cosines_km(lat1, lon1, lat1, lon1) == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Round-6 pure-python cores: GIF LZW roundtrip, EWMA batch-split
+# invariance (the property behind streaming_ewma_replay).
+# ---------------------------------------------------------------------------
+@given(data=st.binary(min_size=0, max_size=2000))
+@settings(max_examples=150, deadline=None)
+def test_lzw_roundtrip_arbitrary_bytes(data):
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multimodal import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    assert _lzw_decompress(_lzw_compress(data)) == data
+
+
+@given(
+    xs=st.lists(
+        st.floats(min_value=0.01, max_value=1000, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=40), max_size=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_ewma_closed_form_fold_is_batch_split_invariant(xs, cuts):
+    """Slicing the sequence anywhere and advancing the state with the
+    closed-form per-slice fold (r^m * s + sum a x_j r^(m-j)) equals the
+    plain sequential recursion -- the invariant that makes
+    streaming_ewma_replay's carried state well-defined for ANY trigger
+    timing."""
+    a, r = 0.2, 0.8
+    seq = xs[0]
+    for x in xs[1:]:
+        seq = a * x + (1 - a) * seq
+
+    bounds = sorted({0, len(xs), *[c % (len(xs) + 1) for c in cuts]})
+    s = None
+    for lo, hi in zip(bounds, bounds[1:]):
+        chunk = xs[lo:hi]
+        if not chunk:
+            continue
+        m = len(chunk)
+        if s is None:
+            s = chunk[0] * r ** (m - 1) + sum(
+                a * x * r ** (m - 2 - j) for j, x in enumerate(chunk[1:], start=0)
+            )
+        else:
+            s = r**m * s + sum(
+                a * x * r ** (m - 1 - j) for j, x in enumerate(chunk)
+            )
+    assert s == pytest_approx(seq)
+
+
+def pytest_approx(v):
+    import pytest
+
+    return pytest.approx(v, rel=1e-9, abs=1e-9)
