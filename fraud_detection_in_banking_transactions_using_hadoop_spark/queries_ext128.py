@@ -3,7 +3,7 @@ supply-chain risk -- quantile treatment effects (the A/B answer beyond
 the mean) and per-part supplier concentration (HHI + single-sourcing).
 
 Scale notes (the 100 TB story):
-- quantile_treatment_effects reads three exact order statistics PER
+- qte_events_variant reads three exact order statistics PER
   ARM off the grouped purchase-cent spine (one grouped rank pass,
   partition_cols=['arm'] -- each arm fans out over its buckets), so
   the QTE row set is 3 exact integer differences. Means can hide a
@@ -28,7 +28,7 @@ _QS = (25, 50, 75)
 
 
 @register(
-    "quantile_treatment_effects",
+    "qte_events_variant",
     f"""
     WITH vals AS (
       SELECT CAST(user_id % 2 AS INTEGER) AS arm,
@@ -61,7 +61,7 @@ _QS = (25, 50, 75)
     """,
     tags=("stats", "experimentation", "quantile"),
 )
-def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_qte_events_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile treatment effects of the variant split (user_id parity)
     on purchase value: exact p25/p50/p75 per arm from the grouped cent
     spine, QTE = q_treat - q_control per quantile. A treatment that

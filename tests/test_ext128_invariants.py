@@ -10,14 +10,14 @@ import pytest
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries_ext128 import (
     _QS,
-    q_quantile_treatment_effects,
+    q_qte_events_variant,
     q_supply_concentration_parts,
 )
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
 
 def test_qte_matches_sorted_order_stats(spark, sf_dir):
-    got = {r["q"]: r for r in q_quantile_treatment_effects(spark, sf_dir).collect()}
+    got = {r["q"]: r for r in q_qte_events_variant(spark, sf_dir).collect()}
     ev = read_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "value"
     ).collect()

@@ -91,3 +91,16 @@ def test_every_registry_query_is_documented():
         if f"`{q.name}`" not in text and not re.match(r"q\d+_", q.name)
     ]
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
+
+
+def test_registry_names_are_unique():
+    """A duplicate register() name silently shadows the earlier query in
+    __spark_entry__.queries() -- round 6 caught two real collisions
+    (quantile_treatment_effects, duplicate_payment_screen), so the
+    registry is now gated."""
+    from collections import Counter
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
+
+    dupes = [n for n, c in Counter(q.name for q in registry()).items() if c > 1]
+    assert dupes == [], f"duplicate registry names: {dupes}"

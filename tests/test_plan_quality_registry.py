@@ -53,6 +53,11 @@ ALLOWED_NESTED_LOOP = {
     "boilerplate_strip_stats",
     # constant 5-row lambda-grid + 1-row best-LL broadcasts
     "box_cox_scan",
+    # 1-row per-arm totals + 3-row quantile-grid broadcasts (ext128)
+    "qte_events_variant",
+    # 1-row digit-total / order-total broadcasts (ext134 forensic trio)
+    "benford_summation_test",
+    "duplicate_amount_audit",
     # constant 20-cell contingency pair join (ext133)
     "somers_d_priority_price",
     # 1-row marginal-total broadcasts (ext133)
