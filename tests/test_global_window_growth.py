@@ -173,6 +173,9 @@ CALENDAR = {
     "mde_accrual_curve": "orders_days",
     "extremal_index_runs": "orders_days",
     "littles_law_window": "orders_days",
+    "ljung_box_q": "orders_days",
+    "variance_ratio_test": "orders_days",
+    "kpss_stationarity": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -381,6 +381,10 @@ ALLOWED_NESTED_LOOP = {
     "dispersion_scale_sweep",
     # 1-row trace/survival broadcasts (ext113)
     "shorrocks_mobility_index",
+    # 1-row series-total / lag-spine / scalar-statistic broadcasts over
+    # the daily spine (ext135 whiteness/stationarity diagnostics)
+    "ljung_box_q",
+    "kpss_stationarity",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -518,6 +522,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "cucconi_location_scale": "B-row bucket offsets (with_global_rank spine)",
     "littles_law_window": "boundary-day spine (calendar-bounded sweep)",
     "croston_intermittent": "65-row post-limit fit window",
+    "ljung_box_q": "daily revenue series (lag spine + 7-row Q prefix)",
+    "variance_ratio_test": "daily revenue series (overlapping-sum frames)",
+    "kpss_stationarity": "daily revenue series (partial sums + lag spine)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
