@@ -206,6 +206,7 @@ def registry() -> list[Query]:
         queries_ext133,
         queries_ext134,
         queries_ext135,
+        queries_ext136,
         queries_feat,
         queries_funcs,
         queries_funcs2,
