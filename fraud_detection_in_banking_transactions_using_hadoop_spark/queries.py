@@ -207,6 +207,7 @@ def registry() -> list[Query]:
         queries_ext134,
         queries_ext135,
         queries_ext136,
+        queries_ext137,
         queries_feat,
         queries_funcs,
         queries_funcs2,

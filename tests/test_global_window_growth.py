@@ -176,6 +176,7 @@ CALENDAR = {
     "ljung_box_q": "orders_days",
     "variance_ratio_test": "orders_days",
     "kpss_stationarity": "orders_days",
+    "ulcer_index_daily": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

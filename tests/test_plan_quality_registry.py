@@ -525,6 +525,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "ljung_box_q": "daily revenue series (lag spine + 7-row Q prefix)",
     "variance_ratio_test": "daily revenue series (overlapping-sum frames)",
     "kpss_stationarity": "daily revenue series (partial sums + lag spine)",
+    "ulcer_index_daily": "daily revenue series (running peak)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
@@ -587,6 +588,9 @@ EAGER = {
     "harmonic_centrality_3hop",
     # eager greedy MMR loop (per-step checkpointed selections)
     "mmr_rerank",
+    # eager spine + per-round coefficient checkpoints (ext137 GLMs)
+    "logistic_newton_1d",
+    "poisson_glm_loglink",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
