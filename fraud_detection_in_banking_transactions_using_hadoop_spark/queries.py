@@ -208,6 +208,7 @@ def registry() -> list[Query]:
         queries_ext135,
         queries_ext136,
         queries_ext137,
+        queries_ext138,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -177,6 +177,7 @@ CALENDAR = {
     "variance_ratio_test": "orders_days",
     "kpss_stationarity": "orders_days",
     "ulcer_index_daily": "orders_days",
+    "theil_u2_forecast": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -385,6 +385,8 @@ ALLOWED_NESTED_LOOP = {
     # the daily spine (ext135 whiteness/stationarity diagnostics)
     "ljung_box_q",
     "kpss_stationarity",
+    # 1-row marginal-total / disagreement-sum broadcasts (ext138)
+    "krippendorff_alpha_returnflag",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -526,6 +528,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "variance_ratio_test": "daily revenue series (overlapping-sum frames)",
     "kpss_stationarity": "daily revenue series (partial sums + lag spine)",
     "ulcer_index_daily": "daily revenue series (running peak)",
+    "theil_u2_forecast": "daily revenue series (lag windows)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
@@ -591,6 +594,8 @@ EAGER = {
     # eager spine + per-round coefficient checkpoints (ext137 GLMs)
     "logistic_newton_1d",
     "poisson_glm_loglink",
+    # eager cells/med/dcells/scored checkpoints (shared rank spines)
+    "fligner_killeen",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
