@@ -178,6 +178,7 @@ CALENDAR = {
     "kpss_stationarity": "orders_days",
     "ulcer_index_daily": "orders_days",
     "theil_u2_forecast": "orders_days",
+    "sample_entropy_daily": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -34,6 +34,7 @@ ALLOWED_NESTED_LOOP = {
     "stupid_backoff_heldout",
     # calendar-bounded daily pair join (|days|^2 constant in SF)
     "hoeffding_d_daily",
+    "sample_entropy_daily",
     "tail_dependence_daily",
     "distance_correlation_daily",
     # 1-row max-day broadcast (e6 decay-weight grid)
@@ -387,6 +388,8 @@ ALLOWED_NESTED_LOOP = {
     "kpss_stationarity",
     # 1-row marginal-total / disagreement-sum broadcasts (ext138)
     "krippendorff_alpha_returnflag",
+    # 1-row distinct-days broadcast against the 5-row type table (ext139)
+    "garwood_poisson_ci",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -529,6 +532,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "kpss_stationarity": "daily revenue series (partial sums + lag spine)",
     "ulcer_index_daily": "daily revenue series (running peak)",
     "theil_u2_forecast": "daily revenue series (lag windows)",
+    "sample_entropy_daily": "daily revenue series (template lead windows)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
