@@ -390,6 +390,10 @@ ALLOWED_NESTED_LOOP = {
     "krippendorff_alpha_returnflag",
     # 1-row distinct-days broadcast against the 5-row type table (ext139)
     "garwood_poisson_ci",
+    # 1-row max-day / array / scalar-CV / span broadcasts (ext140)
+    "holt_linear_forecast",
+    "kingman_gg1_wait",
+    "eoq_reorder_policy",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
