@@ -179,6 +179,8 @@ CALENDAR = {
     "ulcer_index_daily": "orders_days",
     "theil_u2_forecast": "orders_days",
     "sample_entropy_daily": "orders_days",
+    "cornish_fisher_var": "orders_days",
+    "lilliefors_normality": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -394,6 +394,9 @@ ALLOWED_NESTED_LOOP = {
     "holt_linear_forecast",
     "kingman_gg1_wait",
     "eoq_reorder_policy",
+    # 1-row moment-frame / percentile broadcasts (ext141)
+    "cornish_fisher_var",
+    "lilliefors_normality",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -537,6 +540,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "ulcer_index_daily": "daily revenue series (running peak)",
     "theil_u2_forecast": "daily revenue series (lag windows)",
     "sample_entropy_daily": "daily revenue series (template lead windows)",
+    "cornish_fisher_var": "daily revenue value spine (percentile prefix)",
+    "lilliefors_normality": "daily revenue value spine (CDF prefix)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
