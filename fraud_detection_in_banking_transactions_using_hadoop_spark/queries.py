@@ -212,6 +212,7 @@ def registry() -> list[Query]:
         queries_ext139,
         queries_ext140,
         queries_ext141,
+        queries_ext142,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -54,6 +54,8 @@ STRUCTURAL = {
     "cramer_von_mises": 32,
     # bucket_bits=16 path: offsets bounded by cents-domain / 2^16
     "decision_stump_split": 1024,
+    # vocab rank spine: B-row (32) percentile offsets + rank ordinals
+    "ngram_coverage_curve": 64,
     "median_ci_orderstat": 32,
     "trimmed_mean": 32,
     "rle_compressibility": 32,

@@ -397,6 +397,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row moment-frame / percentile broadcasts (ext141)
     "cornish_fisher_var",
     "lilliefors_normality",
+    # constant 5x5 design-grid broadcast / 1-row vocab-total broadcast
+    "lsh_s_curve_tuning",
+    "ngram_coverage_curve",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -542,6 +545,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "sample_entropy_daily": "daily revenue series (template lead windows)",
     "cornish_fisher_var": "daily revenue value spine (percentile prefix)",
     "lilliefors_normality": "daily revenue value spine (CDF prefix)",
+    "ngram_coverage_curve": "B-row bucket offsets (vocab rank spine)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
