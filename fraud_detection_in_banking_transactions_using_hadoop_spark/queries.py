@@ -213,6 +213,7 @@ def registry() -> list[Query]:
         queries_ext140,
         queries_ext141,
         queries_ext142,
+        queries_ext143,
         queries_feat,
         queries_funcs,
         queries_funcs2,

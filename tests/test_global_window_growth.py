@@ -187,6 +187,7 @@ CALENDAR = {
 
 # name -> (probe key, base-table probe key)
 DOMAIN = {
+    "kuiper_time_of_day": ("event_minutes_of_day", "events_rows"),
     "length_drift_ks": ("doc_nchars", "documents_rows"),
     "youden_j_threshold": ("event_value_cents", "events_rows"),
     "average_precision": ("event_value_cents", "events_rows"),
@@ -215,6 +216,9 @@ PROBES = {
         "SELECT count(DISTINCT CAST(round(value * 100, 0) AS BIGINT)) FROM events"
     ),
     "doc_nchars": "SELECT count(DISTINCT n_chars) FROM documents",
+    "event_minutes_of_day": (
+        "SELECT count(DISTINCT (epoch_us(ts) // 60000000) % 1440) FROM events"
+    ),
     "doc_sources": "SELECT count(DISTINCT source) FROM documents",
     "rf_ls_cells": (
         "SELECT count(*) FROM (SELECT DISTINCT l_returnflag, l_linestatus"

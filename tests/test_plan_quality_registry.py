@@ -400,6 +400,9 @@ ALLOWED_NESTED_LOOP = {
     # constant 5x5 design-grid broadcast / 1-row vocab-total broadcast
     "lsh_s_curve_tuning",
     "ngram_coverage_curve",
+    # 1-row total / 9-row digit-grid / 1-row MAD broadcasts (ext143)
+    "kuiper_time_of_day",
+    "benford_mad_conformity",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -546,6 +549,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "cornish_fisher_var": "daily revenue value spine (percentile prefix)",
     "lilliefors_normality": "daily revenue value spine (CDF prefix)",
     "ngram_coverage_curve": "B-row bucket offsets (vocab rank spine)",
+    "kuiper_time_of_day": "minutes-of-day spine (hard 1440 clock domain)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
