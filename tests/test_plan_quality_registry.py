@@ -403,6 +403,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row total / 9-row digit-grid / 1-row MAD broadcasts (ext143)
     "kuiper_time_of_day",
     "benford_mad_conformity",
+    # 1-row max-day / fit-array broadcasts onto the 9-row alpha grid
+    "ses_alpha_scan",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -607,6 +609,8 @@ EAGER = {
     "streaming_bloom_replay",
     # live streaming replay (carried-recursion EWMA fold)
     "streaming_ewma_replay",
+    # live streaming replay (carried 2-state Holt fold)
+    "streaming_holt_replay",
     # eager LSH edge-table checkpoint feeding iterative joins (ext119)
     "katz_centrality",
     "harmonic_centrality_3hop",
