@@ -215,6 +215,7 @@ def registry() -> list[Query]:
         queries_ext142,
         queries_ext143,
         queries_ext144,
+        queries_ext145,
         queries_feat,
         queries_funcs,
         queries_funcs2,

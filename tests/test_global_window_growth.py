@@ -147,6 +147,9 @@ CALENDAR = {
     "kaplan_meier_survival": "events_days",
     "nelson_aalen_hazard": "events_days",
     "mean_residual_life": "events_days",
+    "rmst_survival": "events_days",
+    "cure_fraction_km": "events_days",
+    "conditional_survival_curve": "events_days",
     # Walsh pair-sum spine over the daily series: saturates at
     # ~days^2/2 (measured 2.87M -> 2.89M across sf0.01 -> sf0.1)
     "hodges_lehmann": "walsh_sums",

@@ -405,6 +405,10 @@ ALLOWED_NESTED_LOOP = {
     "benford_mad_conformity",
     # 1-row max-day / fit-array broadcasts onto the 9-row alpha grid
     "ses_alpha_scan",
+    # 1-row area-total / plateau / 3-row grid broadcasts (ext145 KM tier)
+    "rmst_survival",
+    "cure_fraction_km",
+    "conditional_survival_curve",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -552,6 +556,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "lilliefors_normality": "daily revenue value spine (CDF prefix)",
     "ngram_coverage_curve": "B-row bucket offsets (vocab rank spine)",
     "kuiper_time_of_day": "minutes-of-day spine (hard 1440 clock domain)",
+    "rmst_survival": "distinct event-time (day) spine",
+    "cure_fraction_km": "distinct event-time (day) spine",
+    "conditional_survival_curve": "distinct event-time (day) spine",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
