@@ -216,6 +216,7 @@ def registry() -> list[Query]:
         queries_ext143,
         queries_ext144,
         queries_ext145,
+        queries_ext146,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -45,6 +45,9 @@ ALLOWED_NESTED_LOOP = {
     "hard_negative_mining",
     "mean_reciprocal_rank",
     "precision_at_k_labels",
+    # bounded 20/50-anchor joins (ext146 representation diagnostics)
+    "uniformity_alignment",
+    "twonn_intrinsic_dim",
     # 1-row grand-mean / S / pooled-variance broadcasts (shrinkage)
     "james_stein_means",
     # 1-row per-arm trimmed-stat broadcast (2-row cross)
