@@ -69,6 +69,9 @@ HEADLINE = [
     "multimodal_gif_stats",  # real LZW GIF codec through mapInPandas
     "anderson_darling_2s",  # tail-weighted two-sample test on the rank spine
     "hoeffding_d_daily",  # tie-aware dependence over the daily pair join
+    "logistic_newton_1d",  # in-engine GLM: 3 Newton rounds over the spine
+    "fligner_killeen",  # two rank-operator passes + Acklam normal scores
+    "participation_ratio_embeddings",  # map-side Gram effective rank
 ]
 
 
