@@ -765,3 +765,108 @@ def gif_channel_stats(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(op, schema=PNG_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# BMP: 24-bit uncompressed BI_RGB -- a REAL container with the two
+# format quirks that break naive readers (BGR byte order, bottom-up
+# rows padded to 4-byte boundaries), implementable losslessly from the
+# stdlib alone. encode(decode(x)) is byte-exact; decode(encode(img))
+# is pixel-exact.
+# ---------------------------------------------------------------------------
+def encode_bmp(img) -> bytes:
+    """Serialize an HxWx3 uint8 RGB array as a 24-bit BI_RGB BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up BGR rows, each row
+    zero-padded to a 4-byte boundary)."""
+    import struct
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("encode_bmp expects HxWx3 RGB")
+    row_len = (3 * w + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y, :, ::-1].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (row_len - len(row))
+    off = 14 + 40
+    size = off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return bytes(header + info + body)
+
+
+def decode_bmp(data: bytes):
+    """Parse a 24-bit BI_RGB BMP produced by encode_bmp (or any
+    bottom-up uncompressed 24-bit writer) back to an HxWx3 uint8 RGB
+    array. Validates magic, bit depth and compression mode."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", data, 10)[0]
+    (hsz, w, h, planes, bpp, comp) = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} comp={comp}")
+    row_len = (3 * w + 3) & ~3
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for i in range(h):
+        y = h - 1 - i  # bottom-up
+        row = np.frombuffer(data, np.uint8, 3 * w, off + i * row_len)
+        img[y] = row.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+    return img
+
+
+# ---------------------------------------------------------------------------
+# WAV: RIFF/WAVE PCM16 mono -- the uncompressed audio container, again
+# lossless from the stdlib (struct only). The audio twin of BMP.
+# ---------------------------------------------------------------------------
+def encode_wav(samples, rate: int = 8000) -> bytes:
+    """Serialize int16 mono samples as a canonical 44-byte-header
+    RIFF/WAVE PCM file (fmt chunk 16 bytes, little-endian data)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    out = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return out
+
+
+def decode_wav(data: bytes):
+    """Parse a PCM16 mono RIFF/WAVE file back to (int16 array, rate).
+    Walks the chunk list properly (tolerates extra chunks), validates
+    the PCM/mono/16-bit format triple."""
+    import struct
+
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, clen = data[pos:pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, ch, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if (tag, ch, bits) != (1, 1, 16):
+                raise ValueError(f"unsupported WAV: tag={tag} ch={ch} bits={bits}")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2").copy()
+        pos += 8 + clen + (clen & 1)
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples, rate

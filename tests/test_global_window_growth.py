@@ -153,6 +153,8 @@ CALENDAR = {
     # Walsh pair-sum spine over the daily series: saturates at
     # ~days^2/2 (measured 2.87M -> 2.89M across sf0.01 -> sf0.1)
     "hodges_lehmann": "walsh_sums",
+    # |diff| spine saturates like the Walsh-sum spine (same pair set)
+    "qn_scale_daily": "walsh_sums",
     "pettitt_changepoint": "orders_days",
     "page_hinkley_drift": "orders_days",
     "pacf_daily_revenue": "orders_days",

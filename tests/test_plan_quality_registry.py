@@ -35,6 +35,7 @@ ALLOWED_NESTED_LOOP = {
     # calendar-bounded daily pair join (|days|^2 constant in SF)
     "hoeffding_d_daily",
     "sample_entropy_daily",
+    "qn_scale_daily",
     "tail_dependence_daily",
     "distance_correlation_daily",
     # 1-row max-day broadcast (e6 decay-weight grid)
@@ -562,6 +563,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "rmst_survival": "distinct event-time (day) spine",
     "cure_fraction_km": "distinct event-time (day) spine",
     "conditional_survival_curve": "distinct event-time (day) spine",
+    "qn_scale_daily": "pairwise |diff| spine (bounded pairs)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
