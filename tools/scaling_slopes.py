@@ -34,6 +34,9 @@ HEAVY = [
     "kmeans_1d_lloyd",
     "decision_stump_split",
     "multimodal_png_stats",
+    # r6 late additions: iterative GLM + double rank-pass scale test
+    "logistic_newton_1d",
+    "fligner_killeen",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
