@@ -219,6 +219,7 @@ def registry() -> list[Query]:
         queries_ext146,
         queries_ext147,
         queries_ext148,
+        queries_ext149,
         queries_feat,
         queries_funcs,
         queries_funcs2,

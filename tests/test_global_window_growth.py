@@ -188,6 +188,7 @@ CALENDAR = {
     "sample_entropy_daily": "orders_days",
     "cornish_fisher_var": "orders_days",
     "lilliefors_normality": "orders_days",
+    "winsorized_corr": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

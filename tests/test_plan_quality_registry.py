@@ -413,6 +413,8 @@ ALLOWED_NESTED_LOOP = {
     "rmst_survival",
     "cure_fraction_km",
     "conditional_survival_curve",
+    # 1-row winsorization-cut broadcasts onto the daily frame (ext149)
+    "winsorized_corr",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -564,6 +566,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "cure_fraction_km": "distinct event-time (day) spine",
     "conditional_survival_curve": "distinct event-time (day) spine",
     "qn_scale_daily": "pairwise |diff| spine (bounded pairs)",
+    "winsorized_corr": "daily value spines (x2 winsorization cuts)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
