@@ -220,6 +220,7 @@ def registry() -> list[Query]:
         queries_ext147,
         queries_ext148,
         queries_ext149,
+        queries_ext150,
         queries_feat,
         queries_funcs,
         queries_funcs2,

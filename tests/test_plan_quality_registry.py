@@ -415,6 +415,9 @@ ALLOWED_NESTED_LOOP = {
     "conditional_survival_curve",
     # 1-row winsorization-cut broadcasts onto the daily frame (ext149)
     "winsorized_corr",
+    # constant 25x25 nation pair joins (ext150 social choice)
+    "borda_copeland_nations",
+    "kendall_distance_rankings",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -567,6 +570,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "conditional_survival_curve": "distinct event-time (day) spine",
     "qn_scale_daily": "pairwise |diff| spine (bounded pairs)",
     "winsorized_corr": "daily value spines (x2 winsorization cuts)",
+    "borda_copeland_nations": "25-row nation summary (x3 metric ranks)",
+    "kendall_distance_rankings": "25-row nation summary (x3 metric ranks)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
@@ -639,6 +644,8 @@ EAGER = {
     # eager spine + per-round EM state checkpoints / 2x2 table checkpoint
     "gmm_em_2comp",
     "fisher_exact_2x2",
+    # eager game-table + per-round strength checkpoints (ext150 BT)
+    "bradley_terry_nations",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
