@@ -221,6 +221,7 @@ def registry() -> list[Query]:
         queries_ext148,
         queries_ext149,
         queries_ext150,
+        queries_ext151,
         queries_feat,
         queries_funcs,
         queries_funcs2,

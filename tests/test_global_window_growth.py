@@ -56,6 +56,7 @@ STRUCTURAL = {
     "decision_stump_split": 1024,
     # vocab rank spine: B-row (32) percentile offsets + rank ordinals
     "ngram_coverage_curve": 64,
+    "knapsack_budget_selection": 64,
     "median_ci_orderstat": 32,
     "trimmed_mean": 32,
     "rle_compressibility": 32,

@@ -418,6 +418,8 @@ ALLOWED_NESTED_LOOP = {
     # constant 25x25 nation pair joins (ext150 social choice)
     "borda_copeland_nations",
     "kendall_distance_rankings",
+    # 1-row budget / boundary-item broadcasts (ext151 knapsack)
+    "knapsack_budget_selection",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -572,6 +574,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "winsorized_corr": "daily value spines (x2 winsorization cuts)",
     "borda_copeland_nations": "25-row nation summary (x3 metric ranks)",
     "kendall_distance_rankings": "25-row nation summary (x3 metric ranks)",
+    "knapsack_budget_selection": "B-row bucket offsets (ratio rank spine)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
