@@ -222,6 +222,7 @@ def registry() -> list[Query]:
         queries_ext149,
         queries_ext150,
         queries_ext151,
+        queries_ext152,
         queries_feat,
         queries_funcs,
         queries_funcs2,

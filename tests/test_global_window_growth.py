@@ -57,6 +57,7 @@ STRUCTURAL = {
     # vocab rank spine: B-row (32) percentile offsets + rank ordinals
     "ngram_coverage_curve": 64,
     "knapsack_budget_selection": 64,
+    "l_moments_acctbal": 32,
     "median_ci_orderstat": 32,
     "trimmed_mean": 32,
     "rle_compressibility": 32,
@@ -190,6 +191,8 @@ CALENDAR = {
     "cornish_fisher_var": "orders_days",
     "lilliefors_normality": "orders_days",
     "winsorized_corr": "orders_days",
+    "gev_lmoments_fit": "orders_days",
+    "kadane_best_streak": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -420,6 +420,10 @@ ALLOWED_NESTED_LOOP = {
     "kendall_distance_rankings",
     # 1-row budget / boundary-item broadcasts (ext151 knapsack)
     "knapsack_budget_selection",
+    # rank-op range join (L-moment spine) / 1-row total + best-row
+    # broadcasts (ext152)
+    "l_moments_acctbal",
+    "kadane_best_streak",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -575,6 +579,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "borda_copeland_nations": "25-row nation summary (x3 metric ranks)",
     "kendall_distance_rankings": "25-row nation summary (x3 metric ranks)",
     "knapsack_budget_selection": "B-row bucket offsets (ratio rank spine)",
+    "l_moments_acctbal": "B-row bucket offsets (acctbal rank spine)",
+    "gev_lmoments_fit": "weekly block-maxima value spine (calendar-bounded)",
+    "kadane_best_streak": "daily revenue series (prefix + running min)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
