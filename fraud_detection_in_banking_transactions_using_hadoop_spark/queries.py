@@ -223,6 +223,7 @@ def registry() -> list[Query]:
         queries_ext150,
         queries_ext151,
         queries_ext152,
+        queries_ext153,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -193,6 +193,8 @@ CALENDAR = {
     "winsorized_corr": "orders_days",
     "gev_lmoments_fit": "orders_days",
     "kadane_best_streak": "orders_days",
+    "matrix_profile_motifs": "orders_days",
+    "pit_histogram_calibration": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

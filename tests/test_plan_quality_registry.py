@@ -36,6 +36,7 @@ ALLOWED_NESTED_LOOP = {
     "hoeffding_d_daily",
     "sample_entropy_daily",
     "qn_scale_daily",
+    "matrix_profile_motifs",
     "tail_dependence_daily",
     "distance_correlation_daily",
     # 1-row max-day broadcast (e6 decay-weight grid)
@@ -424,6 +425,10 @@ ALLOWED_NESTED_LOOP = {
     # broadcasts (ext152)
     "l_moments_acctbal",
     "kadane_best_streak",
+    # capped 400-vector exact pair join (documented exact variant)
+    "embedding_energy_2sample",
+    # 1-row moment/total broadcasts (ext153 PIT)
+    "pit_histogram_calibration",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -582,6 +587,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "l_moments_acctbal": "B-row bucket offsets (acctbal rank spine)",
     "gev_lmoments_fit": "weekly block-maxima value spine (calendar-bounded)",
     "kadane_best_streak": "daily revenue series (prefix + running min)",
+    "matrix_profile_motifs": "daily revenue series (7 lead windows)",
+    "pit_histogram_calibration": "daily revenue series (moment pass)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
