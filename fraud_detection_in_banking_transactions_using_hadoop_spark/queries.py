@@ -224,6 +224,7 @@ def registry() -> list[Query]:
         queries_ext151,
         queries_ext152,
         queries_ext153,
+        queries_ext154,
         queries_feat,
         queries_funcs,
         queries_funcs2,

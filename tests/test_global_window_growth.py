@@ -195,6 +195,7 @@ CALENDAR = {
     "kadane_best_streak": "orders_days",
     "matrix_profile_motifs": "orders_days",
     "pit_histogram_calibration": "orders_days",
+    "mcleod_li_arch": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -429,6 +429,10 @@ ALLOWED_NESTED_LOOP = {
     "embedding_energy_2sample",
     # 1-row moment/total broadcasts (ext153 PIT)
     "pit_histogram_calibration",
+    # 1-row series-total / VaR-line / 50-row grid broadcasts (ext154)
+    "almost_stochastic_order",
+    "mcleod_li_arch",
+    "kupiec_var_backtest",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -589,6 +593,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "kadane_best_streak": "daily revenue series (prefix + running min)",
     "matrix_profile_motifs": "daily revenue series (7 lead windows)",
     "pit_histogram_calibration": "daily revenue series (moment pass)",
+    "mcleod_li_arch": "daily revenue series (lag spine + Q prefix)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
