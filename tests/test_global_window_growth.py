@@ -58,6 +58,7 @@ STRUCTURAL = {
     "ngram_coverage_curve": 64,
     "knapsack_budget_selection": 64,
     "l_moments_acctbal": 32,
+    "rrf_quality_fusion": 96,
     "median_ci_orderstat": 32,
     "trimmed_mean": 32,
     "rle_compressibility": 32,

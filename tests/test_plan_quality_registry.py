@@ -433,6 +433,9 @@ ALLOWED_NESTED_LOOP = {
     "almost_stochastic_order",
     "mcleod_li_arch",
     "kupiec_var_backtest",
+    # rank-op range joins (x3 RRF legs) / 1-row weight broadcasts (ext155)
+    "rrf_quality_fusion",
+    "topsis_nation_ranking",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -594,6 +597,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "matrix_profile_motifs": "daily revenue series (7 lead windows)",
     "pit_histogram_calibration": "daily revenue series (moment pass)",
     "mcleod_li_arch": "daily revenue series (lag spine + Q prefix)",
+    "rrf_quality_fusion": "B-row bucket offsets (x3 signal rank legs)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
