@@ -226,6 +226,7 @@ def registry() -> list[Query]:
         queries_ext153,
         queries_ext154,
         queries_ext155,
+        queries_ext156,
         queries_feat,
         queries_funcs,
         queries_funcs2,

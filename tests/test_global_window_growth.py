@@ -59,6 +59,7 @@ STRUCTURAL = {
     "knapsack_budget_selection": 64,
     "l_moments_acctbal": 32,
     "rrf_quality_fusion": 96,
+    "mean_cumulative_function": 29,
     "median_ci_orderstat": 32,
     "trimmed_mean": 32,
     "rle_compressibility": 32,

@@ -436,6 +436,8 @@ ALLOWED_NESTED_LOOP = {
     # rank-op range joins (x3 RRF legs) / 1-row weight broadcasts (ext155)
     "rrf_quality_fusion",
     "topsis_nation_ranking",
+    # constant 29-row age-grid broadcast against the follow-up frame
+    "mean_cumulative_function",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -598,6 +600,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "pit_histogram_calibration": "daily revenue series (moment pass)",
     "mcleod_li_arch": "daily revenue series (lag spine + Q prefix)",
     "rrf_quality_fusion": "B-row bucket offsets (x3 signal rank legs)",
+    "mean_cumulative_function": "constant 29-row age grid (MCF prefix)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
@@ -672,6 +675,8 @@ EAGER = {
     "fisher_exact_2x2",
     # eager game-table + per-round strength checkpoints (ext150 BT)
     "bradley_terry_nations",
+    # eager obs frame + per-round beta checkpoints (ext156 Cox PH)
+    "cox_ph_newton",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
