@@ -227,6 +227,7 @@ def registry() -> list[Query]:
         queries_ext154,
         queries_ext155,
         queries_ext156,
+        queries_ext157,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -159,6 +159,9 @@ CALENDAR = {
     "hodges_lehmann": "walsh_sums",
     # |diff| spine saturates like the Walsh-sum spine (same pair set)
     "qn_scale_daily": "walsh_sums",
+    # medcouple kernel spine: left x right median pairs, same saturation
+    "medcouple_skew_daily": "walsh_sums",
+    "kz_filter_smoothness": "orders_days",
     "pettitt_changepoint": "orders_days",
     "page_hinkley_drift": "orders_days",
     "pacf_daily_revenue": "orders_days",

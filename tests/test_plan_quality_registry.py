@@ -438,6 +438,9 @@ ALLOWED_NESTED_LOOP = {
     "topsis_nation_ranking",
     # constant 29-row age-grid broadcast against the follow-up frame
     "mean_cumulative_function",
+    # calendar-bounded left-of-median x right-of-median pair join +
+    # 1-row median/fence broadcasts (ext157 medcouple)
+    "medcouple_skew_daily",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -601,6 +604,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "mcleod_li_arch": "daily revenue series (lag spine + Q prefix)",
     "rrf_quality_fusion": "B-row bucket offsets (x3 signal rank legs)",
     "mean_cumulative_function": "constant 29-row age grid (MCF prefix)",
+    "medcouple_skew_daily": "daily series + pair-kernel value spine",
+    "kz_filter_smoothness": "daily revenue series (x3 iterated MA frames)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
