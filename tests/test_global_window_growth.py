@@ -162,6 +162,8 @@ CALENDAR = {
     # medcouple kernel spine: left x right median pairs, same saturation
     "medcouple_skew_daily": "walsh_sums",
     "kz_filter_smoothness": "orders_days",
+    "sax_symbolic_words": "orders_days",
+    "autocorr_ess_daily": "orders_days",
     "pettitt_changepoint": "orders_days",
     "page_hinkley_drift": "orders_days",
     "pacf_daily_revenue": "orders_days",

@@ -441,6 +441,10 @@ ALLOWED_NESTED_LOOP = {
     # calendar-bounded left-of-median x right-of-median pair join +
     # 1-row median/fence broadcasts (ext157 medcouple)
     "medcouple_skew_daily",
+    # 1-row moment / mu / truncation-lag broadcasts (ext158)
+    "sax_symbolic_words",
+    "ledoit_wolf_shrinkage",
+    "autocorr_ess_daily",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -606,6 +610,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "mean_cumulative_function": "constant 29-row age grid (MCF prefix)",
     "medcouple_skew_daily": "daily series + pair-kernel value spine",
     "kz_filter_smoothness": "daily revenue series (x3 iterated MA frames)",
+    "sax_symbolic_words": "daily revenue series (symbol leads)",
+    "autocorr_ess_daily": "daily revenue series (lag spine)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
