@@ -229,6 +229,7 @@ def registry() -> list[Query]:
         queries_ext156,
         queries_ext157,
         queries_ext158,
+        queries_ext159,
         queries_feat,
         queries_funcs,
         queries_funcs2,

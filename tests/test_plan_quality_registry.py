@@ -445,6 +445,9 @@ ALLOWED_NESTED_LOOP = {
     "sax_symbolic_words",
     "ledoit_wolf_shrinkage",
     "autocorr_ess_daily",
+    # 1-row total / scale-pivot broadcasts (ext159 fractal trio)
+    "dfa_fluctuation",
+    "higuchi_fractal_dim",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -612,6 +615,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "kz_filter_smoothness": "daily revenue series (x3 iterated MA frames)",
     "sax_symbolic_words": "daily revenue series (symbol leads)",
     "autocorr_ess_daily": "daily revenue series (lag spine)",
+    "dfa_fluctuation": "daily revenue series (profile prefix sum)",
+    "higuchi_fractal_dim": "daily revenue series (lag-pair spine)",
+    "bartels_rank_vn": "daily revenue series (rank + lead)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
