@@ -230,6 +230,7 @@ def registry() -> list[Query]:
         queries_ext157,
         queries_ext158,
         queries_ext159,
+        queries_ext160,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -448,6 +448,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row total / scale-pivot broadcasts (ext159 fractal trio)
     "dfa_fluctuation",
     "higuchi_fractal_dim",
+    # 1-row total / long-run-variance broadcasts (ext160 DM test)
+    "diebold_mariano",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -618,6 +620,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "dfa_fluctuation": "daily revenue series (profile prefix sum)",
     "higuchi_fractal_dim": "daily revenue series (lag-pair spine)",
     "bartels_rank_vn": "daily revenue series (rank + lead)",
+    "diebold_mariano": "daily revenue series (lag-1/lag-7 errors)",
+    "pesaran_timmermann": "daily revenue series (sign lags)",
+    "mincer_zarnowitz": "daily revenue series (lag-7 forecast)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
