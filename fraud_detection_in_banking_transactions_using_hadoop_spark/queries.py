@@ -231,6 +231,7 @@ def registry() -> list[Query]:
         queries_ext158,
         queries_ext159,
         queries_ext160,
+        queries_ext161,
         queries_feat,
         queries_funcs,
         queries_funcs2,

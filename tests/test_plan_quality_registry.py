@@ -450,6 +450,11 @@ ALLOWED_NESTED_LOOP = {
     "higuchi_fractal_dim",
     # 1-row total / long-run-variance broadcasts (ext160 DM test)
     "diebold_mariano",
+    # bounded anchor x corpus neighbor joins (200/50 anchors) + 1-row
+    # corpus-total / 64-row dim-sum broadcasts (ext161)
+    "hubness_skewness",
+    "lid_mle_anchors",
+    "cka_feature_halves",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
