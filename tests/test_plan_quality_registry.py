@@ -455,6 +455,9 @@ ALLOWED_NESTED_LOOP = {
     "hubness_skewness",
     "lid_mle_anchors",
     "cka_feature_halves",
+    # 1-row flag-total / digit-grid broadcasts (ext162 fraud screens)
+    "new_beneficiary_burst",
+    "benford_second_digit",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
