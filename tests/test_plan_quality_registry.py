@@ -458,6 +458,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row flag-total / digit-grid broadcasts (ext162 fraud screens)
     "new_beneficiary_burst",
     "benford_second_digit",
+    # 1-row half-count broadcast against the daily spine (ext163)
+    "cox_stuart_trend",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -631,6 +633,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "diebold_mariano": "daily revenue series (lag-1/lag-7 errors)",
     "pesaran_timmermann": "daily revenue series (sign lags)",
     "mincer_zarnowitz": "daily revenue series (lag-7 forecast)",
+    "cox_stuart_trend": "daily revenue series (half-pairing spine)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
@@ -690,6 +693,8 @@ EAGER = {
     "streaming_ewma_replay",
     # live streaming replay (carried 2-state Holt fold)
     "streaming_holt_replay",
+    # live streaming replay (max-plus monoid CUSUM fold)
+    "streaming_cusum_replay",
     # eager LSH edge-table checkpoint feeding iterative joins (ext119)
     "katz_centrality",
     "harmonic_centrality_3hop",
