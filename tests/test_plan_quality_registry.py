@@ -634,6 +634,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "pesaran_timmermann": "daily revenue series (sign lags)",
     "mincer_zarnowitz": "daily revenue series (lag-7 forecast)",
     "cox_stuart_trend": "daily revenue series (half-pairing spine)",
+    "siegel_tukey": "daily revenue series (merged rank spine)",
+    "mood_scale_test": "daily revenue series (merged rank spine)",
+    "wald_wolfowitz_runs2": "daily revenue series (merged rank spine)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
