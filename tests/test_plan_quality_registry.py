@@ -460,6 +460,10 @@ ALLOWED_NESTED_LOOP = {
     "benford_second_digit",
     # 1-row half-count broadcast against the daily spine (ext163)
     "cox_stuart_trend",
+    # 1-row total / 3-row tau / 1-row peak broadcasts (ext165 spectral)
+    "lomb_scargle_power",
+    "spectral_flatness",
+    "teager_kaiser_energy",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -637,6 +641,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "siegel_tukey": "daily revenue series (merged rank spine)",
     "mood_scale_test": "daily revenue series (merged rank spine)",
     "wald_wolfowitz_runs2": "daily revenue series (merged rank spine)",
+    "lomb_scargle_power": "daily revenue series (projection spine)",
+    "spectral_flatness": "daily revenue series (projection spine)",
+    "teager_kaiser_energy": "daily revenue series (lag/lead)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
