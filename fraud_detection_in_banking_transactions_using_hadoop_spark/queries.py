@@ -236,6 +236,7 @@ def registry() -> list[Query]:
         queries_ext163,
         queries_ext164,
         queries_ext165,
+        queries_ext166,
         queries_feat,
         queries_funcs,
         queries_funcs2,

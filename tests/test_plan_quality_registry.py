@@ -464,6 +464,10 @@ ALLOWED_NESTED_LOOP = {
     "lomb_scargle_power",
     "spectral_flatness",
     "teager_kaiser_energy",
+    # 10-row ranked-list / 1-row truth broadcasts (ext166 IR + HT)
+    "err_at_k",
+    "rbp_at_k",
+    "horvitz_thompson_total",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -524,6 +528,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "hill_tail_index": "101-row post-limit order statistics",
     "median_ci_orderstat": "B-row bucket offsets (with_global_rank spine)",
     "ndcg_at_k": "10-row post-limit popularity ranking",
+    "err_at_k": "10-row post-limit popularity ranking",
+    "rbp_at_k": "10-row post-limit popularity ranking",
     "chatterjee_xi": "daily revenue series",
     "abc_xyz_classes": "B-row bucket offsets",
     "haar_wavelet_energy": "256-day bounded series index",
