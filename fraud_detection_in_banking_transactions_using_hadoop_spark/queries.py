@@ -237,6 +237,7 @@ def registry() -> list[Query]:
         queries_ext164,
         queries_ext165,
         queries_ext166,
+        queries_ext167,
         queries_feat,
         queries_funcs,
         queries_funcs2,

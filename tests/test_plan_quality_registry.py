@@ -468,6 +468,8 @@ ALLOWED_NESTED_LOOP = {
     "err_at_k",
     "rbp_at_k",
     "horvitz_thompson_total",
+    # 1-row total / raw-diff broadcasts (ext167 causal trio)
+    "gformula_standardization",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
