@@ -238,6 +238,7 @@ def registry() -> list[Query]:
         queries_ext165,
         queries_ext166,
         queries_ext167,
+        queries_ext168,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -652,6 +652,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "lomb_scargle_power": "daily revenue series (projection spine)",
     "spectral_flatness": "daily revenue series (projection spine)",
     "teager_kaiser_energy": "daily revenue series (lag/lead)",
+    "johnson_su_quantile_fit": "daily revenue value spine (order stats)",
+    "omega_ratio_daily": "daily revenue series (lag)",
+    "kelly_fraction_daily": "daily revenue series (lag)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
