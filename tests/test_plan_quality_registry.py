@@ -470,6 +470,8 @@ ALLOWED_NESTED_LOOP = {
     "horvitz_thompson_total",
     # 1-row total / raw-diff broadcasts (ext167 causal trio)
     "gformula_standardization",
+    # 1-row (a,b) coefficient broadcast for the residual pass (ext169)
+    "white_het_test",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
