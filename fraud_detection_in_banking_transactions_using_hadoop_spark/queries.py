@@ -240,6 +240,7 @@ def registry() -> list[Query]:
         queries_ext167,
         queries_ext168,
         queries_ext169,
+        queries_ext170,
         queries_feat,
         queries_funcs,
         queries_funcs2,

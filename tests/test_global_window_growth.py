@@ -72,6 +72,8 @@ STRUCTURAL = {
     "weighted_sample_topk": 20,
     "hill_tail_index": 101,
     "ndcg_at_k": 10,
+    "err_at_k": 10,
+    "rbp_at_k": 10,
     "haar_wavelet_energy": 256,
     "wasserstein_price_gap": 64,
     "kmeans_1d_lloyd": 32,
@@ -203,6 +205,24 @@ CALENDAR = {
     "matrix_profile_motifs": "orders_days",
     "pit_histogram_calibration": "orders_days",
     "mcleod_li_arch": "orders_days",
+    "dfa_fluctuation": "orders_days",
+    "higuchi_fractal_dim": "orders_days",
+    "bartels_rank_vn": "orders_days",
+    "diebold_mariano": "orders_days",
+    "pesaran_timmermann": "orders_days",
+    "mincer_zarnowitz": "orders_days",
+    "cox_stuart_trend": "orders_days",
+    "siegel_tukey": "orders_days",
+    "mood_scale_test": "orders_days",
+    "wald_wolfowitz_runs2": "orders_days",
+    "lomb_scargle_power": "orders_days",
+    "spectral_flatness": "orders_days",
+    "teager_kaiser_energy": "orders_days",
+    "johnson_su_quantile_fit": "orders_days",
+    "omega_ratio_daily": "orders_days",
+    "kelly_fraction_daily": "orders_days",
+    "laney_pchart": "events_days",
+    "phillips_perron": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -472,6 +472,10 @@ ALLOWED_NESTED_LOOP = {
     "gformula_standardization",
     # 1-row (a,b) coefficient broadcast for the residual pass (ext169)
     "white_het_test",
+    # 1-row total / sigma / coefficient broadcasts (ext170)
+    "laney_pchart",
+    "crow_amsaa_growth",
+    "phillips_perron",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -657,6 +661,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "johnson_su_quantile_fit": "daily revenue value spine (order stats)",
     "omega_ratio_daily": "daily revenue series (lag)",
     "kelly_fraction_daily": "daily revenue series (lag)",
+    "laney_pchart": "30-day daily error-share series (moving range)",
+    "phillips_perron": "daily revenue series (DF regression + lag spine)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
