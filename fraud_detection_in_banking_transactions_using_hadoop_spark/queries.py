@@ -241,6 +241,7 @@ def registry() -> list[Query]:
         queries_ext168,
         queries_ext169,
         queries_ext170,
+        queries_ext171,
         queries_feat,
         queries_funcs,
         queries_funcs2,

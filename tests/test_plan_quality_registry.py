@@ -476,6 +476,9 @@ ALLOWED_NESTED_LOOP = {
     "laney_pchart",
     "crow_amsaa_growth",
     "phillips_perron",
+    # 1-row entropy / TTR / fold-state broadcasts (ext171)
+    "huffman_code_length",
+    "mattr_sliding_ttr",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
