@@ -870,3 +870,100 @@ def decode_wav(data: bytes):
     if rate is None or samples is None:
         raise ValueError("missing fmt/data chunk")
     return samples, rate
+
+
+def encode_pnm(img) -> bytes:
+    """Encode an RGB uint8 image as a binary netpbm P6 (PPM) file:
+    'P6\\n<w> <h>\\n255\\n' + raw RGB rows. The simplest REAL image
+    interchange format (ImageMagick/netpbm lineage); lossless."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    h, w, c = a.shape
+    if c != 3:
+        raise ValueError("P6 is RGB only")
+    return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+def decode_pnm(data: bytes):
+    """Parse a binary P6 back to an HxWx3 uint8 array. Handles the
+    netpbm token grammar properly: arbitrary whitespace between
+    tokens and '#' comments through the header (the part naive
+    readers skip), then exactly one whitespace byte before the raster."""
+    import numpy as np
+
+    if data[:2] != b"P6":
+        raise ValueError("not a P6")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError("only 8-bit P6 supported")
+    raster = data[pos : pos + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).copy()
+
+
+_ULAW_BIAS = 0x84
+_ULAW_CLIP = 32635
+
+
+_ULAW_SEG = (0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF)
+
+
+def encode_ulaw(samples):
+    """G.711 mu-law compress int16 PCM to 8-bit codes (the telephony
+    codec), byte-for-byte the Sun/ITU 14-bit reference (the same path
+    CPython's audioop used): arithmetic >> 2 to 14 bits, sign-mask
+    trick, 33-bias, segment search, mantissa, XOR mask."""
+    import numpy as np
+
+    out = []
+    for s in np.asarray(samples, dtype=np.int64):
+        pcm = int(s) >> 2  # arithmetic shift to 14-bit domain
+        if pcm < 0:
+            pcm = -pcm
+            mask = 0x7F
+        else:
+            mask = 0xFF
+        pcm = min(pcm, 8159) + (_ULAW_BIAS >> 2)
+        seg = 8
+        for i, lim in enumerate(_ULAW_SEG):
+            if pcm <= lim:
+                seg = i
+                break
+        if seg >= 8:
+            out.append(0x7F ^ mask)
+        else:
+            uval = (seg << 4) | ((pcm >> (seg + 1)) & 0xF)
+            out.append(uval ^ mask)
+    return bytes(out)
+
+
+def decode_ulaw(codes):
+    """G.711 mu-law expand 8-bit codes back to int16 PCM (lossy:
+    quantized to the 8-segment companding grid)."""
+    import numpy as np
+
+    out = []
+    for c in codes:
+        c = (~c) & 0xFF
+        sign = c & 0x80
+        exp = (c >> 4) & 0x07
+        mant = c & 0x0F
+        mag = ((mant << 3) + _ULAW_BIAS) << exp
+        mag -= _ULAW_BIAS
+        out.append(-mag if sign else mag)
+    return np.asarray(out, dtype=np.int16)

@@ -242,6 +242,7 @@ def registry() -> list[Query]:
         queries_ext169,
         queries_ext170,
         queries_ext171,
+        queries_ext172,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -732,6 +732,8 @@ EAGER = {
     "harmonic_centrality_3hop",
     # eager greedy MMR loop (per-step checkpointed selections)
     "mmr_rerank",
+    # eager per-squaring checkpointed max-min closure (ext172 Schulze)
+    "schulze_method_nations",
     # eager spine + per-round coefficient checkpoints (ext137 GLMs)
     "logistic_newton_1d",
     "poisson_glm_loglink",
