@@ -243,6 +243,7 @@ def registry() -> list[Query]:
         queries_ext170,
         queries_ext171,
         queries_ext172,
+        queries_ext173,
         queries_feat,
         queries_funcs,
         queries_funcs2,

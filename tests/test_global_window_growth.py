@@ -236,6 +236,7 @@ DOMAIN = {
     "g_test_independence": ("rf_ls_cells", "lineitem_rows"),
     "largest_remainder_allocation": ("cust_nations", "customer_rows"),
     "bh_fdr_screen": ("cust_nations", "customer_rows"),
+    "by_fdr_dependent": ("cust_nations", "customer_rows"),
     "borda_copeland_nations": ("cust_nations", "customer_rows"),
     "kendall_distance_rankings": ("cust_nations", "customer_rows"),
 }

@@ -479,6 +479,10 @@ ALLOWED_NESTED_LOOP = {
     # 1-row entropy / TTR / fold-state broadcasts (ext171)
     "huffman_code_length",
     "mattr_sliding_ttr",
+    # 1-row corpus-total / harmonic / cut broadcasts (ext173)
+    "craigs_zeta_markers",
+    "fightin_words_logodds",
+    "by_fdr_dependent",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -508,6 +512,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "changepoint_max_cusum": "daily revenue series",
     "ransac_trend_fit": "daily revenue series + 16-row model scores",
     "bh_fdr_screen": "25-row nation summary",
+    "by_fdr_dependent": "25-row nation summary",
     "new_vs_returning": "daily series",
     "stickiness_dau_wau": "daily series",
     "ltv_curve": "weekly cohort series",
