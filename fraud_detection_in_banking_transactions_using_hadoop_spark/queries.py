@@ -244,6 +244,7 @@ def registry() -> list[Query]:
         queries_ext171,
         queries_ext172,
         queries_ext173,
+        queries_ext174,
         queries_feat,
         queries_funcs,
         queries_funcs2,

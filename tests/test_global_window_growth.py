@@ -223,6 +223,11 @@ CALENDAR = {
     "kelly_fraction_daily": "orders_days",
     "laney_pchart": "events_days",
     "phillips_perron": "orders_days",
+    # 200-replicate spine is constant; the growth driver is the daily
+    # index it resamples
+    "bootstrap_bca_ci": "orders_days",
+    # distinct-month spine saturates with the calendar
+    "mover_stayer_split": "orders_months",
 }
 
 # name -> (probe key, base-table probe key)
@@ -247,6 +252,9 @@ PROBES = {
         " // 65536) FROM orders"
     ),
     "orders_days": "SELECT count(DISTINCT o_orderdate) FROM orders",
+    "orders_months": (
+        "SELECT count(DISTINCT date_trunc('month', o_orderdate)) FROM orders"
+    ),
     "events_days": "SELECT count(DISTINCT CAST(ts AS DATE)) FROM events",
     "walsh_sums": """
         WITH d AS (

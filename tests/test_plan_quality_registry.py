@@ -483,6 +483,8 @@ ALLOWED_NESTED_LOOP = {
     "craigs_zeta_markers",
     "fightin_words_logodds",
     "by_fdr_dependent",
+    # 1-row total / cut / jackknife broadcasts (ext174)
+    "bootstrap_bca_ci",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -671,6 +673,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "kelly_fraction_daily": "daily revenue series (lag)",
     "laney_pchart": "30-day daily error-share series (moving range)",
     "phillips_perron": "daily revenue series (DF regression + lag spine)",
+    "bootstrap_bca_ci": "200-row replicate spine + daily index spine",
+    "mover_stayer_split": "distinct-month spine (calendar-bounded)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
