@@ -245,6 +245,7 @@ def registry() -> list[Query]:
         queries_ext172,
         queries_ext173,
         queries_ext174,
+        queries_ext175,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -485,6 +485,10 @@ ALLOWED_NESTED_LOOP = {
     "by_fdr_dependent",
     # 1-row total / cut / jackknife broadcasts (ext174)
     "bootstrap_bca_ci",
+    # 1-row max-day / array-state broadcasts (ext175 smoothing folds)
+    "holt_winters_weekly",
+    "damped_trend_forecast",
+    "theta_method_forecast",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
