@@ -246,6 +246,7 @@ def registry() -> list[Query]:
         queries_ext173,
         queries_ext174,
         queries_ext175,
+        queries_ext176,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -489,6 +489,9 @@ ALLOWED_NESTED_LOOP = {
     "holt_winters_weekly",
     "damped_trend_forecast",
     "theta_method_forecast",
+    # 1-row mixing-total / grid / worst-cell broadcasts (ext176)
+    "brand_assortativity_copurchase",
+    "benford_first_two_digits",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -747,6 +750,8 @@ EAGER = {
     "mmr_rerank",
     # eager per-squaring checkpointed max-min closure (ext172 Schulze)
     "schulze_method_nations",
+    # eager per-squaring checkpointed min-plus closure (ext176 WW DP)
+    "wagner_whitin_lotsize",
     # eager spine + per-round coefficient checkpoints (ext137 GLMs)
     "logistic_newton_1d",
     "poisson_glm_loglink",
