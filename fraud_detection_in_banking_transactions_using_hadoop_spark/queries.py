@@ -247,6 +247,7 @@ def registry() -> list[Query]:
         queries_ext174,
         queries_ext175,
         queries_ext176,
+        queries_ext177,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -228,6 +228,8 @@ CALENDAR = {
     "bootstrap_bca_ci": "orders_days",
     # distinct-month spine saturates with the calendar
     "mover_stayer_split": "orders_months",
+    "cusumsq_variance_stability": "orders_days",
+    "runs_up_down_test": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

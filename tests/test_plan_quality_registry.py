@@ -492,6 +492,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row mixing-total / grid / worst-cell broadcasts (ext176)
     "brand_assortativity_copurchase",
     "benford_first_two_digits",
+    # 1-row total / argmax broadcasts (ext177 stability tests)
+    "cusumsq_variance_stability",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -682,6 +684,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "phillips_perron": "daily revenue series (DF regression + lag spine)",
     "bootstrap_bca_ci": "200-row replicate spine + daily index spine",
     "mover_stayer_split": "distinct-month spine (calendar-bounded)",
+    "cusumsq_variance_stability": "daily revenue series (squared prefix)",
+    "runs_up_down_test": "daily revenue series (sign lag)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
