@@ -230,6 +230,7 @@ CALENDAR = {
     "mover_stayer_split": "orders_months",
     "cusumsq_variance_stability": "orders_days",
     "runs_up_down_test": "orders_days",
+    "chained_index_drift": "orders_months",
 }
 
 # name -> (probe key, base-table probe key)

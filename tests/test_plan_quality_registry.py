@@ -494,6 +494,10 @@ ALLOWED_NESTED_LOOP = {
     "benford_first_two_digits",
     # 1-row total / argmax broadcasts (ext177 stability tests)
     "cusumsq_variance_stability",
+    # 1-row moment / cut / worst-row broadcasts (ext178)
+    "thompson_tau_outlier",
+    "chauvenet_criterion",
+    "chained_index_drift",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -686,6 +690,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "mover_stayer_split": "distinct-month spine (calendar-bounded)",
     "cusumsq_variance_stability": "daily revenue series (squared prefix)",
     "runs_up_down_test": "daily revenue series (sign lag)",
+    "chained_index_drift": "distinct-month spine (calendar-bounded)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
