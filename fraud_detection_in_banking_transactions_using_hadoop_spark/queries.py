@@ -249,6 +249,7 @@ def registry() -> list[Query]:
         queries_ext176,
         queries_ext177,
         queries_ext178,
+        queries_ext179,
         queries_feat,
         queries_funcs,
         queries_funcs2,

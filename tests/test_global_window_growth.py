@@ -231,6 +231,9 @@ CALENDAR = {
     "cusumsq_variance_stability": "orders_days",
     "runs_up_down_test": "orders_days",
     "chained_index_drift": "orders_months",
+    "robust_location_suite": "orders_days",
+    "cpk_percentile_nonnormal": "orders_days",
+    "biweight_midcorrelation": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

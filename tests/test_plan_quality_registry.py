@@ -498,6 +498,10 @@ ALLOWED_NESTED_LOOP = {
     "thompson_tau_outlier",
     "chauvenet_criterion",
     "chained_index_drift",
+    # 1-row median / MAD broadcasts (ext179 robust suite)
+    "robust_location_suite",
+    "cpk_percentile_nonnormal",
+    "biweight_midcorrelation",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -691,6 +695,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "cusumsq_variance_stability": "daily revenue series (squared prefix)",
     "runs_up_down_test": "daily revenue series (sign lag)",
     "chained_index_drift": "distinct-month spine (calendar-bounded)",
+    "robust_location_suite": "daily revenue value spine (order stats)",
+    "cpk_percentile_nonnormal": "daily revenue value spine (order stats)",
+    "biweight_midcorrelation": "daily value/|dev| spines (order stats)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
 }
