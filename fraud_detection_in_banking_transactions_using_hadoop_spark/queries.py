@@ -250,6 +250,7 @@ def registry() -> list[Query]:
         queries_ext177,
         queries_ext178,
         queries_ext179,
+        queries_ext180,
         queries_feat,
         queries_funcs,
         queries_funcs2,

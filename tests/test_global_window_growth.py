@@ -234,6 +234,7 @@ CALENDAR = {
     "robust_location_suite": "orders_days",
     "cpk_percentile_nonnormal": "orders_days",
     "biweight_midcorrelation": "orders_days",
+    "taguchi_cpm": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

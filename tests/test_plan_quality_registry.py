@@ -502,6 +502,9 @@ ALLOWED_NESTED_LOOP = {
     "robust_location_suite",
     "cpk_percentile_nonnormal",
     "biweight_midcorrelation",
+    # 1-row moment broadcasts (ext180)
+    "grubbs_test",
+    "hoover_index",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -697,6 +700,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "chained_index_drift": "distinct-month spine (calendar-bounded)",
     "robust_location_suite": "daily revenue value spine (order stats)",
     "cpk_percentile_nonnormal": "daily revenue value spine (order stats)",
+    "taguchi_cpm": "daily revenue value spine (order stats)",
     "biweight_midcorrelation": "daily value/|dev| spines (order stats)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
