@@ -505,6 +505,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row moment broadcasts (ext180)
     "grubbs_test",
     "hoover_index",
+    # 1-row summary x argmax-pair broadcasts (ext181 cluster validity)
+    "calinski_harabasz",
+    "davies_bouldin",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
