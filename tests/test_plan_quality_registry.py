@@ -508,6 +508,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row summary x argmax-pair broadcasts (ext181 cluster validity)
     "calinski_harabasz",
     "davies_bouldin",
+    # 1-row margin/top-k broadcasts (ext182 market structure)
+    "balassa_rca",
+    "concentration_ratio",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -766,6 +769,8 @@ EAGER = {
     "streaming_holt_replay",
     # live streaming replay (max-plus monoid CUSUM fold)
     "streaming_cusum_replay",
+    # live streaming replay (max-plus monoid drawdown fold, ext182)
+    "streaming_drawdown_replay",
     # eager LSH edge-table checkpoint feeding iterative joins (ext119)
     "katz_centrality",
     "harmonic_centrality_3hop",
