@@ -71,6 +71,7 @@ STRUCTURAL = {
     "association_rules": 20,
     "weighted_sample_topk": 20,
     "hill_tail_index": 101,
+    "pickands_tail_index": 256,
     "ndcg_at_k": 10,
     "err_at_k": 10,
     "rbp_at_k": 10,
@@ -235,6 +236,8 @@ CALENDAR = {
     "cpk_percentile_nonnormal": "orders_days",
     "biweight_midcorrelation": "orders_days",
     "taguchi_cpm": "orders_days",
+    "henderson_trend": "orders_months",
+    "cochrane_orcutt": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -511,6 +511,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row margin/top-k broadcasts (ext182 market structure)
     "balassa_rca",
     "concentration_ratio",
+    # 1-row OLS-parameter / rho / quasi-moment broadcasts (ext183)
+    "cochrane_orcutt",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -707,6 +709,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "robust_location_suite": "daily revenue value spine (order stats)",
     "cpk_percentile_nonnormal": "daily revenue value spine (order stats)",
     "taguchi_cpm": "daily revenue value spine (order stats)",
+    "henderson_trend": "monthly revenue spine (13-term lag/lead)",
+    "cochrane_orcutt": "daily revenue spine (index + residual lag)",
+    "pickands_tail_index": "256-row post-limit order statistics",
     "biweight_midcorrelation": "daily value/|dev| spines (order stats)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
     "holm_bonferroni_screen": "25-row nation z spine (step-down walk)",
