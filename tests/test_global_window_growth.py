@@ -238,6 +238,7 @@ CALENDAR = {
     "taguchi_cpm": "orders_days",
     "henderson_trend": "orders_months",
     "cochrane_orcutt": "orders_days",
+    "tracking_signal": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

@@ -513,6 +513,10 @@ ALLOWED_NESTED_LOOP = {
     "concentration_ratio",
     # 1-row OLS-parameter / rho / quasi-moment broadcasts (ext183)
     "cochrane_orcutt",
+    # 1-row k/theta/count/base-month broadcasts (ext184)
+    "theta_sketch_intersection",
+    "fisher_ideal_index",
+    "tracking_signal",
 }
 
 # Queries allowed to contain an ORDERED UNPARTITIONED window node
@@ -711,6 +715,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "taguchi_cpm": "daily revenue value spine (order stats)",
     "henderson_trend": "monthly revenue spine (13-term lag/lead)",
     "cochrane_orcutt": "daily revenue spine (index + residual lag)",
+    "tracking_signal": "daily revenue spine (7-lag error prefix sums)",
     "pickands_tail_index": "256-row post-limit order statistics",
     "biweight_midcorrelation": "daily value/|dev| spines (order stats)",
     "shapiro_francia_daily": "B-row bucket offsets (with_global_rank spine)",
