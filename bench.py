@@ -72,7 +72,50 @@ HEADLINE = [
     "logistic_newton_1d",  # in-engine GLM: 3 Newton rounds over the spine
     "fligner_killeen",  # two rank-operator passes + Acklam normal scores
     "participation_ratio_embeddings",  # map-side Gram effective rank
+    # round-7 additions (the heaviest of the r6 ext158-185 tier, so the
+    # next round's regressions are attributable -- VERDICT r6 item 7)
+    "matrix_profile_motifs",  # anti-diagonal DP via mapInPandas
+    "cochrane_orcutt",  # AR(1)-corrected regression (2 spine passes)
+    "henderson_trend",  # 13-term Henderson filter over the daily spine
 ]
+
+
+def _tree_cpu_seconds() -> float:
+    """Total CPU seconds (user+sys) consumed so far by this process and
+    every live descendant -- the JVM child and its Python workers
+    included. Read straight from /proc/<pid>/stat so no reaping is
+    needed (os.times()/getrusage only see *terminated* children).
+
+    Purpose (r6 verdict item 1): wall time on a contended host inflates
+    while CPU time does not, so `queries_cpu` in the bench JSON makes
+    host contention diagnosable from the artifact alone: cpu/wall ≈
+    constant across rounds but wall up ~2x => contention, not a plan
+    regression."""
+    import glob
+
+    tick = os.sysconf("SC_CLK_TCK")
+    # Build the descendant set of this process from /proc PPIDs.
+    me = os.getpid()
+    children: dict[int, list[int]] = {}
+    stats: dict[int, float] = {}
+    for path in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            raw = open(path).read()
+        except OSError:
+            continue
+        # comm can contain spaces/parens: split after the LAST ')'.
+        pid = int(raw.split(" ", 1)[0])
+        rest = raw.rsplit(")", 1)[1].split()
+        ppid = int(rest[1])
+        utime, stime = int(rest[11]), int(rest[12])
+        children.setdefault(ppid, []).append(pid)
+        stats[pid] = (utime + stime) / tick
+    total, stack = 0.0, [me]
+    while stack:
+        pid = stack.pop()
+        total += stats.get(pid, 0.0)
+        stack.extend(children.get(pid, []))
+    return total
 
 
 def _tail_sample(all_names: list[str], k: int = 5) -> list[str]:
@@ -98,6 +141,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    load_start = os.getloadavg()[0]
     spark = get_spark("bench")
 
     # JVM/codegen + datasource warmup so the first query's timing is query
@@ -125,13 +169,16 @@ def main() -> None:
 
     by_name = {q.name: q for q in registry()}
     timings: dict[str, float] = {}
+    cpu_timings: dict[str, float] = {}
     for name in HEADLINE:
         q = by_name[name]
         t0 = time.time()
+        c0 = _tree_cpu_seconds()
         # Full execution without driver collect: count() forces every
         # operator; results stay distributed.
         q.fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+        cpu_timings[name] = round(_tree_cpu_seconds() - c0, 3)
 
     total = round(sum(timings.values()), 3)
 
@@ -150,6 +197,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cpu": cpu_timings,
+                "cpu_total": round(sum(cpu_timings.values()), 3),
+                "loadavg_start": load_start,
+                "loadavg_end": os.getloadavg()[0],
                 "tail_sample": tail,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

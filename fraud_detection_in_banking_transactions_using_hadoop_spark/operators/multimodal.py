@@ -967,3 +967,393 @@ def decode_ulaw(codes):
         mag -= _ULAW_BIAS
         out.append(-mag if sign else mag)
     return np.asarray(out, dtype=np.int16)
+
+
+# ------------------------------------------------------------ jpeg tier --
+# Baseline JFIF, stdlib-only: real markers (SOI/DQT/SOF0/DHT/SOS/EOI),
+# Annex-K Huffman tables, zigzag, DC prediction, 0xFF00 byte stuffing.
+# The DCT is a FIXED-POINT integer transform (libjpeg's jfdctint shape:
+# cos table scaled by 2^JPEG_DCT_BITS, round-half-up integer division at
+# quantize and final-pixel time), which makes decode(encode(img)) an
+# EXACT integer function of the input pixels -- reproducible in pure
+# BIGINT SQL, so the lossy pixel error itself sits under the hash gate
+# (multimodal_jpeg_stats), the same discipline G.711 established for
+# audio. Grayscale, 8-bit, dimensions multiples of 8, single scan, no
+# restart markers; tables are read from the file's own DQT/DHT segments
+# at decode time, so any spec-valid baseline grayscale JPEG with those
+# constraints decodes, not just our own output.
+
+JPEG_DCT_BITS = 11
+
+# Annex K (ITU T.81) luminance quantization table, natural (row-major)
+# order. This object is the single source of truth: the SQL oracle's
+# literal table is generated from it.
+JPEG_QUANT = (
+    (16, 11, 10, 16, 24, 40, 51, 61),
+    (12, 12, 14, 19, 26, 58, 60, 55),
+    (14, 13, 16, 24, 40, 57, 69, 56),
+    (14, 17, 22, 29, 51, 87, 80, 62),
+    (18, 22, 37, 56, 68, 109, 103, 77),
+    (24, 35, 55, 64, 81, 104, 113, 92),
+    (49, 64, 78, 87, 103, 121, 120, 101),
+    (72, 92, 95, 98, 112, 100, 103, 99),
+)
+
+# Annex K luminance Huffman specs: BITS[1..16] + HUFFVAL. The decoder
+# does NOT assume these -- it builds tables from the DHT segments in the
+# file; these feed the encoder and the DHT payload.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def jpeg_dct_table():
+    """The 8x8 fixed-point DCT matrix C[u][x] =
+    round(alpha(u)/2 * cos((2x+1)*u*pi/16) * 2^JPEG_DCT_BITS) as plain
+    ints -- the shared literal between the Python codec and the SQL
+    oracle (generated from here, never retyped)."""
+    import math
+
+    k = 1 << JPEG_DCT_BITS
+    rows = []
+    for u in range(8):
+        a = (1.0 / math.sqrt(2.0) if u == 0 else 1.0) / 2.0
+        rows.append(tuple(
+            int(round(a * math.cos((2 * x + 1) * u * math.pi / 16.0) * k))
+            for x in range(8)
+        ))
+    return tuple(rows)
+
+
+def jpeg_zigzag():
+    """The standard 64-entry zigzag order as (row, col) pairs, generated
+    (diagonals alternate direction) rather than hardcoded."""
+    order = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        if s % 2 == 0:
+            rows = reversed(list(rows))
+        order.extend((r, s - r) for r in rows)
+    return order
+
+
+# round-half-up integer division via a positive offset, shared EXACTLY
+# with the SQL oracle: floor((x + d/2)/d) with x made positive first so
+# engine truncation (toward zero) equals floor. d must be even.
+_JPEG_QOFF = 1 << 27  # > max |coeff sum| / min divisor
+_JPEG_POFF = 1 << 25  # > max |idct sum| / 2^(2*bits)
+
+
+def fdct_quant_int(block):
+    """Forward fixed-point DCT + quantization: 8x8 int array (0..255) ->
+    8x8 quantized coefficients. S = C (p-128) C^T is exact BIGINT math
+    (|S| <= 2^33); q = round_half_up(S / (Q * 2^(2*bits)))."""
+    import numpy as np
+
+    c = np.asarray(jpeg_dct_table(), dtype=np.int64)
+    q = np.asarray(JPEG_QUANT, dtype=np.int64)
+    s = c @ (np.asarray(block, dtype=np.int64) - 128) @ c.T
+    div = q << (2 * JPEG_DCT_BITS)
+    return (s + div // 2 + _JPEG_QOFF * div) // div - _JPEG_QOFF
+
+
+def dequant_idct_int(qcoef):
+    """Dequantize + inverse fixed-point DCT: 8x8 quantized coefficients
+    -> 8x8 pixels 0..255. Exact integer mirror of fdct_quant_int; the
+    SQL oracle replays this arithmetic verbatim."""
+    import numpy as np
+
+    c = np.asarray(jpeg_dct_table(), dtype=np.int64)
+    q = np.asarray(JPEG_QUANT, dtype=np.int64)
+    r = c.T @ (np.asarray(qcoef, dtype=np.int64) * q) @ c
+    sh = 2 * JPEG_DCT_BITS
+    p = (r + (1 << (sh - 1)) + (_JPEG_POFF << sh)) // (1 << sh) - _JPEG_POFF
+    return np.clip(p + 128, 0, 255)
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman code assignment per T.81 C.2: symbol ->
+    (code, length), codes ascending within a length, doubled across."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code, length):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing (F.1.2.3)
+                self.buf.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+def _jpeg_mag(v):
+    """(size, amplitude bits) for a coefficient: negatives in one's
+    complement of the magnitude (F.1.2.1)."""
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg(img):
+    """Encode an HxW uint8 grayscale array (H, W multiples of 8) to real
+    baseline-JFIF bytes. Blocks walk raster order; DC is predicted from
+    the previous block (F.1.1.5.1)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.int64)
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("encode_jpeg: dimensions must be multiples of 8")
+    zz = jpeg_zigzag()
+    qnat = [JPEG_QUANT[r][c] for (r, c) in zz]
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xDB, bytes([0x00]) + bytes(qnat))  # DQT, table 0, 8-bit
+    out += seg(  # SOF0: precision 8, 1 component, h1v1, qtable 0
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )
+    out += seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+
+    bw = _JpegBitWriter()
+    pred = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            qc = fdct_quant_int(img[by:by + 8, bx:bx + 8])
+            coef = [int(qc[r][c]) for (r, c) in zz]
+            size, amp = _jpeg_mag(coef[0] - pred)
+            pred = coef[0]
+            code, ln = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(amp, size)
+            run = 0
+            for k in range(1, 64):
+                if coef[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size, amp = _jpeg_mag(coef[k])
+                code, ln = ac_codes[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(amp, size)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    def __init__(self, data, pos):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self):
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                self.pos += 1
+                if nxt != 0x00:
+                    raise ValueError("jpeg: marker inside entropy data")
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k):
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_lookup(bits, vals):
+    """(length, code) -> symbol map for MSB-first decoding."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br, table):
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _jpeg_extend(v, size):
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data):
+    """Decode baseline grayscale JPEG bytes -> (HxW uint8 pixel array,
+    list of 64-entry zigzag quantized-coefficient tuples, one per block
+    in raster order). Quant + Huffman tables come from the file's own
+    DQT/DHT segments. Raises ValueError on anything outside the
+    supported profile (baseline, 8-bit, one component, no restarts)."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables, dc_tbl, ac_tbl, dims = {}, None, None, None
+    while True:
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("jpeg: no scan data")
+        ln = int.from_bytes(data[pos:pos + 2], "big")
+        payload = data[pos + 2:pos + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("jpeg: 16-bit quant table unsupported")
+                qtables[tq] = list(payload[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0x0F
+                bits = tuple(payload[i + 1:i + 17])
+                nv = sum(bits)
+                vals = tuple(payload[i + 17:i + 17 + nv])
+                tbl = _huff_lookup(bits, vals)
+                if tc == 0 and th == 0:
+                    dc_tbl = tbl
+                elif tc == 1 and th == 0:
+                    ac_tbl = tbl
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0
+            if payload[0] != 8 or payload[5] != 1:
+                raise ValueError("jpeg: only 8-bit single-component")
+            dims = (
+                int.from_bytes(payload[1:3], "big"),
+                int.from_bytes(payload[3:5], "big"),
+            )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("jpeg: non-baseline SOF unsupported")
+        elif marker == 0xDD:
+            raise ValueError("jpeg: restart intervals unsupported")
+        elif marker == 0xDA:  # SOS: entropy data follows
+            pos += ln
+            break
+        pos += ln
+    if dims is None or dc_tbl is None or ac_tbl is None or 0 not in qtables:
+        raise ValueError("jpeg: missing SOF/DHT/DQT before SOS")
+    h, w = dims
+    if h % 8 or w % 8:
+        raise ValueError("jpeg: dimensions must be multiples of 8")
+    zz = jpeg_zigzag()
+    qnat = qtables[0]
+    br = _JpegBitReader(data, pos)
+    img = np.zeros((h, w), dtype=np.int64)
+    blocks = []
+    pred = 0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            size = _huff_decode(br, dc_tbl)
+            diff = _jpeg_extend(br.bits(size), size) if size else 0
+            pred += diff
+            coef = [0] * 64
+            coef[0] = pred
+            k = 1
+            while k < 64:
+                rs = _huff_decode(br, ac_tbl)
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("jpeg: coefficient run past block end")
+                coef[k] = _jpeg_extend(br.bits(size), size)
+                k += 1
+            blocks.append(tuple(coef))
+            deq = np.zeros((8, 8), dtype=np.int64)
+            for i, (r, c) in enumerate(zz):
+                deq[r][c] = coef[i]
+            qmat = np.zeros((8, 8), dtype=np.int64)
+            for i, (r, c) in enumerate(zz):
+                qmat[r][c] = qnat[i]
+            cmat = np.asarray(jpeg_dct_table(), dtype=np.int64)
+            sh = 2 * JPEG_DCT_BITS
+            rsum = cmat.T @ (deq * qmat) @ cmat
+            p = (rsum + (1 << (sh - 1)) + (_JPEG_POFF << sh)) // (1 << sh) - _JPEG_POFF
+            img[by:by + 8, bx:bx + 8] = np.clip(p + 128, 0, 255)
+    return img.astype(np.uint8), blocks

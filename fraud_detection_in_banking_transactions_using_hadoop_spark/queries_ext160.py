@@ -121,8 +121,8 @@ def _daily_dollars(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_eff,
            round(sqrt(mse1), 2) AS rmse_naive,
            round(sqrt(mse7), 2) AS rmse_seasonal,
-           round(dbar, 2) AS mean_loss_diff,
-           round(dm, 4) AS dm_stat,
+           round(dbar, 2) + 0.0 AS mean_loss_diff,
+           round(dm, 4) + 0.0 AS dm_stat,
            round(1.0 - {_erf_sql(f"(abs(dm) / {_SQRT2!r})")}, 6)
              AS p_two_sided
     FROM st
@@ -230,8 +230,8 @@ def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_eff",
         F.round(F.sqrt("mse1"), 2).alias("rmse_naive"),
         F.round(F.sqrt("mse7"), 2).alias("rmse_seasonal"),
-        F.round(F.col("dbar"), 2).alias("mean_loss_diff"),
-        F.round(F.col("dm"), 4).alias("dm_stat"),
+        (F.round(F.col("dbar"), 2) + F.lit(0.0)).alias("mean_loss_diff"),
+        (F.round(F.col("dm"), 4) + F.lit(0.0)).alias("dm_stat"),
         F.round(
             1.0 - F.expr(_erf_sql(f"(abs(dm) / {_SQRT2!r})")), 6
         ).alias("p_two_sided"),
@@ -278,7 +278,7 @@ def q_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n AS n_eff,
            round(phat, 6) AS hit_rate,
            round(pstar, 6) AS expected_rate,
-           round(pt, 4) AS pt_stat,
+           round(pt, 4) + 0.0 AS pt_stat,
            round(0.5 * (1.0 - {_erf_sql(f"(pt / {_SQRT2!r})")}), 6)
              AS p_one_sided
     FROM z
@@ -346,7 +346,7 @@ def q_pesaran_timmermann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_eff"),
         F.round(F.col("phat"), 6).alias("hit_rate"),
         F.round(F.col("pstar"), 6).alias("expected_rate"),
-        F.round(F.col("pt"), 4).alias("pt_stat"),
+        (F.round(F.col("pt"), 4) + F.lit(0.0)).alias("pt_stat"),
         F.round(
             0.5 * (1.0 - F.expr(_erf_sql(f"(pt / {_SQRT2!r})"))), 6
         ).alias("p_one_sided"),

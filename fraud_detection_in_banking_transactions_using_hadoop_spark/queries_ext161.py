@@ -99,7 +99,7 @@ _D2_SQL = (
            cmax AS max_k_occurrence,
            CAST(n_vec - n_nonzero AS BIGINT) AS n_antihubs,
            round(mu, 6) AS mean_k_occurrence,
-           round(m3 / (m2 * sqrt(m2)), 6) AS skewness
+           round(m3 / (m2 * sqrt(m2)), 6) + 0.0 AS skewness
     FROM st
     """,
     tags=("embedding", "quality", "hubness"),
@@ -163,9 +163,10 @@ def q_hubness_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_antihubs"
         ),
         F.round(F.col("mu"), 6).alias("mean_k_occurrence"),
-        F.round(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 6).alias(
-            "skewness"
-        ),
+        (
+            F.round(F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))), 6)
+            + F.lit(0.0)
+        ).alias("skewness"),
     )
 
 

@@ -37,6 +37,10 @@ HEAVY = [
     # r6 late additions: iterative GLM + double rank-pass scale test
     "logistic_newton_1d",
     "fligner_killeen",
+    # r7: heaviest of the ext158-185 tier (r6 verdict item 7)
+    "matrix_profile_motifs",
+    "cochrane_orcutt",
+    "henderson_trend",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
