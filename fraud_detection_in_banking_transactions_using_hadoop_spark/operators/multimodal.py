@@ -12,11 +12,13 @@ batch iteration, UDF signatures. Decoding comes in two tiers:
 - PNG is decoded (and encoded) FOR REAL with stdlib zlib + numpy filter
   reconstruction (`decode_png`/`encode_png`/`png_channel_stats`): chunk
   CRCs verified, all five scanline filters, 8-bit gray/RGB/RGBA.
-- Remaining lossy codecs (jpeg/mp3/...) are STUBBED
+- JPEG baseline is REAL since round 7 (`encode_jpeg`/`decode_jpeg`):
+  fixed-point integer DCT + Annex-K Huffman, stdlib only -- see the
+  jpeg tier at the end of this file.
+- The one remaining lossy codec (mp3 MDCT) is STUBBED
   (`_decode_image_stub`, deterministic fake, clearly marked) because
-  codec libraries are not in this environment; swap it for
-  PIL/libvips/ffmpeg in a real deployment without touching the
-  dataflow.
+  audio codec libraries are not in this environment; swap it for
+  ffmpeg in a real deployment without touching the dataflow.
 
 Scale notes: media bytes are the dominant payload, so operators are
 written to (a) never shuffle raw bytes -- feature extraction happens
@@ -53,8 +55,12 @@ FEATURE_SCHEMA = T.StructType([
 
 def _decode_image_stub(content: bytes) -> list[float]:
     """STUB decode -> 8-dim feature. Deterministic fake: real deployments
-    replace this with an image decode + model forward pass. Raises on None
-    like a real decoder would on corrupt bytes."""
+    replace this with a model forward pass over decoded media. Every
+    image container in the tier now has a REAL decoder (raw8, PNG, GIF,
+    BMP, PNM, and -- since round 7 -- baseline JPEG below); the stub
+    remains only as the catch-all feature path for formats with no
+    stdlib decode (mp3). Raises on None like a real decoder would on
+    corrupt bytes."""
     if content is None:
         raise ValueError("no content")
     d = hashlib.md5(content).digest()
@@ -1067,27 +1073,27 @@ _JPEG_QOFF = 1 << 27  # > max |coeff sum| / min divisor
 _JPEG_POFF = 1 << 25  # > max |idct sum| / 2^(2*bits)
 
 
-def fdct_quant_int(block):
+def fdct_quant_int(block, quant=None):
     """Forward fixed-point DCT + quantization: 8x8 int array (0..255) ->
     8x8 quantized coefficients. S = C (p-128) C^T is exact BIGINT math
     (|S| <= 2^33); q = round_half_up(S / (Q * 2^(2*bits)))."""
     import numpy as np
 
     c = np.asarray(jpeg_dct_table(), dtype=np.int64)
-    q = np.asarray(JPEG_QUANT, dtype=np.int64)
+    q = np.asarray(quant if quant is not None else JPEG_QUANT, dtype=np.int64)
     s = c @ (np.asarray(block, dtype=np.int64) - 128) @ c.T
     div = q << (2 * JPEG_DCT_BITS)
     return (s + div // 2 + _JPEG_QOFF * div) // div - _JPEG_QOFF
 
 
-def dequant_idct_int(qcoef):
+def dequant_idct_int(qcoef, quant=None):
     """Dequantize + inverse fixed-point DCT: 8x8 quantized coefficients
     -> 8x8 pixels 0..255. Exact integer mirror of fdct_quant_int; the
     SQL oracle replays this arithmetic verbatim."""
     import numpy as np
 
     c = np.asarray(jpeg_dct_table(), dtype=np.int64)
-    q = np.asarray(JPEG_QUANT, dtype=np.int64)
+    q = np.asarray(quant if quant is not None else JPEG_QUANT, dtype=np.int64)
     r = c.T @ (np.asarray(qcoef, dtype=np.int64) * q) @ c
     sh = 2 * JPEG_DCT_BITS
     p = (r + (1 << (sh - 1)) + (_JPEG_POFF << sh)) // (1 << sh) - _JPEG_POFF
@@ -1137,18 +1143,21 @@ def _jpeg_mag(v):
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
-def encode_jpeg(img):
+def encode_jpeg(img, quant=None):
     """Encode an HxW uint8 grayscale array (H, W multiples of 8) to real
     baseline-JFIF bytes. Blocks walk raster order; DC is predicted from
-    the previous block (F.1.1.5.1)."""
+    the previous block (F.1.1.5.1). `quant` overrides the Annex-K
+    luminance table (written into DQT, so any decoder that reads the
+    file's own tables -- ours does -- stays correct)."""
     import numpy as np
 
     img = np.asarray(img, dtype=np.int64)
     h, w = img.shape
     if h % 8 or w % 8:
         raise ValueError("encode_jpeg: dimensions must be multiples of 8")
+    quant = quant if quant is not None else JPEG_QUANT
     zz = jpeg_zigzag()
-    qnat = [JPEG_QUANT[r][c] for (r, c) in zz]
+    qnat = [quant[r][c] for (r, c) in zz]
     dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
@@ -1170,7 +1179,7 @@ def encode_jpeg(img):
     pred = 0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            qc = fdct_quant_int(img[by:by + 8, bx:bx + 8])
+            qc = fdct_quant_int(img[by:by + 8, bx:bx + 8], quant)
             coef = [int(qc[r][c]) for (r, c) in zz]
             size, amp = _jpeg_mag(coef[0] - pred)
             pred = coef[0]
@@ -1319,6 +1328,11 @@ def decode_jpeg(data):
         raise ValueError("jpeg: dimensions must be multiples of 8")
     zz = jpeg_zigzag()
     qnat = qtables[0]
+    qmat = np.zeros((8, 8), dtype=np.int64)
+    for i, (r, c) in enumerate(zz):
+        qmat[r][c] = qnat[i]
+    cmat = np.asarray(jpeg_dct_table(), dtype=np.int64)
+    sh = 2 * JPEG_DCT_BITS
     br = _JpegBitReader(data, pos)
     img = np.zeros((h, w), dtype=np.int64)
     blocks = []
@@ -1348,11 +1362,6 @@ def decode_jpeg(data):
             deq = np.zeros((8, 8), dtype=np.int64)
             for i, (r, c) in enumerate(zz):
                 deq[r][c] = coef[i]
-            qmat = np.zeros((8, 8), dtype=np.int64)
-            for i, (r, c) in enumerate(zz):
-                qmat[r][c] = qnat[i]
-            cmat = np.asarray(jpeg_dct_table(), dtype=np.int64)
-            sh = 2 * JPEG_DCT_BITS
             rsum = cmat.T @ (deq * qmat) @ cmat
             p = (rsum + (1 << (sh - 1)) + (_JPEG_POFF << sh)) // (1 << sh) - _JPEG_POFF
             img[by:by + 8, bx:bx + 8] = np.clip(p + 128, 0, 255)

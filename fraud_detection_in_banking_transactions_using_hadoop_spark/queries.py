@@ -256,6 +256,7 @@ def registry() -> list[Query]:
         queries_ext183,
         queries_ext184,
         queries_ext185,
+        queries_ext186,
         queries_feat,
         queries_funcs,
         queries_funcs2,
