@@ -128,25 +128,61 @@ def q_matrix_profile_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"    * sqrt({_M}.0 * b.qw - CAST(b.sw AS DOUBLE) * b.sw))))"
     )
     # NOTE: pairs is referenced 3x (motif scan + both NN-union sides);
-    # an eager checkpoint was MEASURED SLOWER (29.5 s vs 21 s at
-    # sf0.01) -- materializing the |days|^2 rows costs more than
-    # recomputing the broadcast-NL join, so it stays lazy.
-    pairs = a.join(b, F.col("b.rn") > F.col("a.rn") + _EXCL).select(
+    # an eager checkpoint of PAIRS was MEASURED SLOWER (29.5 s vs 21 s
+    # at sf0.01) -- materializing the |days|^2 rows costs more than
+    # recomputing the broadcast-NL join, so pairs stays lazy. What IS
+    # worth materializing (r7) is the 2.4k-row WINDOW frame: the global
+    # window leaves it in ONE partition, and the BNLJ stream side
+    # inherits that, so all |days|^2/2 dot products ran in a single
+    # task per evaluation (bench: 13 s wall, parallelism 1.45). A
+    # localCheckpoint + repartition fans the scan across the cluster
+    # and cuts the window-job lineage out of the 3 re-evaluations
+    # (13.0 -> 3.9 s at sf0.1).
+    win = win.repartition(32, "rn").localCheckpoint(eager=True)
+    a = win.alias("a")
+    b = win.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("b.rn") > F.col("a.rn") + _EXCL
+    ).select(
         F.col("a.rn").alias("ta"), F.col("b.rn").alias("tb"), d2.alias("d2")
     )
+    # ONE evaluation of the pair scan: emit both endpoints of every
+    # pair (symmetric explode), aggregate the per-window nearest
+    # neighbor WITH its partner, and derive motif AND discord from the
+    # 2.4k-row aggregate (checkpointed -- it is read twice). The motif
+    # derivation is tiebreak-equivalent to the old ORDER BY d2, ta, tb
+    # over ta<tb pairs: the smallest endpoint of any min-distance pair
+    # is necessarily a `ta`, and its min_by partner is the min tb.
+    sides = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("ta").alias("rn"),
+                    F.col("tb").alias("partner"),
+                    F.col("d2"),
+                ),
+                F.struct(
+                    F.col("tb").alias("rn"),
+                    F.col("ta").alias("partner"),
+                    F.col("d2"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
+    perwin = sides.groupBy("rn").agg(
+        F.min("d2").alias("nn_d2"),
+        F.expr("min_by(partner, struct(d2, partner))").alias("nn"),
+    )
+    perwin = perwin.localCheckpoint(eager=True)
     motif = (
-        pairs.orderBy("d2", "ta", "tb")
+        perwin.orderBy("nn_d2", "rn", "nn")
         .limit(1)
         .select(
-            F.col("ta").alias("motif_start_day_a"),
-            F.col("tb").alias("motif_start_day_b"),
-            F.col("d2").alias("m_d2"),
+            F.col("rn").alias("motif_start_day_a"),
+            F.col("nn").alias("motif_start_day_b"),
+            F.col("nn_d2").alias("m_d2"),
         )
     )
-    sides = pairs.select(F.col("ta").alias("rn"), "d2").unionAll(
-        pairs.select(F.col("tb").alias("rn"), "d2")
-    )
-    perwin = sides.groupBy("rn").agg(F.min("d2").alias("nn_d2"))
     discord = (
         perwin.orderBy(F.col("nn_d2").desc(), "rn")
         .limit(1)

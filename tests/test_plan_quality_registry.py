@@ -802,6 +802,9 @@ EAGER = {
     "bradley_terry_nations",
     # eager obs frame + per-round beta checkpoints (ext156 Cox PH)
     "cox_ph_newton",
+    # eager 2.4k-row window-frame checkpoint fanning the BNLJ pair scan
+    # across tasks (r7: 13.0 -> ~4 s at sf0.1)
+    "matrix_profile_motifs",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
