@@ -257,6 +257,7 @@ def registry() -> list[Query]:
         queries_ext184,
         queries_ext185,
         queries_ext186,
+        queries_ext187,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -121,6 +121,8 @@ STRUCTURAL = {
     "croston_intermittent": 65,
     "shapiro_francia_daily": 32,
     "holm_bonferroni_screen": 25,
+    # ext187: lag window over the last-365-days filtered daily frame
+    "viterbi_regime_decode": 366,
 }
 
 # STRUCTURAL entries whose bound is DATA-dependent -- the rank
@@ -246,6 +248,7 @@ CALENDAR = {
     "henderson_trend": "orders_months",
     "cochrane_orcutt": "orders_days",
     "tracking_signal": "orders_days",
+    "fisher_g_bandlimited": "orders_days",
 }
 
 # name -> (probe key, base-table probe key)

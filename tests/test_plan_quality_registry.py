@@ -399,6 +399,13 @@ ALLOWED_NESTED_LOOP = {
     "holt_linear_forecast",
     "kingman_gg1_wait",
     "eoq_reorder_policy",
+    # ext187 1-row scalar broadcasts: max-day fit windows (kalman,
+    # viterbi), event-total service scale (lindley), series mean /
+    # max-ordinate totals (fisher g)
+    "kalman_local_level",
+    "viterbi_regime_decode",
+    "lindley_queue_waits",
+    "fisher_g_bandlimited",
     # 1-row moment-frame / percentile broadcasts (ext141)
     "cornish_fisher_var",
     "lilliefors_normality",
@@ -538,6 +545,10 @@ ALLOWED_GLOBAL_WINDOW = {
     "roc_auc_score": "B-row bucket offsets",
     # calendar-bounded daily/weekly aggregate series (|distinct days|)
     "autocorr_daily_revenue": "daily revenue series",
+    # ext187: lag over the <=365-day filtered fit window (structural)
+    "viterbi_regime_decode": "365-day fit-window sign series",
+    # ext187: row_number over the daily spine (calendar days)
+    "fisher_g_bandlimited": "daily revenue series",
     "cusum_drift_detection": "daily revenue series",
     "rolling_correlation": "daily series",
     "runs_test_randomness": "daily revenue series",
