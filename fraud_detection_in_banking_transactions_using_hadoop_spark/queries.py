@@ -258,6 +258,7 @@ def registry() -> list[Query]:
         queries_ext185,
         queries_ext186,
         queries_ext187,
+        queries_ext188,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -406,6 +406,14 @@ ALLOWED_NESTED_LOOP = {
     "viterbi_regime_decode",
     "lindley_queue_waits",
     "fisher_g_bandlimited",
+    # ext188 spatial tier: 1-row moment broadcasts over the bounded
+    # cell grid (lisa, join counts); exact all-pairs point-pattern
+    # estimators over <=2k points / capped 1k events (ripley, knox --
+    # the ann_cosine_topk documented-baseline precedent)
+    "local_morans_lisa",
+    "join_count_stats",
+    "ripley_k_grid",
+    "knox_spacetime",
     # 1-row moment-frame / percentile broadcasts (ext141)
     "cornish_fisher_var",
     "lilliefors_normality",
