@@ -259,6 +259,7 @@ def registry() -> list[Query]:
         queries_ext186,
         queries_ext187,
         queries_ext188,
+        queries_ext189,
         queries_feat,
         queries_funcs,
         queries_funcs2,

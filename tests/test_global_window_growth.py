@@ -123,6 +123,10 @@ STRUCTURAL = {
     "holm_bonferroni_screen": 25,
     # ext187: lag window over the last-365-days filtered daily frame
     "viterbi_regime_decode": 366,
+    # ext189: 25-nation ranking frame / gap DIV 2^32 offset buckets
+    # (within-day gaps < 86400e6 us => <= 21 buckets, probed)
+    "exposure_parity_ranking": 25,
+    "ttt_exponentiality": 64,
 }
 
 # STRUCTURAL entries whose bound is DATA-dependent -- the rank
@@ -133,6 +137,7 @@ STRUCTURAL = {
 # which test_rank_operator and the plan gate pin.
 STRUCTURAL_PROBED = {
     "decision_stump_split": "cent_div16_buckets",
+    "ttt_exponentiality": "gap_div32_buckets",
 }
 
 # name -> probe key (shared probes measured once per sf)
@@ -273,6 +278,13 @@ PROBES = {
         " // 65536) FROM orders"
     ),
     "orders_days": "SELECT count(DISTINCT o_orderdate) FROM orders",
+    "gap_div32_buckets": """
+        SELECT count(DISTINCT g // 4294967296) FROM (
+          SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY CAST(ts AS DATE)
+                   ORDER BY ts, event_id) AS g
+          FROM events) WHERE g IS NOT NULL
+    """,
     "orders_months": (
         "SELECT count(DISTINCT date_trunc('month', o_orderdate)) FROM orders"
     ),

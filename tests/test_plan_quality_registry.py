@@ -414,6 +414,11 @@ ALLOWED_NESTED_LOOP = {
     "join_count_stats",
     "ripley_k_grid",
     "knox_spacetime",
+    # ext189 1-row scalar broadcasts (exact-vs-sketch totals, exposure
+    # totals, gap-count totals on the rank spine)
+    "ams_f2_sketch",
+    "exposure_parity_ranking",
+    "ttt_exponentiality",
     # 1-row moment-frame / percentile broadcasts (ext141)
     "cornish_fisher_var",
     "lilliefors_normality",
@@ -557,6 +562,10 @@ ALLOWED_GLOBAL_WINDOW = {
     "viterbi_regime_decode": "365-day fit-window sign series",
     # ext187: row_number over the daily spine (calendar days)
     "fisher_g_bandlimited": "daily revenue series",
+    # ext189: row_number over the 25-nation revenue frame (structural)
+    "exposure_parity_ranking": "25-row nation ranking",
+    # ext189: rank-operator bucket_bits offsets (gap DIV 2^32)
+    "ttt_exponentiality": "B-row bucket offsets (bucket_bits=32)",
     "cusum_drift_detection": "daily revenue series",
     "rolling_correlation": "daily series",
     "runs_test_randomness": "daily revenue series",
