@@ -260,6 +260,7 @@ def registry() -> list[Query]:
         queries_ext187,
         queries_ext188,
         queries_ext189,
+        queries_ext190,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -809,6 +809,9 @@ EAGER = {
     "streaming_cusum_replay",
     # live streaming replay (max-plus monoid drawdown fold, ext182)
     "streaming_drawdown_replay",
+    # live streaming replay (max-plus Lindley fold with cross-batch
+    # row stitching, ext190)
+    "streaming_lindley_replay",
     # eager LSH edge-table checkpoint feeding iterative joins (ext119)
     "katz_centrality",
     "harmonic_centrality_3hop",
