@@ -836,6 +836,8 @@ EAGER = {
     # eager 2.4k-row window-frame checkpoint fanning the BNLJ pair scan
     # across tasks (r7: 13.0 -> ~4 s at sf0.1)
     "matrix_profile_motifs",
+    # eager per-round vocab/top-pair checkpoints (ext191 BPE trainer)
+    "bpe_merge_training",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
