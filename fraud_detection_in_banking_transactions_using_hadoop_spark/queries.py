@@ -262,6 +262,7 @@ def registry() -> list[Query]:
         queries_ext189,
         queries_ext190,
         queries_ext191,
+        queries_ext192,
         queries_feat,
         queries_funcs,
         queries_funcs2,

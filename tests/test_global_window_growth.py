@@ -127,6 +127,8 @@ STRUCTURAL = {
     # (within-day gaps < 86400e6 us => <= 21 buckets, probed)
     "exposure_parity_ranking": 25,
     "ttt_exponentiality": 64,
+    # ext192: rank-operator percentile offsets over the error set
+    "g_chart_rare_events": 32,
 }
 
 # STRUCTURAL entries whose bound is DATA-dependent -- the rank
@@ -254,6 +256,9 @@ CALENDAR = {
     "cochrane_orcutt": "orders_days",
     "tracking_signal": "orders_days",
     "fisher_g_bandlimited": "orders_days",
+    "welch_coherence_weekly": "orders_days",
+    "bk_bandpass_cycle": "orders_days",
+    "lad_median_regression": "orders_months",
 }
 
 # name -> (probe key, base-table probe key)

@@ -419,6 +419,12 @@ ALLOWED_NESTED_LOOP = {
     "ams_f2_sketch",
     "exposure_parity_ranking",
     "ttt_exponentiality",
+    # ext192: 1-row series-length / 41-row weight-table / candidate
+    # broadcasts (welch segments, BK taps, g-chart totals, LAD pairs)
+    "welch_coherence_weekly",
+    "bk_bandpass_cycle",
+    "g_chart_rare_events",
+    "lad_median_regression",
     # 1-row moment-frame / percentile broadcasts (ext141)
     "cornish_fisher_var",
     "lilliefors_normality",
@@ -566,6 +572,11 @@ ALLOWED_GLOBAL_WINDOW = {
     "exposure_parity_ranking": "25-row nation ranking",
     # ext189: rank-operator bucket_bits offsets (gap DIV 2^32)
     "ttt_exponentiality": "B-row bucket offsets (bucket_bits=32)",
+    # ext192: daily/monthly spines + rank-operator offsets
+    "welch_coherence_weekly": "daily revenue series",
+    "bk_bandpass_cycle": "daily revenue series",
+    "lad_median_regression": "monthly revenue series",
+    "g_chart_rare_events": "B-row bucket offsets",
     "cusum_drift_detection": "daily revenue series",
     "rolling_correlation": "daily series",
     "runs_test_randomness": "daily revenue series",
@@ -838,6 +849,8 @@ EAGER = {
     "matrix_profile_motifs",
     # eager per-round vocab/top-pair checkpoints (ext191 BPE trainer)
     "bpe_merge_training",
+    # eager monthly-spine checkpoint feeding the LAD candidate join
+    "lad_median_regression",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
