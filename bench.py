@@ -74,9 +74,12 @@ HEADLINE = [
     "participation_ratio_embeddings",  # map-side Gram effective rank
     # round-7 additions (the heaviest of the r6 ext158-185 tier, so the
     # next round's regressions are attributable -- VERDICT r6 item 7)
-    "matrix_profile_motifs",  # anti-diagonal DP via mapInPandas
+    "matrix_profile_motifs",  # single-pass parallel pair scan (r7 rewrite)
     "cochrane_orcutt",  # AR(1)-corrected regression (2 spine passes)
     "henderson_trend",  # 13-term Henderson filter over the daily spine
+    # round-7 flagship operators
+    "multimodal_jpeg_stats",  # real baseline-JFIF codec, lossy error oracled
+    "bpe_merge_training",  # in-engine tokenizer training (5 merge rounds)
 ]
 
 
