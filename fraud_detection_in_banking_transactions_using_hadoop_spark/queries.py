@@ -263,6 +263,7 @@ def registry() -> list[Query]:
         queries_ext190,
         queries_ext191,
         queries_ext192,
+        queries_ext193,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -425,6 +425,10 @@ ALLOWED_NESTED_LOOP = {
     "bk_bandpass_cycle",
     "g_chart_rare_events",
     "lad_median_regression",
+    # ext193: bounded-point all-pairs kNN baseline / 1-row moment
+    # broadcasts (gap burstiness)
+    "lof_embedding_plane",
+    "burstiness_memory_gaps",
     # 1-row moment-frame / percentile broadcasts (ext141)
     "cornish_fisher_var",
     "lilliefors_normality",
