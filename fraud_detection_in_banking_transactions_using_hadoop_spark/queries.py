@@ -264,6 +264,7 @@ def registry() -> list[Query]:
         queries_ext191,
         queries_ext192,
         queries_ext193,
+        queries_ext194,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -827,6 +827,8 @@ EAGER = {
     # live streaming replay (max-plus Lindley fold with cross-batch
     # row stitching, ext190)
     "streaming_lindley_replay",
+    # live streaming replay (carried (x, P, K) Riccati triple, ext194)
+    "streaming_kalman_replay",
     # eager LSH edge-table checkpoint feeding iterative joins (ext119)
     "katz_centrality",
     "harmonic_centrality_3hop",
