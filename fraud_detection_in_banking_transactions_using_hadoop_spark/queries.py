@@ -265,6 +265,7 @@ def registry() -> list[Query]:
         queries_ext192,
         queries_ext193,
         queries_ext194,
+        queries_ext195,
         queries_feat,
         queries_funcs,
         queries_funcs2,

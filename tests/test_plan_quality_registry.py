@@ -857,6 +857,8 @@ EAGER = {
     "bpe_merge_training",
     # eager monthly-spine checkpoint feeding the LAD candidate join
     "lad_median_regression",
+    # eager 25-row per-round power-iteration checkpoints (ext195)
+    "spectral_bipartition_nations",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
