@@ -266,6 +266,7 @@ def registry() -> list[Query]:
         queries_ext193,
         queries_ext194,
         queries_ext195,
+        queries_ext196,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -259,6 +259,7 @@ CALENDAR = {
     "welch_coherence_weekly": "orders_days",
     "bk_bandpass_cycle": "orders_days",
     "lad_median_regression": "orders_months",
+    "staggered_did_att": "orders_months",
 }
 
 # name -> (probe key, base-table probe key)

@@ -429,6 +429,8 @@ ALLOWED_NESTED_LOOP = {
     # broadcasts (gap burstiness)
     "lof_embedding_plane",
     "burstiness_memory_gaps",
+    # ext196: 6-row spec x 1-row max-month broadcast
+    "staggered_did_att",
     # 1-row moment-frame / percentile broadcasts (ext141)
     "cornish_fisher_var",
     "lilliefors_normality",
@@ -581,6 +583,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "bk_bandpass_cycle": "daily revenue series",
     "lad_median_regression": "monthly revenue series",
     "g_chart_rare_events": "B-row bucket offsets",
+    # ext196: dense_rank over the distinct-month spine
+    "staggered_did_att": "monthly panel index",
     "cusum_drift_detection": "daily revenue series",
     "rolling_correlation": "daily series",
     "runs_test_randomness": "daily revenue series",
