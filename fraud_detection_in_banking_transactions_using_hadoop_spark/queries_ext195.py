@@ -23,13 +23,14 @@ driving an eigenproblem.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
-_DEC = "decimal(38,0)"
 _ROUNDS = 24
 _N = 25
 
@@ -124,8 +125,18 @@ def q_spectral_bipartition_nations(
     engines hold the identical vector after every round. Emits the
     per-nation side and quantized Fiedler component (canonically
     flipped: the largest-|q| component positive), the cut weight, and
-    the conductance cut/min(vol) -- the spectral-clustering capstone
-    over copurchase_modularity's greedy view."""
+    the conductance cut/min(vol).
+
+    Scale split (r8, IVF-quantizer precedent similarity.py:238): the
+    data-dependent work -- the 4-way lineitem/orders/customer/supplier
+    join that weighs the edges -- runs distributed; the eigenproblem
+    state is a BOUNDED <=25x25 integer matrix, so it is collected once
+    and the 24 exact-integer rounds run in Python (arbitrary-precision
+    ints == HUGEINT/DECIMAL semantics; DIV truncates toward zero in
+    both engines, emulated explicitly). The final vector re-enters the
+    plan as a literal CASE over nationkey, keeping cut/volume sums
+    distributed over the edge list. This removes 24x3 fixed-overhead
+    Spark jobs (~12s at sf0.01 -> <2s) without touching the oracle."""
     li = read_table(spark, sf_dir, "lineitem")
     orders = read_table(spark, sf_dir, "orders")
     cust = read_table(spark, sf_dir, "customer")
@@ -150,61 +161,50 @@ def q_spectral_bipartition_nations(
         .agg(F.sum("cnt").cast("bigint").alias("a"))
         .localCheckpoint(eager=True)
     )
-    deg = adj.groupBy("i").agg(F.sum("a").cast("bigint").alias("d"))
-    cc = deg.agg((2 * F.max("d")).cast("bigint").alias("c"))
-    mmat = adj.select("i", "j", F.col("a").alias("w")).unionAll(
-        deg.crossJoin(F.broadcast(cc)).select(
-            "i", F.col("i").alias("j"), (F.col("c") - F.col("d")).alias("w")
-        )
-    ).localCheckpoint(eager=True)
-    v = deg.select(
-        "i",
-        F.expr(
-            "CAST(1000000 - 2000000 * (CAST(conv(substring("
-            "md5(CAST(i AS STRING)), 1, 1), 16, 10) AS BIGINT) % 2)"
-            " AS BIGINT)"
-        ).alias("q"),
-    ).localCheckpoint(eager=True)
+    # Bounded collect (<=25*24 integer edges): the eigenproblem state
+    # is O(1); iterate driver-side exactly as the SQL oracle does.
+    edges = {(r["i"], r["j"]): r["a"] for r in adj.collect()}
+    deg_py: dict[int, int] = {}
+    for (ei, _ej), aw in edges.items():
+        deg_py[ei] = deg_py.get(ei, 0) + aw
+    c_shift = 2 * max(deg_py.values())
+    mat = dict(edges)
+    for ni, dv in deg_py.items():
+        mat[(ni, ni)] = c_shift - dv
+    nodes = sorted(deg_py)
+
+    def _tdiv(numer: int, denom: int) -> int:
+        # truncate toward zero, matching Spark DIV / DuckDB // (r7 note)
+        if numer < 0:
+            return -((-numer) // denom)
+        return numer // denom
+
+    vq = {
+        ni: 1000000
+        - 2000000
+        * (int(hashlib.md5(str(ni).encode()).hexdigest()[0], 16) % 2)
+        for ni in nodes
+    }
     for _ in range(_ROUNDS):
-        u = (
-            mmat.join(v.select(F.col("i").alias("j"), "q"), "j")
-            .groupBy("i")
-            .agg(
-                F.sum(F.col("w").cast(_DEC) * F.col("q").cast(_DEC))
-                .cast(_DEC)
-                .alias("u")
-            )
-        )
-        tot = u.agg(
-            F.sum("u").cast(_DEC).alias("su"),
-        )
-        w = u.crossJoin(F.broadcast(tot)).select(
-            "i",
-            (F.lit(_N).cast(_DEC) * F.col("u") - F.col("su")).alias("w"),
-        )
-        mx = w.agg(F.max(F.abs(F.col("w"))).cast(_DEC).alias("s"))
-        v = (
-            w.crossJoin(F.broadcast(mx))
-            .select(
-                "i",
-                F.expr(
-                    "CAST((w * 1000000) DIV s AS BIGINT)"
-                ).alias("q"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    flip = (
-        v.orderBy(F.abs(F.col("q")).desc(), "i")
-        .limit(1)
-        .select(
-            F.when(F.col("q") >= 0, 1).otherwise(-1).alias("f")
-        )
-    )
-    sides = v.crossJoin(F.broadcast(flip)).select(
+        u = {ni: 0 for ni in nodes}
+        for (ei, ej), mw in mat.items():
+            u[ei] += mw * vq[ej]
+        su = sum(u.values())
+        w = {ni: _N * u[ni] - su for ni in nodes}
+        mxw = max(abs(x) for x in w.values())
+        vq = {ni: _tdiv(w[ni] * 1000000, mxw) for ni in nodes}
+    flip_i = min(nodes, key=lambda ni: (-abs(vq[ni]), ni))
+    f = 1 if vq[flip_i] >= 0 else -1
+    fq = {ni: vq[ni] * f for ni in nodes}
+    side = {ni: 1 if fq[ni] > 0 else 0 for ni in nodes}
+    fq_case = " ".join(f"WHEN {ni} THEN {fq[ni]}L" for ni in nodes)
+    side_case = " ".join(f"WHEN {ni} THEN {side[ni]}" for ni in nodes)
+    deg = adj.groupBy("i").agg(F.sum("a").cast("bigint").alias("d"))
+    sides = deg.select(
         "i",
-        (F.col("q") * F.col("f")).alias("fq"),
-        F.when(F.col("q") * F.col("f") > 0, 1).otherwise(0).alias("side"),
-    ).localCheckpoint(eager=True)
+        F.expr(f"CASE i {fq_case} END").alias("fq"),
+        F.expr(f"CASE i {side_case} END").alias("side"),
+    )
     cut = (
         adj.join(sides.select(F.col("i"), F.col("side").alias("sa")), "i")
         .join(
