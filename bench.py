@@ -93,7 +93,18 @@ def _tree_cpu_seconds() -> float:
     while CPU time does not, so `queries_cpu` in the bench JSON makes
     host contention diagnosable from the artifact alone: cpu/wall ≈
     constant across rounds but wall up ~2x => contention, not a plan
-    regression."""
+    regression.
+
+    Caveat (r7 advice): per-pid utime+stime only counts LIVE
+    descendants at sample time -- a Python worker that exits between
+    the per-query samples would drop its CPU from the delta. To bound
+    that undercount each pid's cutime+cstime (CPU of its already-REAPED
+    children, which /proc accumulates into the parent) is folded in
+    too: a worker that died mid-query is then still visible through its
+    parent's counters once reaped. Double counting is impossible while
+    a child is alive (cutime only moves at reap time), and the daemon
+    workers Spark actually uses are long-lived, so in practice the two
+    terms partition cleanly."""
     import glob
 
     tick = os.sysconf("SC_CLK_TCK")
@@ -111,8 +122,9 @@ def _tree_cpu_seconds() -> float:
         rest = raw.rsplit(")", 1)[1].split()
         ppid = int(rest[1])
         utime, stime = int(rest[11]), int(rest[12])
+        cutime, cstime = int(rest[13]), int(rest[14])
         children.setdefault(ppid, []).append(pid)
-        stats[pid] = (utime + stime) / tick
+        stats[pid] = (utime + stime + cutime + cstime) / tick
     total, stack = 0.0, [me]
     while stack:
         pid = stack.pop()
@@ -169,6 +181,16 @@ def main() -> None:
         return pd.Series(_np.asarray(s, dtype=_np.float64))
 
     spark.range(2).select(_warm(F.col("id").cast("double"))).collect()
+
+    # Untimed representative warm-up (r7 verdict item 3): one shuffle +
+    # one window over the events fact table, so the FIRST headline query
+    # (ucl_grouped, historically 2x its own median in single-run
+    # artifacts) measures its plan, not residual session warm-up
+    # (fact-parquet footer reads, first exchange, first WindowExec
+    # codegen). Aggregate output only -- no measured result is cached.
+    read_table(spark, sf_dir, "events").groupBy("user_id").count().selectExpr(
+        "user_id", "row_number() OVER (ORDER BY count DESC, user_id) AS rn"
+    ).where("rn <= 3").count()
 
     by_name = {q.name: q for q in registry()}
     timings: dict[str, float] = {}

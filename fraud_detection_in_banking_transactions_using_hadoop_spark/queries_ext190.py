@@ -64,13 +64,13 @@ _SERVICE_US = 45_000_000  # fixed 45 s service per arrival
       FROM events GROUP BY 1)
     SELECT CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(c.seen) AS BIGINT) AS n_arrivals,
-           round(CAST(max(p.peak) AS DOUBLE) / 1000000.0, 3)
+           round(CAST(max(coalesce(p.peak, 0)) AS DOUBLE) / 1000000.0, 3)
              AS max_peak_wait_s,
-           round(CAST(max(p.w_end) AS DOUBLE) / 1000000.0, 3)
+           round(CAST(max(coalesce(p.w_end, 0)) AS DOUBLE) / 1000000.0, 3)
              AS max_end_backlog_s,
-           CAST(sum(CASE WHEN p.w_end > 0 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_days_open_backlog
-    FROM perday p JOIN counts c ON c.day = p.day
+           CAST(sum(CASE WHEN coalesce(p.w_end, 0) > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_days_open_backlog
+    FROM counts c LEFT JOIN perday p ON p.day = c.day
     """,
     tags=("streaming", "state", "queueing", "max-plus"),
 )

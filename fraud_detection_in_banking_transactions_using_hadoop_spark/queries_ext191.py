@@ -77,7 +77,9 @@ def _bpe_sql() -> str:
       SELECT word, CAST(count(*) AS BIGINT) AS freq,
              chr(31) || array_to_string(string_split(word, ''),
                                         chr(31) || chr(31)) || chr(31) AS p
-      FROM words WHERE word <> '' GROUP BY word),
+      FROM words
+      WHERE word <> '' AND length(word) <= {_MAXSYM}
+      GROUP BY word),
     {",".join(rounds)},
     fin AS (
       SELECT word, freq,
@@ -121,7 +123,14 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     sep, sepsep = "char(31)", "concat(char(31), char(31))"
     v = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
-        .where(F.col("word") != "")
+        .where(
+            (F.col("word") != "")
+            # Both engines cap words at _MAXSYM symbols so the oracle's
+            # bounded pair-index range enumerates EXACTLY the same pairs
+            # as the Spark side (r7 advice: an unbounded >64-char token
+            # would silently diverge).
+            & (F.length("word") <= _MAXSYM)
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
         .select(

@@ -62,7 +62,7 @@ _LOF_K = 5
     lrd AS (
       SELECT i,
              (1000000000000000 * {_LOF_K})
-               // CAST(sum(rd) AS BIGINT) AS lrdq
+               // greatest(CAST(sum(rd) AS BIGINT), 1) AS lrdq
       FROM reach GROUP BY i),
     lof AS (
       SELECT n.i,
@@ -123,7 +123,8 @@ def q_lof_embedding_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("i", "j", F.greatest("kdist_j", "dq").alias("rd"))
     lrd = reach.groupBy("i").agg(
         F.expr(
-            f"(1000000000000000 * {_LOF_K}) DIV CAST(sum(rd) AS BIGINT)"
+            f"(1000000000000000 * {_LOF_K})"
+            f" DIV greatest(CAST(sum(rd) AS BIGINT), 1L)"
         ).alias("lrdq")
     )
     lof = (

@@ -136,7 +136,7 @@ def q_staggered_did_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mx))
         .select("grp", "e", (F.col("mmax") - F.col("adopt_lag")).alias("gt"))
     )
-    def cell(alias, grp_col, t_expr):
+    def cell(alias):
         return cells.select(
             F.col("grp").alias(f"{alias}_grp"),
             F.col("t").alias(f"{alias}_t"),
@@ -144,8 +144,8 @@ def q_staggered_did_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias(f"{alias}_n"),
         )
 
-    ct, cb = cell("ct", None, None), cell("cb", None, None)
-    kt, kb = cell("kt", None, None), cell("kb", None, None)
+    ct, cb = cell("ct"), cell("cb")
+    kt, kb = cell("kt"), cell("kb")
     att = (
         spec.join(
             ct,
