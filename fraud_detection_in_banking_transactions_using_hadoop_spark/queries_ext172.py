@@ -336,8 +336,14 @@ def q_schulze_method_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     widest-path matrix. A nation whose strongest path to EVERY rival
     is at least as strong as the reverse path is the Schulze winner
     -- the Condorcet completion that resolves cycles, unlike
-    borda_copeland_nations' positional tallies. 625-cell integer
-    matrix, each squaring checkpointed."""
+    borda_copeland_nations' positional tallies.
+
+    Scale split (r8): the head-to-head tally d (the data-dependent
+    part) runs distributed; the beatpath base is a BOUNDED 625-cell
+    integer matrix, collected once, with the 5 exact-integer max-min
+    squarings folded in Python (same closure the oracle unrolls) and
+    the final wins tally computed over the closed matrix -- replacing
+    5 shuffle-join+checkpoint rounds with one job."""
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
     rev = (
@@ -402,64 +408,44 @@ def q_schulze_method_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("w"),
         )
-        .localCheckpoint()
     )
+    # Bounded collect (<=625 integer cells): max-min closure is O(1)
+    # state -- fold the squarings driver-side, exactly as the oracle's
+    # unrolled CTEs do.
+    pw = {(r["src"], r["dst"]): r["w"] for r in p.collect()}
+    nks = sorted({k[0] for k in pw} | {k[1] for k in pw})
     for _ in range(_N_SQUARINGS):
-        left = p.select(
-            F.col("src").alias("ls"), F.col("dst").alias("mid"),
-            F.col("w").alias("lw"),
+        new = dict(pw)
+        for s in nks:
+            for t in nks:
+                if s == t:
+                    continue
+                best = pw.get((s, t), 0)
+                for m in nks:
+                    if m == s or m == t:
+                        continue
+                    lw = pw.get((s, m), 0)
+                    rw = pw.get((m, t), 0)
+                    via = lw if lw < rw else rw
+                    if via > best:
+                        best = via
+                new[(s, t)] = best
+        pw = new
+    wins_py = []
+    for s in nks:
+        path_wins = sum(
+            1
+            for t in nks
+            if t != s and pw.get((s, t), 0) >= pw.get((t, s), 0)
         )
-        right = p.select(
-            F.col("src").alias("mid2"), F.col("dst").alias("rd"),
-            F.col("w").alias("rw"),
-        )
-        via = (
-            left.join(right, F.col("mid") == F.col("mid2"))
-            .where(F.col("ls") != F.col("rd"))
-            .groupBy(F.col("ls").alias("src"), F.col("rd").alias("dst"))
-            .agg(F.max(F.least(F.col("lw"), F.col("rw"))).alias("w_via"))
-        )
-        p = (
-            p.join(
-                via.select(
-                    F.col("src").alias("vs"), F.col("dst").alias("vd"),
-                    "w_via",
-                ),
-                (F.col("vs") == F.col("src")) & (F.col("vd") == F.col("dst")),
-                "left",
-            )
-            .select(
-                "src",
-                "dst",
-                F.greatest(
-                    F.col("w"), F.coalesce(F.col("w_via"), F.lit(0))
-                ).alias("w"),
-            )
-            .localCheckpoint()
-        )
-    q = p.select(
-        F.col("src").alias("qs"), F.col("dst").alias("qd"),
-        F.col("w").alias("qw"),
-    )
-    wins = (
-        p.join(q, (F.col("qs") == F.col("dst")) & (F.col("qd") == F.col("src")))
-        .groupBy(F.col("src").alias("nk"))
-        .agg(
-            F.sum(F.when(F.col("w") >= F.col("qw"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("path_wins"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rivals"),
-        )
-    )
-    return (
-        wins.orderBy(F.col("path_wins").desc(), "nk")
-        .limit(5)
-        .select(
-            F.col("nk").alias("nationkey"),
-            "path_wins",
-            "n_rivals",
-            (F.col("path_wins") == F.col("n_rivals")).alias(
-                "is_schulze_winner"
-            ),
-        )
+        wins_py.append((s, path_wins, len(nks) - 1))
+    wins_py.sort(key=lambda x: (-x[1], x[0]))
+    return spark.createDataFrame(
+        [
+            (nk, pwn, nr, pwn == nr)
+            for nk, pwn, nr in wins_py[:5]
+        ],
+        # nationkey stays INT (c_nationkey's width) to match the oracle
+        "nationkey INT, path_wins LONG, n_rivals LONG,"
+        " is_schulze_winner BOOLEAN",
     )

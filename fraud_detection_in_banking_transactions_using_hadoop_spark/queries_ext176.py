@@ -239,7 +239,19 @@ def q_wagner_whitin_lotsize(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan cost -- the DP optimum eoq_reorder_policy's continuous
     square-root formula only approximates. Lot-for-lot and
     single-batch baselines print beside it; every number is an exact
-    integer."""
+    integer.
+
+    Scale split (r8, the spectral/IVF-quantizer precedent): the
+    data-dependent work -- aggregating orders into the monthly demand
+    series -- runs distributed; the DP state is a BOUNDED <=1-row-per-
+    month prefix table (~86 rows for this 7-year warehouse, day-capped
+    like the CALENDAR window class), so it is collected once and the
+    exact-integer shortest-path DP runs in Python (identical optimum
+    to the oracle's min-plus closure: both are dist(0 -> T) on the
+    same DAG with the same integer weights). The r7 plan ran 7
+    min-plus squarings as Spark self-joins over the 3.7k-edge matrix
+    -- 7 shuffle rounds of fixed overhead (~50-97 s at sf0.01) for a
+    driver-sized problem; this fold cuts it to one job."""
     orders = read_table(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         F.date_trunc("month", "o_orderdate").alias("m")
@@ -255,74 +267,38 @@ def q_wagner_whitin_lotsize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dem").over(wt).cast("bigint").alias("p1"),
         F.sum(F.col("dem") * F.col("t")).over(wt).cast("bigint").alias("pi"),
     )
-    par = sp.agg(
-        F.max("t").cast("bigint").alias("tt"),
-        F.expr(
-            "CAST((max(p1) + max(t) - 1) DIV max(t) AS BIGINT)"
-        ).alias("mu"),
+    # Bounded collect (one row per month, ~86): DP state is O(months).
+    rows = sorted(
+        ((r["t"], r["p1"], r["pi"]) for r in sp.collect()),
+        key=lambda x: x[0],
     )
-    spz = sp.select("t", "p1", "pi").unionByName(
-        sp.sparkSession.createDataFrame(
-            [(0, 0, 0)], "t LONG, p1 LONG, pi LONG"
+    tt = rows[-1][0]
+    mu = (rows[-1][1] + tt - 1) // tt
+    p1 = {0: 0}
+    pi = {0: 0}
+    for t, rp1, rpi in rows:
+        p1[t], pi[t] = rp1, rpi
+
+    def _edge(src: int, dst: int) -> int:
+        # setup at src+1 covering src+1..dst; exact integer closed form
+        return (
+            _K_MULT * mu
+            + (pi[dst] - pi[src])
+            - (src + 1) * (p1[dst] - p1[src])
         )
-    )
-    a = spz.select(
-        F.col("t").alias("src"), F.col("p1").alias("ap1"),
-        F.col("pi").alias("api"),
-    )
-    b = spz.select(
-        F.col("t").alias("dst"), F.col("p1").alias("bp1"),
-        F.col("pi").alias("bpi"),
-    )
-    edges = (
-        a.join(b, F.col("dst") > F.col("src"))
-        .crossJoin(F.broadcast(par))
-        .select(
-            "src",
-            "dst",
-            (
-                _K_MULT * F.col("mu")
-                + (F.col("bpi") - F.col("api"))
-                - (F.col("src") + 1) * (F.col("bp1") - F.col("ap1"))
-            )
-            .cast("bigint")
-            .alias("w"),
-        )
-    )
-    diag = spz.select(
-        F.col("t").alias("src"), F.col("t").alias("dst"),
-        F.lit(0).cast("bigint").alias("w"),
-    )
-    d = edges.unionByName(diag).localCheckpoint()
-    for _ in range(_N_SQ):
-        l = d.select(
-            F.col("src").alias("ls"), F.col("dst").alias("mid"),
-            F.col("w").alias("lw"),
-        )
-        r = d.select(
-            F.col("src").alias("mid2"), F.col("dst").alias("rd"),
-            F.col("w").alias("rw"),
-        )
-        d = (
-            l.join(r, F.col("mid") == F.col("mid2"))
-            .groupBy(F.col("ls").alias("src"), F.col("rd").alias("dst"))
-            .agg(F.min(F.col("lw") + F.col("rw")).cast("bigint").alias("w"))
-            .localCheckpoint()
-        )
-    best = (
-        d.crossJoin(F.broadcast(par))
-        .where((F.col("src") == 0) & (F.col("dst") == F.col("tt")))
-        .agg(F.min("w").alias("opt"))
-    )
-    single = (
-        edges.crossJoin(F.broadcast(par.select(F.col("tt").alias("t2"))))
-        .where((F.col("src") == 0) & (F.col("dst") == F.col("t2")))
-        .select(F.col("w").alias("single_batch"))
+
+    # Shortest path 0 -> tt on the DAG == the oracle's min-plus closure
+    # dist; both exact integers.
+    dist = {0: 0}
+    for t in range(1, tt + 1):
+        dist[t] = min(dist[s] + _edge(s, t) for s in range(t))
+    opt, single_batch = dist[tt], _edge(0, tt)
+    scalars = spark.createDataFrame(
+        [(tt, mu, opt, single_batch)],
+        "tt LONG, mu LONG, opt LONG, single_batch LONG",
     )
     return (
-        par.crossJoin(F.broadcast(best))
-        .crossJoin(F.broadcast(single))
-        .select(
+        scalars.select(
             F.col("tt").alias("n_months"),
             F.col("mu").alias("mu_monthly_demand"),
             (_K_MULT * F.col("mu")).cast("bigint").alias("setup_cost"),
