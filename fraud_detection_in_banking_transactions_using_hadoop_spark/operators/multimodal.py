@@ -57,9 +57,12 @@ def _decode_image_stub(content: bytes) -> list[float]:
     """STUB decode -> 8-dim feature. Deterministic fake: real deployments
     replace this with a model forward pass over decoded media. Every
     image container in the tier now has a REAL decoder (raw8, PNG, GIF,
-    BMP, PNM, and -- since round 7 -- baseline JPEG below); the stub
-    remains only as the catch-all feature path for formats with no
-    stdlib decode (mp3). Raises on None like a real decoder would on
+    BMP, PNM, and -- since round 7 -- baseline JPEG below); audio has
+    REAL lossless (WAV) and lossy (G.711 mu-law, and -- since round 8
+    -- IMA ADPCM) codecs. The stub remains only as the catch-all
+    feature path for formats PHYSICALLY impossible offline (mp3's
+    MDCT + psychoacoustic model needs non-stdlib libs this sandbox
+    cannot install). Raises on None like a real decoder would on
     corrupt bytes."""
     if content is None:
         raise ValueError("no content")
@@ -972,6 +975,93 @@ def decode_ulaw(codes):
         mag = ((mant << 3) + _ULAW_BIAS) << exp
         mag -= _ULAW_BIAS
         out.append(-mag if sign else mag)
+    return np.asarray(out, dtype=np.int16)
+
+
+# ----------------------------------------------------------- adpcm tier --
+# IMA/DVI ADPCM (4-bit), the second LOSSY audio codec (r7 verdict item
+# 4): stdlib-only, table-driven, the classic IMA reference recursion
+# (step table of 89 quantizer steps, index table {-1,-1,-1,-1,2,4,6,8}).
+# Every operation is integer (shifts, adds, clamps), so the decoder's
+# predictor sequence -- which the encoder tracks exactly, as the spec
+# requires -- is reproducible in pure BIGINT SQL via a recursive CTE,
+# putting the 4:1 quantization error itself under the hash gate
+# (multimodal_adpcm_stats), the discipline G.711/JPEG established.
+
+ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+)
+ADPCM_INDEX_INC = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _adpcm_step(sample: int, pred: int, idx: int) -> tuple[int, int, int]:
+    """One IMA encode step: (code nibble, new predictor, new index).
+    The new predictor IS the decoder's reconstruction of this sample
+    (the encoder tracks the decoder bit-exactly, per the IMA spec)."""
+    step = ADPCM_STEPS[idx]
+    diff = sample - pred
+    sign = 8 if diff < 0 else 0
+    if sign:
+        diff = -diff
+    delta, vpdiff = 0, step >> 3
+    if diff >= step:
+        delta, diff, vpdiff = 4, diff - step, vpdiff + step
+    if diff >= step >> 1:
+        delta, diff, vpdiff = delta | 2, diff - (step >> 1), vpdiff + (step >> 1)
+    if diff >= step >> 2:
+        delta, vpdiff = delta | 1, vpdiff + (step >> 2)
+    pred = pred - vpdiff if sign else pred + vpdiff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + ADPCM_INDEX_INC[delta]))
+    return delta | sign, pred, idx
+
+
+def encode_adpcm(samples) -> bytes:
+    """IMA ADPCM compress int16 PCM to packed 4-bit codes (low nibble
+    first, the IMA/WAV convention; an odd final nibble pads with 0 in
+    the high half). Initial state (pred, idx) = (0, 0)."""
+    import numpy as np
+
+    pred, idx, nibbles = 0, 0, []
+    for s in np.asarray(samples, dtype=np.int64):
+        code, pred, idx = _adpcm_step(int(s), pred, idx)
+        nibbles.append(code)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    return bytes(
+        nibbles[i] | (nibbles[i + 1] << 4) for i in range(0, len(nibbles), 2)
+    )
+
+
+def decode_adpcm(data: bytes, n_samples: int):
+    """IMA ADPCM expand packed 4-bit codes back to int16 PCM (lossy:
+    slope-quantized to the adaptive step grid). Mirrors the encoder's
+    predictor recursion exactly."""
+    import numpy as np
+
+    pred, idx, out = 0, 0, []
+    for k in range(n_samples):
+        byte = data[k >> 1]
+        code = (byte >> 4) & 0xF if k & 1 else byte & 0xF
+        step = ADPCM_STEPS[idx]
+        vpdiff = step >> 3
+        if code & 4:
+            vpdiff += step
+        if code & 2:
+            vpdiff += step >> 1
+        if code & 1:
+            vpdiff += step >> 2
+        pred = pred - vpdiff if code & 8 else pred + vpdiff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + ADPCM_INDEX_INC[code & 7]))
+        out.append(pred)
     return np.asarray(out, dtype=np.int16)
 
 
