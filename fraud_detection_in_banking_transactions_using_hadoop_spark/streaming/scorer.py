@@ -53,6 +53,21 @@ def decode_payload(raw: DataFrame, value_col: str = "value") -> DataFrame:
     ).select("data.*")
 
 
+def kafka_source_options(
+    brokers: str, topic: str, starting_offsets: str = "earliest"
+) -> dict[str, str]:
+    """The exact option map `read_kafka_stream` hands the kafka source
+    (S11). Split out so the option wiring is unit-testable without a
+    broker or the kafka package on the classpath (r7 verdict item 8):
+    the pytest asserts subscribe/startingOffsets here and drives the
+    reader construction up to (not through) `.load()`."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+    }
+
+
 def read_kafka_stream(
     spark: SparkSession,
     brokers: str,
@@ -65,9 +80,7 @@ def read_kafka_stream(
     image -- exercised only when a broker is configured)."""
     raw = (
         spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
+        .options(**kafka_source_options(brokers, topic, starting_offsets))
         .load()
     )
     return decode_payload(raw)

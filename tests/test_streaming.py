@@ -455,3 +455,37 @@ def test_scorer_observability_metrics(spark, tmp_path_factory, zip_geo):
         if p.get("observedMetrics", {}).get("scorer_source")
     ]
     assert sum(observed) == 2
+
+
+def test_kafka_reader_options_and_parse_path(spark):
+    """S11 (r7 verdict item 8): exercise the Kafka readStream wiring as
+    far as the sandbox allows -- the option map read_kafka_stream hands
+    the source is asserted exactly, and reader construction (format +
+    options) succeeds without a broker. `.load()` itself needs the
+    spark-sql-kafka package; when absent the failure must be the
+    missing-datasource error (i.e. the options PARSED and resolution
+    reached the classpath lookup), not an option error."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.streaming.scorer import (
+        kafka_source_options,
+        read_kafka_stream,
+    )
+
+    opts = kafka_source_options("broker1:9092,broker2:9092", "txns")
+    assert opts["subscribe"] == "txns"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert kafka_source_options("b:9092", "t", "latest")[
+        "startingOffsets"
+    ] == "latest"
+    # reader construction parses without a broker or the kafka jar
+    spark.readStream.format("kafka").options(**opts)
+    try:
+        read_kafka_stream(spark, "broker1:9092", "txns")
+    except Exception as e:  # noqa: BLE001 -- asserting the failure class
+        msg = str(e)
+        assert "kafka" in msg.lower()
+        assert "FAILED_TO_LOAD" in msg or "Failed to find" in msg or (
+            "DATA_SOURCE" in msg
+        ), msg
+    else:  # pragma: no cover -- only on a cluster with the kafka jar
+        pass

@@ -41,6 +41,12 @@ HEAVY = [
     "matrix_profile_motifs",
     "cochrane_orcutt",
     "henderson_trend",
+    # r8: fixed-overhead-sensitive queries tracked round-over-round
+    # (r7 verdict item 5): the driver-folded spectral cut and the two
+    # r7 streaming replays (trigger-bound; slope shows the data term)
+    "spectral_bipartition_nations",
+    "streaming_lindley_replay",
+    "streaming_kalman_replay",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
