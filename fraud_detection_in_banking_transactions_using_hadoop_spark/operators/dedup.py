@@ -202,6 +202,96 @@ def band_table(
     ).select(id_col, "band.band_id", "band.band_hash")
 
 
+def pairs_from_bands(banded: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from a band table: the equi-self-
+    join on (band_id, band_hash). Shared by the one-shot pipeline
+    (lsh_candidate_pairs) and the incremental path, whose delta join
+    reuses it against a persisted band table."""
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def lsh_band_state(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 8,
+    band_size: int = 2,
+    shingle_w: int = 3,
+) -> DataFrame:
+    """The persistable LSH dedup state of one snapshot: its band table
+    (id, band_id, band_hash). Signatures depend only on each document's
+    own text, so band rows NEVER need recomputation when later
+    snapshots arrive -- write this table once per snapshot and the
+    incremental path (incremental_lsh_merge) joins new docs' bands
+    against it. At 100 TB this is the difference between re-hashing the
+    whole corpus per ingest batch and hashing only the delta."""
+    sigs = minhash_signatures(
+        df, id_col, text_col, n_hashes=n_hashes, shingle_w=shingle_w
+    )
+    return band_table(sigs, id_col, n_hashes=n_hashes, band_size=band_size)
+
+
+def incremental_lsh_merge(
+    state_bands: DataFrame,
+    state_clusters: DataFrame,
+    delta_bands: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fold a delta snapshot into persisted dedup state: returns the
+    updated (node, cluster) assignment over old + new docs, EXACTLY
+    equal to a full recompute (oracled as such).
+
+    The delta work is bounded by the delta: new candidate edges =
+    delta-bands x (state-bands UNION delta-bands) equi-join -- old x old
+    pairs are never re-derived (per-doc signatures are snapshot-
+    independent, so the old pair set cannot change; NOTE this exactness
+    argument requires the band pipeline to run WITHOUT a bucket-size
+    cap, since caps depend on bucket population, which grows) -- and the
+    connected-components input is the old SPANNING FOREST (one
+    (cluster, node) edge per non-root old doc, O(n) rows) plus only the
+    delta edges, not the full old edge set. A new doc bridging two old
+    clusters merges them through the forest exactly as it would through
+    the full graph."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = delta_bands.alias("a")
+    s = state_bands.unionByName(delta_bands).alias("b")
+    delta_edges = (
+        d.join(
+            s,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias(
+                "doc_b"
+            ),
+        )
+        .distinct()
+    )
+    forest = state_clusters.where(F.col("node") != F.col("cluster")).select(
+        F.col("cluster").alias("doc_a"), F.col("node").alias("doc_b")
+    )
+    return connected_components(forest.unionByName(delta_edges))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -252,17 +342,7 @@ def lsh_candidate_pairs(
         # would leak blocks for the session lifetime.
         banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
 
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .distinct()
-    )
+    pairs = pairs_from_bands(banded, id_col)
     if eager:
         pairs = pairs.localCheckpoint(eager=True)
         banded.unpersist()

@@ -268,6 +268,7 @@ def registry() -> list[Query]:
         queries_ext195,
         queries_ext196,
         queries_ext197,
+        queries_ext198,
         queries_feat,
         queries_funcs,
         queries_funcs2,

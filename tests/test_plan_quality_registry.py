@@ -863,6 +863,9 @@ EAGER = {
     "lad_median_regression",
     # eager 25-row per-round power-iteration checkpoints (ext195)
     "spectral_bipartition_nations",
+    # eager state-build checkpoints (band table + CC) feeding the
+    # incremental merge (ext198)
+    "incremental_minhash_dedup",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
