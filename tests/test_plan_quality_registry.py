@@ -21,6 +21,11 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import r
 #   build side is a 1-ROW aggregate (global mean / threshold), so the
 #   "nested loop" degenerates to a map-side constant join: O(n), scale-safe.
 ALLOWED_NESTED_LOOP = {
+    # 1-row valuation-year / factor-row / severity broadcasts over the
+    # bounded run-off triangle (ext199 reserving)
+    "chain_ladder_factors",
+    "chain_ladder_ultimates",
+    "bornhuetter_ferguson_reserves",
     # 1-row pair-count marginal broadcasts (ext117 agreement metrics)
     "adjusted_rand_index",
     "fowlkes_mallows",
