@@ -270,6 +270,7 @@ def registry() -> list[Query]:
         queries_ext197,
         queries_ext198,
         queries_ext199,
+        queries_ext200,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -871,6 +871,11 @@ EAGER = {
     # eager state-build checkpoints (band table + CC) feeding the
     # incremental merge (ext198)
     "incremental_minhash_dedup",
+    # bounded-adjacency collect + driver-side exact graph algorithms
+    # (ext200, r8 fold pattern)
+    "betweenness_brandes_nations",
+    "graph_eccentricity_nations",
+    "payment_backbone_mst",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
