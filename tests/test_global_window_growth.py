@@ -253,6 +253,7 @@ CALENDAR = {
     "biweight_midcorrelation": "orders_days",
     "taguchi_cpm": "orders_days",
     "henderson_trend": "orders_months",
+    "bass_diffusion_fit": "orders_months",
     "cochrane_orcutt": "orders_days",
     "tracking_signal": "orders_days",
     "fisher_g_bandlimited": "orders_days",

@@ -24,6 +24,8 @@ ALLOWED_NESTED_LOOP = {
     # 1-row valuation-year / factor-row / severity broadcasts over the
     # bounded run-off triangle (ext199 reserving)
     "chain_ladder_factors",
+    # 1-row month-span/moments broadcasts over the dense month spine
+    "bass_diffusion_fit",
     "chain_ladder_ultimates",
     "bornhuetter_ferguson_reserves",
     # 1-row pair-count marginal broadcasts (ext117 agreement metrics)
@@ -766,6 +768,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "cpk_percentile_nonnormal": "daily revenue value spine (order stats)",
     "taguchi_cpm": "daily revenue value spine (order stats)",
     "henderson_trend": "monthly revenue spine (13-term lag/lead)",
+    "bass_diffusion_fit": "dense adoption month spine (cumulative sum)",
     "cochrane_orcutt": "daily revenue spine (index + residual lag)",
     "tracking_signal": "daily revenue spine (7-lag error prefix sums)",
     "pickands_tail_index": "256-row post-limit order statistics",
