@@ -272,6 +272,7 @@ def registry() -> list[Query]:
         queries_ext199,
         queries_ext200,
         queries_ext201,
+        queries_ext202,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -26,6 +26,10 @@ ALLOWED_NESTED_LOOP = {
     "chain_ladder_factors",
     # 1-row month-span/moments broadcasts over the dense month spine
     "bass_diffusion_fit",
+    # exact all-pairs variogram estimator (LOF/ripley brute-force
+    # family; grid-cell equi-join is the documented scale path)
+    "semivariogram_embedding",
+    "semivariogram_anisotropy",
     "chain_ladder_ultimates",
     "bornhuetter_ferguson_reserves",
     # 1-row pair-count marginal broadcasts (ext117 agreement metrics)
