@@ -273,6 +273,7 @@ def registry() -> list[Query]:
         queries_ext200,
         queries_ext201,
         queries_ext202,
+        queries_ext203,
         queries_feat,
         queries_funcs,
         queries_funcs2,

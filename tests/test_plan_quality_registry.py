@@ -878,6 +878,8 @@ EAGER = {
     # eager state-build checkpoints (band table + CC) feeding the
     # incremental merge (ext198)
     "incremental_minhash_dedup",
+    # live streaming replay (per-day MG fold with carried counter dict)
+    "streaming_misra_gries_replay",
     # bounded-adjacency collect + driver-side exact graph algorithms
     # (ext200, r8 fold pattern)
     "betweenness_brandes_nations",
