@@ -274,6 +274,7 @@ def registry() -> list[Query]:
         queries_ext201,
         queries_ext202,
         queries_ext203,
+        queries_ext204,
         queries_feat,
         queries_funcs,
         queries_funcs2,

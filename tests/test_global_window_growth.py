@@ -52,6 +52,7 @@ STRUCTURAL = {
     "lorenz_curve": 74,
     "quantile_binning": 64,
     "lift_gains_table": 74,
+    "qini_uplift_deciles": 74,
     "pareto_80_20": 64,
     "zipf_powerlaw_fit": 64,
     "rfm_segmentation": 96,
@@ -254,6 +255,7 @@ CALENDAR = {
     "taguchi_cpm": "orders_days",
     "henderson_trend": "orders_months",
     "bass_diffusion_fit": "orders_months",
+    "xmr_individuals_chart": "orders_days",
     "cochrane_orcutt": "orders_days",
     "tracking_signal": "orders_days",
     "fisher_g_bandlimited": "orders_days",

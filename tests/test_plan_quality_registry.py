@@ -30,6 +30,10 @@ ALLOWED_NESTED_LOOP = {
     # family; grid-cell equi-join is the documented scale path)
     "semivariogram_embedding",
     "semivariogram_anisotropy",
+    # 1-row (xbar, mrbar) limit broadcast (ext204 X-mR chart)
+    "xmr_individuals_chart",
+    # rank-op range join + 1-row total + 10-row decile summary (ext204)
+    "qini_uplift_deciles",
     "chain_ladder_ultimates",
     "bornhuetter_ferguson_reserves",
     # 1-row pair-count marginal broadcasts (ext117 agreement metrics)
@@ -575,6 +579,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "lorenz_curve": "B-row bucket offsets + 10-row decile summary",
     "quantile_binning": "B-row bucket offsets",
     "lift_gains_table": "B-row bucket offsets + 10-row decile summary",
+    "qini_uplift_deciles": "B-row bucket offsets + 10-row decile summary",
+    "xmr_individuals_chart": "daily revenue series (lag spine)",
     "pareto_80_20": "B-row bucket offsets",
     "zipf_powerlaw_fit": "B-row bucket offsets",
     "rfm_segmentation": "B-row bucket offsets (x3 quintile ranks)",
