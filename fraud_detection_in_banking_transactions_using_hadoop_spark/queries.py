@@ -275,6 +275,7 @@ def registry() -> list[Query]:
         queries_ext202,
         queries_ext203,
         queries_ext204,
+        queries_ext205,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -863,6 +863,8 @@ EAGER = {
     # eager spine + per-round coefficient checkpoints (ext137 GLMs)
     "logistic_newton_1d",
     "poisson_glm_loglink",
+    # eager spine + per-round Fisher-scoring checkpoints (ext205 probit)
+    "probit_newton_1d",
     # eager cells/med/dcells/scored checkpoints (shared rank spines)
     "fligner_killeen",
     # eager spine + per-round EM state checkpoints / 2x2 table checkpoint
