@@ -276,6 +276,7 @@ def registry() -> list[Query]:
         queries_ext203,
         queries_ext204,
         queries_ext205,
+        queries_ext206,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -888,6 +888,9 @@ EAGER = {
     "incremental_minhash_dedup",
     # live streaming replay (per-day MG fold with carried counter dict)
     "streaming_misra_gries_replay",
+    # bounded 5x6 transition-count collect + driver absorption folds
+    # (ext206 Markov attribution)
+    "markov_removal_attribution",
     # bounded-adjacency collect + driver-side exact graph algorithms
     # (ext200, r8 fold pattern)
     "betweenness_brandes_nations",
