@@ -277,6 +277,7 @@ def registry() -> list[Query]:
         queries_ext204,
         queries_ext205,
         queries_ext206,
+        queries_ext207,
         queries_feat,
         queries_funcs,
         queries_funcs2,

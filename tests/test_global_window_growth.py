@@ -256,6 +256,7 @@ CALENDAR = {
     "henderson_trend": "orders_months",
     "bass_diffusion_fit": "orders_months",
     "xmr_individuals_chart": "orders_days",
+    "wrights_experience_curve": "orders_months",
     "cochrane_orcutt": "orders_days",
     "tracking_signal": "orders_days",
     "fisher_g_bandlimited": "orders_days",

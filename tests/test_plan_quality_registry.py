@@ -32,6 +32,8 @@ ALLOWED_NESTED_LOOP = {
     "semivariogram_anisotropy",
     # 1-row (xbar, mrbar) limit broadcast (ext204 X-mR chart)
     "xmr_individuals_chart",
+    # 1-row shard-total broadcast (ext207 HRW balance)
+    "rendezvous_shard_balance",
     # rank-op range join + 1-row total + 10-row decile summary (ext204)
     "qini_uplift_deciles",
     "chain_ladder_ultimates",
@@ -779,6 +781,7 @@ ALLOWED_GLOBAL_WINDOW = {
     "taguchi_cpm": "daily revenue value spine (order stats)",
     "henderson_trend": "monthly revenue spine (13-term lag/lead)",
     "bass_diffusion_fit": "dense adoption month spine (cumulative sum)",
+    "wrights_experience_curve": "monthly volume spine (cumulative sum)",
     "cochrane_orcutt": "daily revenue spine (index + residual lag)",
     "tracking_signal": "daily revenue spine (7-lag error prefix sums)",
     "pickands_tail_index": "256-row post-limit order statistics",
