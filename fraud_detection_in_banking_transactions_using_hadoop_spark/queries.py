@@ -278,6 +278,7 @@ def registry() -> list[Query]:
         queries_ext205,
         queries_ext206,
         queries_ext207,
+        queries_ext208,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -891,6 +891,9 @@ EAGER = {
     "incremental_minhash_dedup",
     # live streaming replay (per-day MG fold with carried counter dict)
     "streaming_misra_gries_replay",
+    # live streaming replay (per-day LZ78 fold with carried dictionary
+    # + in-flight partial phrase)
+    "streaming_lz78_replay",
     # bounded 5x6 transition-count collect + driver absorption folds
     # (ext206 Markov attribution)
     "markov_removal_attribution",
