@@ -257,6 +257,9 @@ CALENDAR = {
     "bass_diffusion_fit": "orders_months",
     "xmr_individuals_chart": "orders_days",
     "wrights_experience_curve": "orders_months",
+    "bollinger_bands_daily": "orders_days",
+    "rsi_wilder_daily": "orders_days",
+    "macd_crossover_daily": "orders_days",
     "cochrane_orcutt": "orders_days",
     "tracking_signal": "orders_days",
     "fisher_g_bandlimited": "orders_days",

@@ -34,6 +34,9 @@ ALLOWED_NESTED_LOOP = {
     "xmr_individuals_chart",
     # 1-row shard-total broadcast (ext207 HRW balance)
     "rendezvous_shard_balance",
+    # 1-row max-day broadcasts bounding the 365-day TA fit windows
+    "rsi_wilder_daily",
+    "macd_crossover_daily",
     # rank-op range join + 1-row total + 10-row decile summary (ext204)
     "qini_uplift_deciles",
     "chain_ladder_ultimates",
@@ -583,6 +586,9 @@ ALLOWED_GLOBAL_WINDOW = {
     "lift_gains_table": "B-row bucket offsets + 10-row decile summary",
     "qini_uplift_deciles": "B-row bucket offsets + 10-row decile summary",
     "xmr_individuals_chart": "daily revenue series (lag spine)",
+    "bollinger_bands_daily": "daily revenue series (20-row frame)",
+    "rsi_wilder_daily": "365-day delta series -> 1-row array fold",
+    "macd_crossover_daily": "365-day series -> 1-row array fold",
     "pareto_80_20": "B-row bucket offsets",
     "zipf_powerlaw_fit": "B-row bucket offsets",
     "rfm_segmentation": "B-row bucket offsets (x3 quintile ranks)",
