@@ -280,6 +280,7 @@ def registry() -> list[Query]:
         queries_ext207,
         queries_ext208,
         queries_ext209,
+        queries_ext210,
         queries_feat,
         queries_funcs,
         queries_funcs2,

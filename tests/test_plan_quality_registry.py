@@ -34,6 +34,8 @@ ALLOWED_NESTED_LOOP = {
     "xmr_individuals_chart",
     # 1-row shard-total broadcast (ext207 HRW balance)
     "rendezvous_shard_balance",
+    # 1-row best-rate broadcast (ext210 OEE)
+    "oee_daily",
     # 1-row max-day broadcasts bounding the 365-day TA fit windows
     "rsi_wilder_daily",
     "macd_crossover_daily",
