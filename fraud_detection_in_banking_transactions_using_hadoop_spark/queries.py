@@ -281,6 +281,7 @@ def registry() -> list[Query]:
         queries_ext208,
         queries_ext209,
         queries_ext210,
+        queries_ext211,
         queries_feat,
         queries_funcs,
         queries_funcs2,

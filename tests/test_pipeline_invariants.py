@@ -76,6 +76,17 @@ def test_ks_stat_bounds(spark, sf_dir):
     assert row["n_a"] > 0 and row["n_b"] > 0
 
 
+def test_registry_names_unique():
+    """A duplicate name makes the later registration shadow the earlier
+    one in the driver's dict while BOTH run in list sweeps -- caught
+    live in r8 when a second rich_club_coefficient landed."""
+    from collections import Counter
+
+    names = [q.name for q in registry()]
+    dups = [n for n, c in Counter(names).items() if c > 1]
+    assert not dups, f"duplicate registry names: {dups}"
+
+
 def test_every_registry_query_is_documented():
     """COVERAGE.md is the judge's map -- every registered query must
     appear there by name (TPC-H q\\d+_ names are covered by the umbrella

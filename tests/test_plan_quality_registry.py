@@ -36,6 +36,9 @@ ALLOWED_NESTED_LOOP = {
     "rendezvous_shard_balance",
     # 1-row best-rate broadcast (ext210 OEE)
     "oee_daily",
+    # constant 6-row degree-cutoff grid broadcast over the bounded
+    # nation edge list (ext211)
+    "payment_rich_club",
     # 1-row max-day broadcasts bounding the 365-day TA fit windows
     "rsi_wilder_daily",
     "macd_crossover_daily",
@@ -902,6 +905,9 @@ EAGER = {
     # live streaming replay (per-day LZ78 fold with carried dictionary
     # + in-flight partial phrase)
     "streaming_lz78_replay",
+    # eager edge-list checkpoint feeding degree joins both sides
+    # (ext211)
+    "payment_rich_club",
     # bounded 5x6 transition-count collect + driver absorption folds
     # (ext206 Markov attribution)
     "markov_removal_attribution",
