@@ -215,22 +215,41 @@ def main() -> None:
         by_name[name].fn(spark, sf_dir).count()
         tail[name] = round(time.time() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cpu": cpu_timings,
-                "cpu_total": round(sum(cpu_timings.values()), 3),
-                "loadavg_start": load_start,
-                "loadavg_end": os.getloadavg()[0],
-                "tail_sample": tail,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "headline_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cpu": cpu_timings,
+        "cpu_total": round(sum(cpu_timings.values()), 3),
+        "loadavg_start": load_start,
+        "loadavg_end": os.getloadavg()[0],
+        "tail_sample": tail,
+        "sf": sf_val,
+    }
+    # Truncation-proofing (r8 verdict item 3): the full artifact line
+    # grew past what the driver's capture reliably holds (BENCH_r08.json
+    # came back `parsed: null`). Print a COMPACT but contract-complete
+    # summary line FIRST (metric/value/unit/queries/sf -- everything the
+    # driver's parser needs, ~1/3 the size), then the full line, and
+    # always persist the full artifact to bench_out.json next to this
+    # script so a truncated capture is recoverable.
+    summary = {
+        "metric": "headline_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n": len(timings),
+        "cpu_total": full["cpu_total"],
+        "loadavg_start": load_start,
+        "sf": sf_val,
+    }
+    with open(Path(__file__).resolve().parent / "bench_out.json", "w") as fh:
+        json.dump(full, fh)
+        fh.write("\n")
+    print(json.dumps(summary))
+    print(json.dumps(full))
 
 
 if __name__ == "__main__":

@@ -29,6 +29,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.fold import collect_nonempty
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -269,7 +270,10 @@ def q_wagner_whitin_lotsize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Bounded collect (one row per month, ~86): DP state is O(months).
     rows = sorted(
-        ((r["t"], r["p1"], r["pi"]) for r in sp.collect()),
+        (
+            (r["t"], r["p1"], r["pi"])
+            for r in collect_nonempty(sp, "wagner_whitin monthly demand")
+        ),
         key=lambda x: x[0],
     )
     tt = rows[-1][0]

@@ -28,6 +28,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.fold import collect_nonempty
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -163,7 +164,10 @@ def q_spectral_bipartition_nations(
     )
     # Bounded collect (<=25*24 integer edges): the eigenproblem state
     # is O(1); iterate driver-side exactly as the SQL oracle does.
-    edges = {(r["i"], r["j"]): r["a"] for r in adj.collect()}
+    edges = {
+        (r["i"], r["j"]): r["a"]
+        for r in collect_nonempty(adj, "spectral_bipartition nation edges")
+    }
     deg_py: dict[int, int] = {}
     for (ei, _ej), aw in edges.items():
         deg_py[ei] = deg_py.get(ei, 0) + aw

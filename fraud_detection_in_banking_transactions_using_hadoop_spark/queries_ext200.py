@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.fold import collect_nonempty
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -101,15 +102,15 @@ def _collect_graph(spark: SparkSession, sf_dir: str):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    sym_rows = (
+    sym_rows = collect_nonempty(
         pay.select("na", "nb", "cnt")
         .unionAll(
             pay.select(F.col("nb").alias("na"), F.col("na").alias("nb"), "cnt")
         )
         .where(F.col("na") != F.col("nb"))
         .groupBy(F.col("na").alias("i"), F.col("nb").alias("j"))
-        .agg(F.sum("cnt").cast("bigint").alias("w"))
-        .collect()
+        .agg(F.sum("cnt").cast("bigint").alias("w")),
+        "payment-backbone nation edges",
     )
     sym = {(r["i"], r["j"]): r["w"] for r in sym_rows}
     by_i: dict[int, list] = {}

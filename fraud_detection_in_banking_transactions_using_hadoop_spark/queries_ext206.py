@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.fold import collect_nonempty
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -137,8 +138,10 @@ def _markov_sql() -> str:
     SELECT e.channel,
            round(CAST(e.full_q AS DOUBLE) / 1e12, 6) AS p_conversion,
            round(CAST(e.removed_q AS DOUBLE) / 1e12, 6) AS p_removed,
-           round(CAST(e.full_q - e.removed_q AS DOUBLE) / e.full_q, 6)
-             + 0.0 AS removal_effect,
+           CASE WHEN e.full_q = 0 THEN NULL
+                ELSE round(CAST(e.full_q - e.removed_q AS DOUBLE)
+                           / e.full_q, 6) + 0.0
+           END AS removal_effect,
            CASE WHEN t.s = 0 THEN NULL
                 ELSE round(CAST(e.full_q - e.removed_q AS DOUBLE) / t.s, 6)
                      + 0.0
@@ -193,11 +196,11 @@ def q_markov_removal_attribution(
         .where(F.col("rn") == F.col("mx"))
         .select(F.col("event_type").alias("i"), F.lit("NULL").alias("j"))
     )
-    cnt_rows = (
+    cnt_rows = collect_nonempty(
         steps.unionByName(tails)
         .groupBy("i", "j")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .collect()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
+        "markov attribution transition counts",
     )
     cnt = {(r["i"], r["j"]): r["n"] for r in cnt_rows}
     states = list(_STATES)  # fixed literal states, as in the oracle
@@ -232,7 +235,7 @@ def q_markov_removal_attribution(
                 c,
                 round(full_q / 1e12, 6),
                 round(rq / 1e12, 6),
-                round(drops[c] / full_q, 6) + 0.0,
+                None if full_q == 0 else round(drops[c] / full_q, 6) + 0.0,
                 None
                 if s_eff == 0
                 else round(drops[c] / s_eff, 6) + 0.0,

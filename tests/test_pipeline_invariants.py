@@ -104,6 +104,37 @@ def test_every_registry_query_is_documented():
     assert not missing, f"queries missing from COVERAGE.md: {missing}"
 
 
+def test_readme_registry_count_matches():
+    """README's stated registry count drifted in r8 (753 in prose, 755
+    at HEAD after a late batch). The count is now pinned: every
+    `N registered` / `N registry queries` / `N queries` figure in
+    README.md that carries the registry-count marker must equal
+    len(registry()) (same enforcement pattern as the COVERAGE.md
+    gate)."""
+    import re
+    from pathlib import Path
+
+    readme = Path(__file__).resolve().parent.parent / "README.md"
+    text = readme.read_text()
+    # current-state markers: every "N registered" plus the LATEST
+    # "Round-k ... state ... **N registry queries" block (earlier
+    # rounds' closing-state paragraphs are legitimately historical).
+    stated = [int(m) for m in re.findall(r"(\d+) registered", text)]
+    rounds = re.findall(
+        r"Round-(\d+)(?: closing)? state[^*]*\*\*(\d+) registry queries",
+        text,
+    )
+    if rounds:
+        stated.append(int(max(rounds, key=lambda t: int(t[0]))[1]))
+    assert stated, "README.md lost its registry-count markers"
+    n = len(registry())
+    wrong = [s for s in stated if s != n]
+    assert not wrong, (
+        f"README.md states registry counts {stated} but the registry "
+        f"has {n} queries -- update the README"
+    )
+
+
 def test_registry_names_are_unique():
     """A duplicate register() name silently shadows the earlier query in
     __spark_entry__.queries() -- round 6 caught two real collisions
