@@ -282,6 +282,7 @@ def registry() -> list[Query]:
         queries_ext209,
         queries_ext210,
         queries_ext211,
+        queries_ext212,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -35,10 +35,11 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers 
 _DEC = "decimal(38,0)"
 _LOF_K = 5
 
-
-@register(
-    "lof_embedding_plane",
-    f"""
+# Exact all-pairs LOF SQL, shared: it is lof_embedding_plane's oracle
+# AND lof_grid_knn's (queries_ext212.py) -- the grid twin computes the
+# IDENTICAL exact kNN via provably-complete cell neighborhoods, so the
+# same SQL oracles both.
+LOF_EXACT_SQL = f"""
     WITH pts AS (
       SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS px,
              CAST(embedding[2] AS DOUBLE) AS py
@@ -80,7 +81,50 @@ _LOF_K = 5
     ORDER BY CAST(slrd AS DOUBLE) / ({_LOF_K} * CAST(lrdi AS DOUBLE)) DESC,
              i
     LIMIT 10
-    """,
+    """
+
+
+def lof_chain_from_knn(knn: DataFrame) -> DataFrame:
+    """The LOF scoring chain downstream of an EXACT kNN frame with
+    columns (i, j, dq, rn<=k): k-distance -> reachability -> integer
+    lrd -> LOF, top 10 by score. Shared by the exact all-pairs query
+    below and the grid-cell scale twin (queries_ext212.lof_grid_knn),
+    which produce identical kNN sets by construction."""
+    kd = knn.groupBy("i").agg(F.max("dq").alias("kdist"))
+    reach = knn.join(
+        kd.select(F.col("i").alias("j"), F.col("kdist").alias("kdist_j")),
+        "j",
+    ).select("i", "j", F.greatest("kdist_j", "dq").alias("rd"))
+    lrd = reach.groupBy("i").agg(
+        F.expr(
+            f"(1000000000000000 * {_LOF_K})"
+            f" DIV greatest(CAST(sum(rd) AS BIGINT), 1L)"
+        ).alias("lrdq")
+    )
+    lof = (
+        knn.join(
+            lrd.select(F.col("i").alias("j"), F.col("lrdq").alias("lrd_j")),
+            "j",
+        )
+        .join(lrd, "i")
+        .groupBy("i", "lrdq")
+        .agg(F.sum("lrd_j").cast("bigint").alias("slrd"))
+    )
+    score = F.col("slrd").cast("double") / (
+        _LOF_K * F.col("lrdq").cast("double")
+    )
+    return (
+        lof.select(
+            F.col("i").alias("vec_id"), F.round(score, 6).alias("lof_score")
+        )
+        .orderBy(F.col("lof_score").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "lof_embedding_plane",
+    LOF_EXACT_SQL,
     tags=("anomaly", "density", "embedding"),
 )
 def q_lof_embedding_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,34 +160,7 @@ def q_lof_embedding_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("i").orderBy("dq", "j"))
         .alias("rn"),
     ).where(F.col("rn") <= _LOF_K)
-    kd = knn.groupBy("i").agg(F.max("dq").alias("kdist"))
-    reach = knn.join(
-        kd.select(F.col("i").alias("j"), F.col("kdist").alias("kdist_j")),
-        "j",
-    ).select("i", "j", F.greatest("kdist_j", "dq").alias("rd"))
-    lrd = reach.groupBy("i").agg(
-        F.expr(
-            f"(1000000000000000 * {_LOF_K})"
-            f" DIV greatest(CAST(sum(rd) AS BIGINT), 1L)"
-        ).alias("lrdq")
-    )
-    lof = (
-        knn.join(
-            lrd.select(F.col("i").alias("j"), F.col("lrdq").alias("lrd_j")),
-            "j",
-        )
-        .join(lrd, "i")
-        .groupBy("i", "lrdq")
-        .agg(F.sum("lrd_j").cast("bigint").alias("slrd"))
-    )
-    score = F.col("slrd").cast("double") / (
-        _LOF_K * F.col("lrdq").cast("double")
-    )
-    return (
-        lof.select(F.col("i").alias("vec_id"), F.round(score, 6).alias("lof_score"))
-        .orderBy(F.col("lof_score").desc(), "vec_id")
-        .limit(10)
-    )
+    return lof_chain_from_knn(knn)
 
 
 @register(

@@ -27,7 +27,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row month-span/moments broadcasts over the dense month spine
     "bass_diffusion_fit",
     # exact all-pairs variogram estimator (LOF/ripley brute-force
-    # family; grid-cell equi-join is the documented scale path)
+    # family) -- retained as the documented exact baseline; the
+    # REGISTERED scale path is semivariogram_grid (queries_ext212),
+    # which covers both the isotropic and directional outputs
     "semivariogram_embedding",
     "semivariogram_anisotropy",
     # 1-row (xbar, mrbar) limit broadcast (ext204 X-mR chart)
@@ -450,8 +452,10 @@ ALLOWED_NESTED_LOOP = {
     "bk_bandpass_cycle",
     "g_chart_rare_events",
     "lad_median_regression",
-    # ext193: bounded-point all-pairs kNN baseline / 1-row moment
-    # broadcasts (gap burstiness)
+    # ext193: bounded-point all-pairs kNN baseline (retained as the
+    # documented exact baseline; the REGISTERED scale path is
+    # lof_grid_knn in queries_ext212 -- identical scores, grid-local
+    # kNN) / 1-row moment broadcasts (gap burstiness)
     "lof_embedding_plane",
     "burstiness_memory_gaps",
     # ext196: 6-row spec x 1-row max-month broadcast
@@ -816,6 +820,13 @@ EAGER = {
     # eager localCheckpoint of the sign-bucket table (feeds both sides
     # of the self-join; lineage would otherwise compute twice)
     "semantic_dedup_prune",
+    # ext212 grid twins: eager localCheckpoint of the cell-keyed point
+    # spine (multi-referenced: probes/build/escalation tiers) and of
+    # the exact-kNN union / md5-rank sample; the only non-equi joins
+    # inside are the documented bounded fallbacks (|esc2| x n linear
+    # scan; 128-point sample self-join, constant in SF)
+    "lof_grid_knn",
+    "semivariogram_grid",
     # CC-operator pipelines (eager pair checkpoint) + per-round
     # checkpointed peel loop
     "dbscan_grid_clusters",
