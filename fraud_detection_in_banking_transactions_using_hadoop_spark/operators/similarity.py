@@ -169,6 +169,74 @@ def fit_ivf_quantizer(
     return C
 
 
+def ivf_train_centroids(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_sample_per_cell: int = 256,
+) -> np.ndarray:
+    """The quantizer-fit half of ivf_cosine_topk, reusable on its own
+    (the incremental-index path trains once on a snapshot and FREEZES
+    the centroids): deterministic md5-bucket sample of the base,
+    driver-side seeded Lloyd. Bounded work regardless of base size."""
+    base_v = base.select(id_col, vec_col)
+    n = base_v.count()
+    n_buckets = ivf_train_bucket_count(n, n_cells, train_sample_per_cell)
+    train = base_v
+    if n_buckets is not None:
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % n_buckets
+        )
+        train = base_v.filter(bucket == 0)
+    pdf = train.sort(id_col).toPandas()
+    X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
+    return fit_ivf_quantizer(X, n_cells, seed, max_iter)
+
+
+def ivf_assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "v",
+    out_col: str = "_cell",
+) -> DataFrame:
+    """One vectorized Arrow assignment pass against a FROZEN centroid
+    list: each batch accumulates squared distance SEQUENTIALLY over the
+    dim axis (0 + z1 + z2 + ...), the exact left-to-right chain the
+    DuckDB oracle's generated SQL evaluates -- bit-identical d2 both
+    engines, argmin ties resolved to the lowest cell id via strict <.
+    This is the delta-only step of the incremental index update: cost
+    is |df| rows, never the full corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    C_list = [list(map(float, c)) for c in centroids]
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series(np.empty(0, dtype=np.int32))
+        cm = np.asarray(C_list, dtype=np.float64)
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        best = np.full(len(X), np.inf)
+        idx = np.zeros(len(X), dtype=np.int32)
+        for j in range(len(cm)):
+            d = np.zeros(len(X))
+            for t in range(X.shape[1]):
+                diff = X[:, t] - cm[j, t]
+                d += diff * diff
+            upd = d < best
+            best[upd] = d[upd]
+            idx[upd] = j
+        return pd.Series(idx)
+
+    return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
 def ivf_cosine_topk(
     base: DataFrame,
     queries: DataFrame,
@@ -217,58 +285,20 @@ def ivf_cosine_topk(
     stability but unused by the numpy fit (seeded random init is the
     quantizer-grade choice; see FAISS).
     """
-    from pyspark.sql.functions import pandas_udf
-
     base_v = base.select(id_col, vec_col)
-    n = base_v.count()
-    n_buckets = ivf_train_bucket_count(n, n_cells, train_sample_per_cell)
-    train = base_v
-    if n_buckets is not None:
-        # keep ~target rows: md5-bucket the id into [0, n/target) and
-        # take bucket 0 -- deterministic under repartitioning
-        bucket = (
-            F.conv(
-                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-            ).cast("bigint")
-            % n_buckets
-        )
-        train = base_v.filter(bucket == 0)
-
-    # ---- driver-side Lloyd on the bounded sample (sorted for determinism)
-    pdf = train.sort(id_col).toPandas()
-    X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
-    C = fit_ivf_quantizer(X, n_cells, seed, max_iter)
-
-    # ---- distributed assignment: one map pass, numpy argmin per Arrow batch
-    C_list = C.tolist()
-
-    @pandas_udf("int")
-    def _assign(vecs: pd.Series) -> pd.Series:
-        # vectorized over the Arrow batch: k x dim passes of batch-wide
-        # elementwise ops instead of a per-row Python loop. The squared
-        # distance accumulates SEQUENTIALLY over the dim axis
-        # (0 + z1 + z2 + ...), the exact left-to-right chain the DuckDB
-        # oracle's generated SQL evaluates -- bit-identical d2 on both
-        # engines, so cell assignments (incl. argmin tie-breaks via
-        # strict <, i.e. lowest cell id wins) can never diverge on
-        # near-ties, batch composition notwithstanding.
-        if len(vecs) == 0:
-            return pd.Series(np.empty(0, dtype=np.int32))
-        cm = np.asarray(C_list, dtype=np.float64)  # (k, dim)
-        X = np.stack(vecs.to_numpy()).astype(np.float64)  # (batch, dim)
-        best = np.full(len(X), np.inf)
-        idx = np.zeros(len(X), dtype=np.int32)
-        for j in range(len(cm)):
-            d = np.zeros(len(X))
-            for t in range(X.shape[1]):
-                diff = X[:, t] - cm[j, t]
-                d += diff * diff
-            upd = d < best
-            best[upd] = d[upd]
-            idx[upd] = j
-        return pd.Series(idx)
-
-    assigned = base_v.withColumn("_cell", _assign(F.col(vec_col)))
+    # ---- deterministic md5-bucket sample + driver-side Lloyd, then one
+    # vectorized Arrow assignment pass (both shared with the
+    # incremental-index path; parity notes on the helpers)
+    C = ivf_train_centroids(
+        base_v,
+        id_col,
+        vec_col,
+        n_cells=n_cells,
+        seed=seed,
+        max_iter=max_iter,
+        train_sample_per_cell=train_sample_per_cell,
+    )
+    assigned = ivf_assign_cells(base_v, C.tolist(), vec_col)
 
     # Rank each query's cells by centroid distance; probe the top n_probe.
     centroids = [(i, [float(x) for x in C[i]]) for i in range(len(C))]

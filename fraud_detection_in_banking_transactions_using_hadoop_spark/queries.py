@@ -283,6 +283,7 @@ def registry() -> list[Query]:
         queries_ext210,
         queries_ext211,
         queries_ext212,
+        queries_ext213,
         queries_feat,
         queries_funcs,
         queries_funcs2,

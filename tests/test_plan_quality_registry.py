@@ -814,6 +814,10 @@ EAGER = {
     "streaming_outer_join_replay",
     "minhash_lsh_pairs", "minhash_shingle_pairs", "dedup_clusters",
     "pagerank_sim_graph", "ann_ivf_topk", "incremental_watermark",
+    # ext213: driver-side quantizer fit + eager state checkpoint (the
+    # persisted-index stand-in); the only cross joins are 1-row
+    # total/drift broadcasts over the 8-row cell spine
+    "incremental_ivf_update",
     "triangle_counts", "label_propagation", "min_plus_shortest_paths",
     "streaming_cms_replay",
     "streaming_sprt_replay",
