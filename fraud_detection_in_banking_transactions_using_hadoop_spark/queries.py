@@ -284,6 +284,7 @@ def registry() -> list[Query]:
         queries_ext211,
         queries_ext212,
         queries_ext213,
+        queries_ext214,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -49,6 +49,8 @@ SF_LARGE = os.environ.get("SPARK_GRAFT_GROWTH_LARGE", "/root/testdata/sf0.1")
 # post-LIMIT outputs, fixed grids
 STRUCTURAL = {
     "gini_coefficient": 64,
+    # ext214: rank window input is the post-LIMIT K-row KMV sample
+    "quantile_sketch_deciles": 1024,
     "lorenz_curve": 74,
     "quantile_binning": 64,
     "lift_gains_table": 74,

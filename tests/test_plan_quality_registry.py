@@ -48,6 +48,9 @@ ALLOWED_NESTED_LOOP = {
     "qini_uplift_deciles",
     "chain_ladder_ultimates",
     "bornhuetter_ferguson_reserves",
+    # ext214: 1-row sample-size broadcast + 9-row decile-estimate
+    # broadcast against the fact scan (map-side conditional counts)
+    "quantile_sketch_deciles",
     # 1-row pair-count marginal broadcasts (ext117 agreement metrics)
     "adjusted_rand_index",
     "fowlkes_mallows",
@@ -590,6 +593,8 @@ ALLOWED_GLOBAL_WINDOW = {
     # operators/rank two-level ranking: B-row bucket-count offset table
     # (+ 10-row decile summary for the ntile queries)
     "gini_coefficient": "B-row bucket offsets",
+    # ext214: rank window over the post-LIMIT K=1024 sketch sample
+    "quantile_sketch_deciles": "post-LIMIT 1024-row KMV sample",
     "lorenz_curve": "B-row bucket offsets + 10-row decile summary",
     "quantile_binning": "B-row bucket offsets",
     "lift_gains_table": "B-row bucket offsets + 10-row decile summary",
@@ -821,6 +826,8 @@ EAGER = {
     "triangle_counts", "label_propagation", "min_plus_shortest_paths",
     "streaming_cms_replay",
     "streaming_sprt_replay",
+    # live streaming replay (min-K monoid bottom-K quantile sketch)
+    "streaming_bottomk_quantile_replay",
     # eager localCheckpoint of the sign-bucket table (feeds both sides
     # of the self-join; lineage would otherwise compute twice)
     "semantic_dedup_prune",
