@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.fold import collect_nonempty
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -333,7 +334,7 @@ def q_bradley_terry_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = mrev.alias("a")
     b = mrev.alias("b")
-    games = (
+    games_df = (
         a.join(
             b,
             (F.col("a.m") == F.col("b.m"))
@@ -349,68 +350,55 @@ def q_bradley_terry_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_wins"),
         )
-        .localCheckpoint(eager=True)
     )
-    wins = (
-        games.groupBy(F.col("i").alias("nation"))
-        .agg(F.sum("n_wins").cast("bigint").alias("wins"))
-        .localCheckpoint(eager=True)
-    )
-    pi = wins.select("nation", F.lit(1.0).alias("pi")).localCheckpoint(
-        eager=True
-    )
+
+    # --- bounded-state driver fold (r9, closes the COVERAGE.md
+    # reclassification item): per-round state is the 25-entry strength
+    # vector and the input the <=600-cell game table, both O(1), so the
+    # three MM rounds fold driver-side. Contrary to the r8 negative
+    # note, the engine formulation is NOT order-sensitive: the only
+    # cross-term sums are over e12/e9-quantized INTEGERS (t_e12,
+    # tot_e9), and every double op below mirrors the SQL text
+    # left-to-right on exact inputs (den_e12 < 2^53, tot_e9 < 2^53), so
+    # Python IEEE doubles reproduce the engine rounds bit-for-bit --
+    # pinned by test_ext150_invariants.test_bt_fold_matches_engine_rounds.
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    games = collect_nonempty(games_df, "bradley-terry game table")
+    wins: dict[int, int] = {}
+    for r in games:
+        wins[r["i"]] = wins.get(r["i"], 0) + r["n_wins"]
+    pi = {n: 1.0 for n in wins}
     for _ in range(_BT_ROUNDS):
-        pa = pi.select(F.col("nation").alias("i"), F.col("pi").alias("pi_i"))
-        pb = pi.select(F.col("nation").alias("j"), F.col("pi").alias("pi_j"))
-        den = (
-            games.join(F.broadcast(pa), "i")
-            .join(F.broadcast(pb), "j")
-            .select(
-                "i",
-                F.floor(
-                    F.col("n_games").cast("double")
-                    / (F.col("pi_i") + F.col("pi_j"))
-                    * 1e12
-                    + 0.5
+        den_e12: dict[int, int] = {}
+        for r in games:
+            i, j = r["i"], r["j"]
+            if i in pi and j in pi:
+                t = math.floor(
+                    float(r["n_games"]) / (pi[i] + pi[j]) * 1e12 + 0.5
                 )
-                .cast("bigint")
-                .alias("t_e12"),
-            )
-            .groupBy("i")
-            .agg(F.sum("t_e12").cast(_DEC).alias("den_e12"))
+                den_e12[i] = den_e12.get(i, 0) + t
+        pi_raw = {
+            n: float(wins[n]) / (float(den_e12[n]) / 1e12) for n in den_e12
+        }
+        tot_e9 = sum(
+            int(math.floor(v * 1e9 + 0.5)) for v in pi_raw.values()
         )
-        upd = wins.join(
-            den, wins.nation == den.i
-        ).select(
-            "nation",
-            (
-                F.col("wins").cast("double")
-                / (F.col("den_e12").cast("double") / 1e12)
-            ).alias("pi_raw"),
+        pi = {
+            n: v * 25.0 / (float(tot_e9) / 1e9) for n, v in pi_raw.items()
+        }
+
+    def _round6(x: float) -> float:
+        # Spark's round(): HALF_UP on the shortest decimal repr
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
         )
-        tot = upd.agg(
-            F.sum(F.floor(F.col("pi_raw") * 1e9 + 0.5).cast("bigint"))
-            .cast(_DEC)
-            .alias("tot_e9")
-        )
-        pi = (
-            upd.crossJoin(F.broadcast(tot))
-            .select(
-                "nation",
-                (
-                    F.col("pi_raw")
-                    * 25.0
-                    / (F.col("tot_e9").cast("double") / 1e9)
-                ).alias("pi"),
-            )
-            .localCheckpoint(eager=True)
-        )
+
+    rows = [(n, wins[n], _round6(pi[n])) for n in pi]
     return (
-        pi.join(wins, "nation")
-        .select(
-            "nation",
-            F.col("wins").alias("total_wins"),
-            F.round(F.col("pi"), 6).alias("bt_strength"),
+        spark.createDataFrame(
+            rows, "nation int, total_wins long, bt_strength double"
         )
         .orderBy(F.col("bt_strength").desc(), "nation")
     )

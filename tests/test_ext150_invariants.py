@@ -170,3 +170,115 @@ def test_bt_recovers_a_planted_hierarchy():
         tot = sum(raw.values())
         pi = {n: raw[n] * 3 / tot for n in "abc"}
     assert pi["a"] > pi["b"] > pi["c"]
+
+
+def test_bt_fold_matches_engine_rounds(spark, sf_dir):
+    """r9 reclassification proof: the driver fold's three MM rounds
+    must equal the ENGINE-side evaluation (the pre-r9 formulation:
+    per-pair e12 quantization summed in an aggregate, doubles between
+    rounds) bit-for-bit -- the r8 COVERAGE note claimed order
+    sensitivity; this pins the counter-claim that all cross-term sums
+    are integer sums and hence order-free."""
+    from pyspark.sql import functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    mrev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("rev")
+        )
+    )
+    a, b = mrev.alias("a"), mrev.alias("b")
+    games = (
+        a.join(
+            b,
+            (F.col("a.m") == F.col("b.m"))
+            & (F.col("a.nation") != F.col("b.nation"))
+            & (F.col("a.rev") != F.col("b.rev")),
+        )
+        .groupBy(F.col("a.nation").alias("i"), F.col("b.nation").alias("j"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_games"),
+            F.sum(F.when(F.col("a.rev") > F.col("b.rev"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_wins"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wins = (
+        games.groupBy(F.col("i").alias("nation"))
+        .agg(F.sum("n_wins").cast("bigint").alias("wins"))
+        .localCheckpoint(eager=True)
+    )
+    pi = wins.select("nation", F.lit(1.0).alias("pi")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(_BT_ROUNDS):
+        pa = pi.select(F.col("nation").alias("i"), F.col("pi").alias("pi_i"))
+        pb = pi.select(F.col("nation").alias("j"), F.col("pi").alias("pi_j"))
+        den = (
+            games.join(F.broadcast(pa), "i")
+            .join(F.broadcast(pb), "j")
+            .select(
+                "i",
+                F.floor(
+                    F.col("n_games").cast("double")
+                    / (F.col("pi_i") + F.col("pi_j"))
+                    * 1e12
+                    + 0.5
+                )
+                .cast("bigint")
+                .alias("t_e12"),
+            )
+            .groupBy("i")
+            .agg(F.sum("t_e12").cast("decimal(38,0)").alias("den_e12"))
+        )
+        upd = wins.join(den, wins.nation == den.i).select(
+            "nation",
+            (
+                F.col("wins").cast("double")
+                / (F.col("den_e12").cast("double") / 1e12)
+            ).alias("pi_raw"),
+        )
+        tot = upd.agg(
+            F.sum(F.floor(F.col("pi_raw") * 1e9 + 0.5).cast("bigint"))
+            .cast("decimal(38,0)")
+            .alias("tot_e9")
+        )
+        pi = (
+            upd.crossJoin(F.broadcast(tot))
+            .select(
+                "nation",
+                (
+                    F.col("pi_raw")
+                    * 25.0
+                    / (F.col("tot_e9").cast("double") / 1e9)
+                ).alias("pi"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    engine = {
+        r["nation"]: (r["wins"], r["bt_strength"])
+        for r in pi.join(wins, "nation")
+        .select(
+            "nation", "wins", F.round(F.col("pi"), 6).alias("bt_strength")
+        )
+        .collect()
+    }
+    fold = {
+        r["nation"]: r
+        for r in q_bradley_terry_nations(spark, sf_dir).collect()
+    }
+    assert set(engine) == set(fold)
+    for n, (w, p_engine) in engine.items():
+        assert fold[n]["total_wins"] == w
+        # BIT-FOR-BIT: engine-side round(6) of the engine rounds equals
+        # the fold's HALF-UP-on-shortest-repr mirror exactly
+        assert fold[n]["bt_strength"] == p_engine
