@@ -285,6 +285,7 @@ def registry() -> list[Query]:
         queries_ext212,
         queries_ext213,
         queries_ext214,
+        queries_ext215,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -70,38 +70,30 @@ _DQ_EXPR = (
 )
 
 
-def _top_k(cand: DataFrame) -> DataFrame:
+def _top_k(cand: DataFrame, k: int) -> DataFrame:
     """Per-i (dq, j)-ordered top-k of a candidate frame (i, j, dq)."""
     w = Window.partitionBy("i").orderBy("dq", "j")
     return cand.select("*", F.row_number().over(w).alias("rn")).where(
-        F.col("rn") <= _K
+        F.col("rn") <= k
     )
 
 
-@register(
-    "lof_grid_knn",
-    LOF_EXACT_SQL,
-    tags=("anomaly", "density", "embedding", "grid-join", "scale-path"),
-)
-def q_lof_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grid-cell LOF: same scores as lof_embedding_plane (the oracle is
-    literally the same exact-SQL text) but the kNN search is local.
-    Tier 1: candidates from the 3x3 cell neighborhood (cell c=0.05);
-    a point whose k-th candidate lies strictly inside c is provably
-    done -- any point outside the neighborhood is > c away. Tier 2
-    (5x5, threshold 2c) catches sparse cells; tier 3 scans the
-    remaining handful of points against everything (broadcast, linear).
-    The union is the exact global kNN, so the shared LOF chain yields
-    bit-identical scores."""
-    pts = (
-        _lof_points(spark, sf_dir)
-        .select(
-            "*",
-            F.floor(F.col("px") / _CELL).cast("bigint").alias("cx"),
-            F.floor(F.col("py") / _CELL).cast("bigint").alias("cy"),
-        )
-        .localCheckpoint(eager=True)
-    )
+def grid_exact_knn(
+    points: DataFrame, k: int, cell: float, cell_q: int
+) -> DataFrame:
+    """PROVABLY-EXACT k-nearest-neighbors over a (vec_id, px, py) frame
+    via 3-tier grid-cell search (the scale path for every all-pairs kNN
+    consumer -- LOF, Clark-Evans, ...). Returns (i, j, dq, rn<=k) with
+    dq the e9-quantized distance and (dq, j) tie order -- identical to
+    the brute-force kNN by the cell-gap argument in the module
+    docstring. `cell_q` must be round(1e9 * cell)."""
+    pts = points.select(
+        "vec_id",
+        "px",
+        "py",
+        F.floor(F.col("px") / cell).cast("bigint").alias("cx"),
+        F.floor(F.col("py") / cell).cast("bigint").alias("cy"),
+    ).localCheckpoint(eager=True)
     build = pts.select(
         F.col("vec_id").alias("j"),
         F.col("px").alias("bx"),
@@ -144,18 +136,18 @@ def q_lof_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("i") != F.col("j"))
             .select("i", "j", F.expr(_DQ_EXPR).alias("dq"))
         )
-        top = _top_k(cand)
+        top = _top_k(cand, k)
         ok = (
             top.groupBy("i")
             .agg(F.max("dq").alias("kth"), F.count(F.lit(1)).alias("cnt"))
-            .where((F.col("cnt") == _K) & (F.col("kth") < thresh))
+            .where((F.col("cnt") == k) & (F.col("kth") < thresh))
             .select("i")
         )
         return top.join(ok, "i").select("i", "j", "dq", "rn"), ok
 
-    knn1, ok1 = tier(pts, 1, _CQ)
+    knn1, ok1 = tier(pts, 1, cell_q)
     esc1 = pts.join(ok1.select(F.col("i").alias("vec_id")), "vec_id", "left_anti")
-    knn2, ok2 = tier(esc1, 2, 2 * _CQ)
+    knn2, ok2 = tier(esc1, 2, 2 * cell_q)
     esc2 = esc1.join(ok2.select(F.col("i").alias("vec_id")), "vec_id", "left_anti")
     # Tier 3: residual fallback -- broadcast the (tiny, usually empty)
     # escalation set against all points; |esc2| * n is linear in n.
@@ -170,12 +162,30 @@ def q_lof_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(build, F.col("i") != F.col("j"))
         .select("i", "j", F.expr(_DQ_EXPR).alias("dq"))
     )
-    knn3 = _top_k(cand3).select("i", "j", "dq", "rn")
-    knn = (
+    knn3 = _top_k(cand3, k).select("i", "j", "dq", "rn")
+    return (
         knn1.unionByName(knn2)
         .unionByName(knn3)
         .localCheckpoint(eager=True)
     )
+
+
+@register(
+    "lof_grid_knn",
+    LOF_EXACT_SQL,
+    tags=("anomaly", "density", "embedding", "grid-join", "scale-path"),
+)
+def q_lof_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell LOF: same scores as lof_embedding_plane (the oracle is
+    literally the same exact-SQL text) but the kNN search is local.
+    Tier 1: candidates from the 3x3 cell neighborhood (cell c=0.05);
+    a point whose k-th candidate lies strictly inside c is provably
+    done -- any point outside the neighborhood is > c away. Tier 2
+    (5x5, threshold 2c) catches sparse cells; tier 3 scans the
+    remaining handful of points against everything (broadcast, linear).
+    The union is the exact global kNN, so the shared LOF chain yields
+    bit-identical scores."""
+    knn = grid_exact_knn(_lof_points(spark, sf_dir), _K, _CELL, _CQ)
     return lof_chain_from_knn(knn)
 
 

@@ -148,6 +148,9 @@ STRUCTURAL_PROBED = {
 # name -> probe key (shared probes measured once per sf)
 CALENDAR = {
     "autocorr_daily_revenue": "orders_days",
+    "mase_smape_backtest": "orders_days",
+    "sn_scale_daily": "orders_days",
+    "newsvendor_critical_fractile": "lineitem_ship_days",
     "cusum_drift_detection": "orders_days",
     "rolling_correlation": "orders_days",
     "runs_test_randomness": "orders_days",
@@ -293,6 +296,7 @@ PROBES = {
         " // 65536) FROM orders"
     ),
     "orders_days": "SELECT count(DISTINCT o_orderdate) FROM orders",
+    "lineitem_ship_days": "SELECT count(DISTINCT l_shipdate) FROM lineitem",
     "gap_div32_buckets": """
         SELECT count(DISTINCT g // 4294967296) FROM (
           SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
@@ -395,6 +399,8 @@ def test_structural_probed_bounds_hold(measured):
 # instead of implicit.
 CALENDAR_DAY_CAPS = {
     "orders_days": 9200,
+    # ship dates trail order dates by <= 122 days in TPC-H-style gens
+    "lineitem_ship_days": 9400,
     "orders_months": 310,
     "events_days": 9200,
     "walsh_sums": 9200 * 9201 // 2,
@@ -440,6 +446,15 @@ def test_calendar_probes_widened_domain():
         SELECT TIMESTAMP '2005-01-01 00:00:00'
                  + INTERVAL (i) DAY + INTERVAL (r * 3600) SECOND AS ts,
                CAST((i * 13 + r) % 50000 AS DOUBLE) / 100 AS value
+        FROM (SELECT unnest(range({days})) AS i),
+             (SELECT unnest(range(4)) AS r)
+        """
+    )
+    con.execute(
+        f"""
+        CREATE VIEW lineitem AS
+        SELECT DATE '2005-01-01' + INTERVAL (i) DAY AS l_shipdate,
+               CAST(1 + (i * 31 + r) % 50 AS DOUBLE) AS l_quantity
         FROM (SELECT unnest(range({days})) AS i),
              (SELECT unnest(range(4)) AS r)
         """

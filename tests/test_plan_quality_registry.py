@@ -75,6 +75,14 @@ ALLOWED_NESTED_LOOP = {
     "activity_shift_ratio",
     # bounded 20-anchor broadcast cross join (ann_cosine baseline family)
     "hard_negative_mining",
+    # ext215: 5-anchor broadcast cross join (ann_cosine baseline
+    # family) scoring NDCG over the corpus
+    "ndcg_at_k",
+    # ext215: 1-row policy (q*, mean) broadcast onto the day spine
+    "newsvendor_critical_fractile",
+    # ext215: calendar-bounded |days|^2 pair join (qn/hodges_lehmann
+    # precedent) + 1-row order-stat-k broadcasts
+    "sn_scale_daily",
     "mean_reciprocal_rank",
     "precision_at_k_labels",
     # bounded 20/50-anchor joins (ext146 representation diagnostics)
@@ -600,6 +608,12 @@ ALLOWED_GLOBAL_WINDOW = {
     "lift_gains_table": "B-row bucket offsets + 10-row decile summary",
     "qini_uplift_deciles": "B-row bucket offsets + 10-row decile summary",
     "xmr_individuals_chart": "daily revenue series (lag spine)",
+    # ext215: lag-7/lag-1 over the daily revenue series
+    "mase_smape_backtest": "daily revenue series (lag spine)",
+    # ext215: demand rank over the ship-day spine
+    "newsvendor_critical_fractile": "ship-day demand rank spine",
+    # ext215: day-spine row ids + rank over the n per-day himeds
+    "sn_scale_daily": "daily spine ranks (n rows, 2 passes)",
     "bollinger_bands_daily": "daily revenue series (20-row frame)",
     "rsi_wilder_daily": "365-day delta series -> 1-row array fold",
     "macd_crossover_daily": "365-day series -> 1-row array fold",
@@ -831,6 +845,11 @@ EAGER = {
     # eager localCheckpoint of the sign-bucket table (feeds both sides
     # of the self-join; lineage would otherwise compute twice)
     "semantic_dedup_prune",
+    # ext215: grid_exact_knn (k=1) eager checkpoint feeding Clark-Evans
+    "clark_evans_nn_index",
+    # ext215: persisted weighted edge table + top-100 checkpoint (the
+    # adamic_adar contract)
+    "resource_allocation_linkpred",
     # ext212 grid twins: eager localCheckpoint of the cell-keyed point
     # spine (multi-referenced: probes/build/escalation tiers) and of
     # the exact-kNN union / md5-rank sample; the only non-equi joins
