@@ -286,6 +286,7 @@ def registry() -> list[Query]:
         queries_ext213,
         queries_ext214,
         queries_ext215,
+        queries_ext216,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -842,6 +842,8 @@ EAGER = {
     "streaming_sprt_replay",
     # live streaming replay (min-K monoid bottom-K quantile sketch)
     "streaming_bottomk_quantile_replay",
+    # live streaming replay (DGIM bucket-list carried state)
+    "streaming_dgim_replay",
     # eager localCheckpoint of the sign-bucket table (feeds both sides
     # of the self-join; lineage would otherwise compute twice)
     "semantic_dedup_prune",
