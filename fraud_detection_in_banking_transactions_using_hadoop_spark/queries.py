@@ -287,6 +287,7 @@ def registry() -> list[Query]:
         queries_ext214,
         queries_ext215,
         queries_ext216,
+        queries_ext217,
         queries_feat,
         queries_funcs,
         queries_funcs2,

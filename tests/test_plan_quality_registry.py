@@ -51,6 +51,9 @@ ALLOWED_NESTED_LOOP = {
     # ext214: 1-row sample-size broadcast + 9-row decile-estimate
     # broadcast against the fact scan (map-side conditional counts)
     "quantile_sketch_deciles",
+    # ext217: 1-row ybar/tau2 broadcasts over the 25-nation effect
+    # frame (two-pass DL moments)
+    "meta_analysis_dl",
     # 1-row pair-count marginal broadcasts (ext117 agreement metrics)
     "adjusted_rand_index",
     "fowlkes_mallows",
@@ -610,6 +613,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "xmr_individuals_chart": "daily revenue series (lag spine)",
     # ext215: lag-7/lag-1 over the daily revenue series
     "mase_smape_backtest": "daily revenue series (lag spine)",
+    # ext217: running max/min + harmonic ordinals over the day spine
+    "record_values_test": "daily revenue series (running extrema)",
     # ext215: demand rank over the ship-day spine
     "newsvendor_critical_fractile": "ship-day demand rank spine",
     # ext215: day-spine row ids + rank over the n per-day himeds
