@@ -39,7 +39,7 @@ _DCG_TERM = (
 
 
 @register(
-    "ndcg_at_k",
+    "ndcg_graded_at_k",
     f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS lq

@@ -32,7 +32,7 @@ def _daily_rev(spark, sf_dir):
 
 
 def test_ndcg_bounds_and_idcg_dominates(spark, sf_dir):
-    rows = _Q["ndcg_at_k"](spark, sf_dir).collect()
+    rows = _Q["ndcg_graded_at_k"](spark, sf_dir).collect()
     assert len(rows) == 5
     for r in rows:
         assert r["dcg_e9"] <= r["idcg_e9"]  # ideal ranking dominates
@@ -45,7 +45,7 @@ def test_ndcg_idcg_matches_python_rederivation(spark, sf_dir):
         r["vec_id"]: (list(r["embedding"]), r["label"])
         for r in read_table(spark, sf_dir, "embeddings").collect()
     }
-    got = {r["query_id"]: r for r in _Q["ndcg_at_k"](spark, sf_dir).collect()}
+    got = {r["query_id"]: r for r in _Q["ndcg_graded_at_k"](spark, sf_dir).collect()}
     for qid in range(5):
         _, lq = emb[qid]
         rels = sorted(

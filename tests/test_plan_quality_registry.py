@@ -79,8 +79,8 @@ ALLOWED_NESTED_LOOP = {
     # bounded 20-anchor broadcast cross join (ann_cosine baseline family)
     "hard_negative_mining",
     # ext215: 5-anchor broadcast cross join (ann_cosine baseline
-    # family) scoring NDCG over the corpus
-    "ndcg_at_k",
+    # family) scoring graded NDCG over the corpus
+    "ndcg_graded_at_k",
     # ext215: 1-row policy (q*, mean) broadcast onto the day spine
     "newsvendor_critical_fractile",
     # ext215: calendar-bounded |days|^2 pair join (qn/hodges_lehmann
