@@ -1,6 +1,7 @@
-"""Extension batch 217 (round 9): records theory, Luhn card
-validation, Hill-number diversity, DerSimonian-Laird random-effects
-meta-analysis, and non-preemptive priority-queue waits.
+"""Extension batch 217 (round 9): Luhn card validation, Hill-number
+diversity, DerSimonian-Laird random-effects meta-analysis, and
+non-preemptive priority-queue waits. (A records test was drafted here
+and dropped: ext89's record_counts_test already covers the law.)
 
 Parity disciplines: every cross-row float term (harmonic/entropy/
 meta-analysis weights) quantizes to an exact integer before summing;
@@ -11,107 +12,13 @@ formulas share op order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
 _RHO = 0.85  # engineered utilization for the priority-queue read
-
-
-@register(
-    "record_values_test",
-    """
-    WITH daily AS (
-      SELECT o_orderdate AS d,
-             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
-                  AS BIGINT) AS r
-      FROM orders GROUP BY o_orderdate),
-    s AS (
-      SELECT r,
-             CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
-             max(r) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx,
-             min(r) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mn
-      FROM daily),
-    agg AS (
-      SELECT CAST(count(*) AS BIGINT) AS n,
-             CAST(sum(CASE WHEN mx IS NULL OR r > mx THEN 1 ELSE 0 END)
-                  AS BIGINT) AS up,
-             CAST(sum(CASE WHEN mn IS NULL OR r < mn THEN 1 ELSE 0 END)
-                  AS BIGINT) AS dn,
-             CAST(sum(CAST(round(1.0e12 / k, 0) AS BIGINT)) AS BIGINT)
-               AS h1_e12,
-             CAST(sum(CAST(round(1.0e12 / (k * k), 0) AS BIGINT))
-                  AS BIGINT) AS h2_e12
-      FROM s)
-    SELECT n AS n_days, up AS n_upper_records, dn AS n_lower_records,
-           round(CAST(h1_e12 AS DOUBLE) / 1e12, 6) AS expected_records,
-           round((up - CAST(h1_e12 AS DOUBLE) / 1e12)
-                 / sqrt(CAST(h1_e12 - h2_e12 AS DOUBLE) / 1e12), 6) + 0.0
-             AS z_upper,
-           round((dn - CAST(h1_e12 AS DOUBLE) / 1e12)
-                 / sqrt(CAST(h1_e12 - h2_e12 AS DOUBLE) / 1e12), 6) + 0.0
-             AS z_lower
-    FROM agg
-    """,
-    tags=("stats", "records", "randomness", "exact-arith"),
-)
-def q_record_values_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Records test of the daily revenue series: under exchangeability
-    the count of upper (lower) records is sum 1/k with variance
-    H_n - H_n^(2) -- too many records = trend, too few = mean
-    reversion. Record indicators come off the running-max/min spine;
-    the harmonic sums quantize each 1/k term to an e12 integer
-    (order-free) and the z-scores divide once."""
-    daily = read_table(spark, sf_dir, "orders").groupBy(
-        F.col("o_orderdate").alias("d")
-    ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
-        .cast("bigint")
-        .alias("r")
-    )
-    w = Window.orderBy("d")
-    wp = w.rowsBetween(Window.unboundedPreceding, -1)
-    s = daily.select(
-        "r",
-        F.row_number().over(w).cast("bigint").alias("k"),
-        F.max("r").over(wp).alias("mx"),
-        F.min("r").over(wp).alias("mn"),
-    )
-    agg = s.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(
-            F.when(F.col("mx").isNull() | (F.col("r") > F.col("mx")), 1)
-            .otherwise(0)
-        )
-        .cast("bigint")
-        .alias("up"),
-        F.sum(
-            F.when(F.col("mn").isNull() | (F.col("r") < F.col("mn")), 1)
-            .otherwise(0)
-        )
-        .cast("bigint")
-        .alias("dn"),
-        F.sum(F.expr("CAST(round(1.0e12 / k, 0) AS BIGINT)"))
-        .cast("bigint")
-        .alias("h1_e12"),
-        F.sum(F.expr("CAST(round(1.0e12 / (k * k), 0) AS BIGINT)"))
-        .cast("bigint")
-        .alias("h2_e12"),
-    )
-    e = F.col("h1_e12").cast("double") / 1e12
-    sd = F.sqrt((F.col("h1_e12") - F.col("h2_e12")).cast("double") / 1e12)
-    return agg.select(
-        F.col("n").alias("n_days"),
-        F.col("up").alias("n_upper_records"),
-        F.col("dn").alias("n_lower_records"),
-        F.round(e, 6).alias("expected_records"),
-        (F.round((F.col("up") - e) / sd, 6) + F.lit(0.0)).alias("z_upper"),
-        (F.round((F.col("dn") - e) / sd, 6) + F.lit(0.0)).alias("z_lower"),
-    )
 
 
 @register(

@@ -1,5 +1,4 @@
-"""Re-derivations for ext217: records law on a planted monotone
-series, Luhn against a hand-checked vector + pure-python mirror, Hill
+"""Re-derivations for ext217: Luhn against a hand-checked vector + pure-python mirror, Hill
 ordering laws, DL meta-analysis moments in numpy, and the Cobham
 priority-wait identities."""
 
@@ -14,38 +13,6 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import r
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
 _Q = {q.name: q.fn for q in registry()}
-
-
-def test_records_counts_match_python(spark, sf_dir):
-    rows = (
-        read_table(spark, sf_dir, "orders")
-        .groupBy("o_orderdate")
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
-            .cast("bigint")
-            .alias("r")
-        )
-        .collect()
-    )
-    seq = [r["r"] for r in sorted(rows, key=lambda x: x["o_orderdate"])]
-    up = dn = 0
-    mx, mn = None, None
-    for v in seq:
-        if mx is None or v > mx:
-            up += 1
-        if mn is None or v < mn:
-            dn += 1
-        mx = v if mx is None else max(mx, v)
-        mn = v if mn is None else min(mn, v)
-    n = len(seq)
-    h1 = sum(math.floor(1.0e12 / k + 0.5) for k in range(1, n + 1))
-    row = _Q["record_values_test"](spark, sf_dir).first()
-    assert row["n_days"] == n
-    assert row["n_upper_records"] == up
-    assert row["n_lower_records"] == dn
-    assert row["expected_records"] == pytest.approx(h1 / 1e12, abs=1e-6)
-    # a strictly increasing series would have n records: sanity of the law
-    assert up < n and dn < n
 
 
 def test_luhn_known_vectors_and_python_mirror(spark, sf_dir):

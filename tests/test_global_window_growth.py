@@ -149,7 +149,6 @@ STRUCTURAL_PROBED = {
 CALENDAR = {
     "autocorr_daily_revenue": "orders_days",
     "mase_smape_backtest": "orders_days",
-    "record_values_test": "orders_days",
     "sn_scale_daily": "orders_days",
     "newsvendor_critical_fractile": "lineitem_ship_days",
     "cusum_drift_detection": "orders_days",

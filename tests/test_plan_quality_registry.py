@@ -613,8 +613,6 @@ ALLOWED_GLOBAL_WINDOW = {
     "xmr_individuals_chart": "daily revenue series (lag spine)",
     # ext215: lag-7/lag-1 over the daily revenue series
     "mase_smape_backtest": "daily revenue series (lag spine)",
-    # ext217: running max/min + harmonic ordinals over the day spine
-    "record_values_test": "daily revenue series (running extrema)",
     # ext215: demand rank over the ship-day spine
     "newsvendor_critical_fractile": "ship-day demand rank spine",
     # ext215: day-spine row ids + rank over the n per-day himeds
