@@ -288,6 +288,7 @@ def registry() -> list[Query]:
         queries_ext215,
         queries_ext216,
         queries_ext217,
+        queries_ext218,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -852,6 +852,10 @@ EAGER = {
     "semantic_dedup_prune",
     # ext215: grid_exact_knn (k=1) eager checkpoint feeding Clark-Evans
     "clark_evans_nn_index",
+    # ext218: bounded driver folds (64-cell assignment matrix;
+    # per-round peeled edge checkpoints)
+    "optimal_assignment_volume",
+    "ktruss_membership",
     # ext215: persisted weighted edge table + top-100 checkpoint (the
     # adamic_adar contract)
     "resource_allocation_linkpred",
