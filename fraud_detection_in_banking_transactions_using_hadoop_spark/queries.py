@@ -289,6 +289,7 @@ def registry() -> list[Query]:
         queries_ext216,
         queries_ext217,
         queries_ext218,
+        queries_ext219,
         queries_feat,
         queries_funcs,
         queries_funcs2,

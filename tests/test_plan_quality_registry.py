@@ -54,6 +54,8 @@ ALLOWED_NESTED_LOOP = {
     # ext217: 1-row ybar/tau2 broadcasts over the 25-nation effect
     # frame (two-pass DL moments)
     "meta_analysis_dl",
+    # ext219: 1-row pair-stats broadcast onto the post-LIMIT top-10
+    "split_transaction_reconstruction",
     # 1-row pair-count marginal broadcasts (ext117 agreement metrics)
     "adjusted_rand_index",
     "fowlkes_mallows",
@@ -847,6 +849,8 @@ EAGER = {
     "streaming_bottomk_quantile_replay",
     # live streaming replay (DGIM bucket-list carried state)
     "streaming_dgim_replay",
+    # live streaming replay (per-user last-event boundary stitching)
+    "streaming_transition_replay",
     # eager localCheckpoint of the sign-bucket table (feeds both sides
     # of the self-join; lineage would otherwise compute twice)
     "semantic_dedup_prune",
