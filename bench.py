@@ -80,6 +80,11 @@ HEADLINE = [
     # round-7 flagship operators
     "multimodal_jpeg_stats",  # real baseline-JFIF codec, lossy error oracled
     "bpe_merge_training",  # in-engine tokenizer training (5 merge rounds)
+    # round-9 flagship operators
+    "lof_grid_knn",  # provably-exact grid-cell kNN (the all-pairs scale fix)
+    "semivariogram_grid",  # exact near-field cell join + md5-rank far sample
+    "quantile_sketch_deciles",  # KMV bottom-K mergeable quantile sketch
+    "incremental_ivf_update",  # frozen-quantizer delta assignment + drift
 ]
 
 

@@ -1456,3 +1456,134 @@ def decode_jpeg(data):
             p = (rsum + (1 << (sh - 1)) + (_JPEG_POFF << sh)) // (1 << sh) - _JPEG_POFF
             img[by:by + 8, bx:bx + 8] = np.clip(p + 128, 0, 255)
     return img.astype(np.uint8), blocks
+
+
+# ---------------------------------------------------------------------------
+# QOI ("Quite OK Image") codec -- 3-channel subset of the public spec
+# (qoiformat.org): 14-byte header, op stream of RUN / INDEX / DIFF /
+# LUMA / RGB chunks over a 64-slot running color index, 8-byte end
+# marker. The encoder's op choice order (run > index > diff > luma >
+# rgb) and the index hash (3r+5g+7b+11a) % 64 with a=255 follow the
+# reference qoi.c exactly, so the byte stream is canonical and the
+# per-op accounting can be replayed by the DuckDB oracle as a
+# recursive CTE carrying (prev pixel, 64-slot index list, run counter)
+# -- the DGIM/Misra-Gries carried-list pattern (queries_ext220.py).
+# Wrapped channel differences use the shared formula
+# ((x - p + 128) % 256) - 128, value-identical to qoi.c's int8 wrap.
+# ---------------------------------------------------------------------------
+
+
+def _qoi_wrap(d: int) -> int:
+    return ((d + 128) % 256) - 128
+
+
+def encode_qoi(pixels, w: int, h: int) -> bytes:
+    """Encode a row-major list of (r, g, b) uint8 tuples as a QOI
+    image (channels=3, colorspace=1/linear). Canonical greedy op
+    choice per the reference implementation."""
+    import struct
+
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", w, h, 3, 1)
+    index = [(0, 0, 0)] * 64
+    prev = (0, 0, 0)
+    run = 0
+    for p in pixels:
+        r, g, b = p
+        if p == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        pos = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+        if index[pos] == p:
+            out.append(pos)
+        else:
+            index[pos] = p
+            dr = _qoi_wrap(r - prev[0])
+            dg = _qoi_wrap(g - prev[1])
+            db = _qoi_wrap(b - prev[2])
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif (
+                -32 <= dg <= 31
+                and -8 <= _qoi_wrap(dr - dg) <= 7
+                and -8 <= _qoi_wrap(db - dg) <= 7
+            ):
+                out.append(0x80 | (dg + 32))
+                out.append(
+                    ((_qoi_wrap(dr - dg) + 8) << 4) | (_qoi_wrap(db - dg) + 8)
+                )
+            else:
+                out += bytes((0xFE, r, g, b))
+        prev = p
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(data: bytes):
+    """Decode a 3-channel QOI stream produced by encode_qoi (or any
+    conformant writer using only 3-channel ops) back to
+    (pixels, w, h). Validates magic and end marker."""
+    import struct
+
+    if data[:4] != b"qoif":
+        raise ValueError("not a QOI stream")
+    w, h, channels, _cs = struct.unpack_from(">IIBB", data, 4)
+    if channels != 3:
+        raise ValueError("decode_qoi: 3-channel subset only")
+    if data[-8:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("QOI end marker missing")
+    body = data[14:-8]
+    pixels = []
+    index = [(0, 0, 0)] * 64
+    prev = (0, 0, 0)
+    i = 0
+    n = w * h
+    while len(pixels) < n:
+        byte = body[i]
+        i += 1
+        if byte == 0xFE:  # RGB
+            p = (body[i], body[i + 1], body[i + 2])
+            i += 3
+        elif byte == 0xFF:
+            raise ValueError("RGBA op in 3-channel stream")
+        else:
+            tag = byte >> 6
+            if tag == 0:  # INDEX
+                p = index[byte & 0x3F]
+                pixels.append(p)
+                prev = p
+                continue
+            if tag == 3:  # RUN
+                run = (byte & 0x3F) + 1
+                pixels.extend([prev] * run)
+                continue
+            if tag == 1:  # DIFF
+                p = (
+                    (prev[0] + ((byte >> 4) & 3) - 2) % 256,
+                    (prev[1] + ((byte >> 2) & 3) - 2) % 256,
+                    (prev[2] + (byte & 3) - 2) % 256,
+                )
+            else:  # LUMA
+                dg = (byte & 0x3F) - 32
+                b2 = body[i]
+                i += 1
+                p = (
+                    (prev[0] + dg + ((b2 >> 4) & 0x0F) - 8) % 256,
+                    (prev[1] + dg) % 256,
+                    (prev[2] + dg + (b2 & 0x0F) - 8) % 256,
+                )
+        pos = (p[0] * 3 + p[1] * 5 + p[2] * 7 + 255 * 11) % 64
+        index[pos] = p
+        pixels.append(p)
+        prev = p
+    if i != len(body):
+        raise ValueError("QOI trailing bytes")
+    return pixels, w, h

@@ -290,6 +290,7 @@ def registry() -> list[Query]:
         queries_ext217,
         queries_ext218,
         queries_ext219,
+        queries_ext220,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -47,6 +47,16 @@ HEAVY = [
     "spectral_bipartition_nations",
     "streaming_lindley_replay",
     "streaming_kalman_replay",
+    # r9: the grid-kNN scale twins (vs their documented all-pairs
+    # baselines), the KMV sketch, DGIM fold, and the Sn pair spine
+    "lof_grid_knn",
+    "lof_embedding_plane",
+    "semivariogram_grid",
+    "semivariogram_embedding",
+    "quantile_sketch_deciles",
+    "dgim_error_window_daily",
+    "sn_scale_daily",
+    "incremental_ivf_update",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
