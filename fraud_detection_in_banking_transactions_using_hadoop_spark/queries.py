@@ -291,6 +291,7 @@ def registry() -> list[Query]:
         queries_ext218,
         queries_ext219,
         queries_ext220,
+        queries_ext221,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -83,6 +83,7 @@ STRUCTURAL = {
     "hill_tail_index": 101,
     "pickands_tail_index": 256,
     "ndcg_at_k": 10,
+    "emsr_b_protection": 5,
     "err_at_k": 10,
     "rbp_at_k": 10,
     "haar_wavelet_energy": 256,

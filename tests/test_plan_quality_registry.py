@@ -56,6 +56,11 @@ ALLOWED_NESTED_LOOP = {
     "meta_analysis_dl",
     # ext219: 1-row pair-stats broadcast onto the post-LIMIT top-10
     "split_transaction_reconstruction",
+    # ext221: 5-row class-frame prefix join + 1-row day-count broadcast
+    # (EMSR-b cumulative moments)
+    "emsr_b_protection",
+    # ext221: 5x5 item-popularity pair broadcast (Loevinger H)
+    "mokken_loevinger_h",
     # 1-row pair-count marginal broadcasts (ext117 agreement metrics)
     "adjusted_rand_index",
     "fowlkes_mallows",
@@ -608,6 +613,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "gini_coefficient": "B-row bucket offsets",
     # ext214: rank window over the post-LIMIT K=1024 sketch sample
     "quantile_sketch_deciles": "post-LIMIT 1024-row KMV sample",
+    # ext221: fare rank over the 5-row booking-class frame
+    "emsr_b_protection": "5-row class frame",
     "lorenz_curve": "B-row bucket offsets + 10-row decile summary",
     "quantile_binning": "B-row bucket offsets",
     "lift_gains_table": "B-row bucket offsets + 10-row decile summary",
@@ -860,6 +867,10 @@ EAGER = {
     # per-round peeled edge checkpoints)
     "optimal_assignment_volume",
     "ktruss_membership",
+    # ext221: bounded driver folds (25-slot Elo vector; <=625-cell
+    # reachability matrix)
+    "elo_ratings_nations",
+    "bowtie_decomposition",
     # ext215: persisted weighted edge table + top-100 checkpoint (the
     # adamic_adar contract)
     "resource_allocation_linkpred",
