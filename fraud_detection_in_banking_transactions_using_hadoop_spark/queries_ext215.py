@@ -273,7 +273,10 @@ def q_newsvendor_critical_fractile(
     daily shipped quantity -- the EXACT empirical-quantile policy --
     scored against stocking the mean (the classic mistake). Realized
     costs are exact integer unit sums over every day; the saving
-    fraction is the value of the quantile policy."""
+    fraction is the value of the quantile policy. Companion to ext80's
+    per-part `newsvendor_quantile` (which stops at q*): this one adds
+    the COST evaluation -- test_ext215 proves q* minimizes the
+    realized cost over every observed demand level."""
     daily = read_table(spark, sf_dir, "lineitem").groupBy(
         F.col("l_shipdate").alias("d")
     ).agg(
