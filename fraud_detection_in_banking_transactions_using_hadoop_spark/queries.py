@@ -292,6 +292,7 @@ def registry() -> list[Query]:
         queries_ext219,
         queries_ext220,
         queries_ext221,
+        queries_ext222,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -858,6 +858,8 @@ EAGER = {
     "streaming_dgim_replay",
     # live streaming replay (per-user last-event boundary stitching)
     "streaming_transition_replay",
+    # live streaming replay (deferred-application Elo vector state)
+    "streaming_elo_replay",
     # eager localCheckpoint of the sign-bucket table (feeds both sides
     # of the self-join; lineage would otherwise compute twice)
     "semantic_dedup_prune",
