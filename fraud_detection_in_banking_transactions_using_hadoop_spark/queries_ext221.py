@@ -184,9 +184,8 @@ def q_elo_ratings_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN supplier s ON l.l_suppkey = s.s_suppkey
       WHERE c.c_nationkey <> s.s_nationkey
       GROUP BY 1, 2),
-    thr AS (SELECT CAST(sum(n) AS BIGINT) // 625 AS t FROM flow),
     e AS MATERIALIZED (
-      SELECT i, j FROM flow CROSS JOIN thr WHERE n > 2 * thr.t),
+      SELECT i, j FROM flow ORDER BY n DESC, i, j LIMIT 40),
     nodes AS (SELECT DISTINCT x AS v FROM
               (SELECT i AS x FROM e UNION SELECT j FROM e)),
     reach(a, b) AS (
@@ -226,13 +225,16 @@ def q_elo_ratings_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "bowtie", "scc"),
 )
 def q_bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bow-tie decomposition of the above-average payment digraph
-    (edge iff cell flow > 2x the mean cell): CORE = the SCC of the
-    highest-degree nation, IN = nations whose money reaches the core,
-    OUT = nations the core's money reaches, OTHER = the periphery.
-    The web-graph macro-structure read, on money flows. Oracle =
-    recursive transitive closure; Spark = bounded driver Warshall
-    over the collected edge set (<= 625 cells)."""
+    """Bow-tie decomposition of the payment BACKBONE digraph (the 40
+    heaviest nation->nation flows, deterministic (n desc, i, j) order
+    -- a relative threshold degenerates at scale: flows concentrate
+    toward the mean as volume grows, and 2x-mean selects ZERO edges
+    at sf0.1): CORE = the SCC of the highest-degree nation, IN =
+    nations whose money reaches the core, OUT = nations the core's
+    money reaches, OTHER = the periphery. The web-graph
+    macro-structure read, on money flows. Oracle = recursive
+    transitive closure; Spark = bounded driver Warshall over the
+    collected edge set."""
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey"
     )
@@ -254,10 +256,13 @@ def q_bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n")),
         "bow-tie flow matrix",
     )
-    tot = sum(r["n"] for r in flow)
-    thr = tot // 625
-    edges = {(r["i"], r["j"]) for r in flow if r["n"] > 2 * thr}
+    top = sorted(flow, key=lambda r: (-r["n"], r["i"], r["j"]))[:40]
+    edges = {(r["i"], r["j"]) for r in top}
     nodes = sorted({x for e in edges for x in e})
+    if not nodes:  # degenerate-input guard (empty flow table)
+        return spark.createDataFrame(
+            [], "nation int, component string, component_size long"
+        )
     idx = {v: k for k, v in enumerate(nodes)}
     nn = len(nodes)
     reach = [[False] * nn for _ in range(nn)]

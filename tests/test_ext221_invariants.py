@@ -92,12 +92,10 @@ def test_bowtie_partition_laws(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    tot = sum(r["n"] for r in flow)
-    edges = {
-        (r["c_nationkey"], r["s_nationkey"])
-        for r in flow
-        if r["n"] > 2 * (tot // 625)
-    }
+    top = sorted(
+        flow, key=lambda r: (-r["n"], r["c_nationkey"], r["s_nationkey"])
+    )[:40]
+    edges = {(r["c_nationkey"], r["s_nationkey"]) for r in top}
     nodes = sorted({x for e in edges for x in e})
     assert set(comp) == set(nodes)
     reach = {v: {v} for v in nodes}
