@@ -88,9 +88,9 @@ HEADLINE = [
 ]
 
 
-def _tree_cpu_seconds() -> float:
-    """Total CPU seconds (user+sys) consumed so far by this process and
-    every live descendant -- the JVM child and its Python workers
+def _tree_cpu_stats() -> dict[int, float]:
+    """Per-pid CPU seconds (user+sys+reaped-children) for this process
+    and every live descendant -- the JVM child and its Python workers
     included. Read straight from /proc/<pid>/stat so no reaping is
     needed (os.times()/getrusage only see *terminated* children).
 
@@ -130,12 +130,26 @@ def _tree_cpu_seconds() -> float:
         cutime, cstime = int(rest[13]), int(rest[14])
         children.setdefault(ppid, []).append(pid)
         stats[pid] = (utime + stime + cutime + cstime) / tick
-    total, stack = 0.0, [me]
+    out: dict[int, float] = {}
+    stack = [me]
     while stack:
         pid = stack.pop()
-        total += stats.get(pid, 0.0)
+        if pid in stats:
+            out[pid] = stats[pid]
         stack.extend(children.get(pid, []))
-    return total
+    return out
+
+
+def _cpu_delta(prev: dict[int, float], live: dict[int, float]) -> float:
+    """Sum of per-pid CLAMPED CPU deltas between two _tree_cpu_stats
+    samples. A worker that dies and reparents to init between samples
+    vanishes from the live set entirely (its CPU was never folded into
+    any tracked parent's cutime), so a whole-tree scalar subtraction
+    goes NEGATIVE by that worker's lifetime CPU (the r9 artifact bug:
+    bpe_merge_training -8.68 CPU-s). Per-pid deltas clamp that loss to
+    a bounded undercount of exactly the orphaned worker's share -- each
+    term is >= 0, so per-query totals (and cpu_total) can't go negative."""
+    return sum(max(0.0, cpu - prev.get(pid, 0.0)) for pid, cpu in live.items())
 
 
 def _tail_sample(all_names: list[str], k: int = 5) -> list[str]:
@@ -203,12 +217,12 @@ def main() -> None:
     for name in HEADLINE:
         q = by_name[name]
         t0 = time.time()
-        c0 = _tree_cpu_seconds()
+        c0 = _tree_cpu_stats()
         # Full execution without driver collect: count() forces every
         # operator; results stay distributed.
         q.fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
-        cpu_timings[name] = round(_tree_cpu_seconds() - c0, 3)
+        cpu_timings[name] = round(_cpu_delta(c0, _tree_cpu_stats()), 3)
 
     total = round(sum(timings.values()), 3)
 
@@ -233,13 +247,14 @@ def main() -> None:
         "tail_sample": tail,
         "sf": sf_val,
     }
-    # Truncation-proofing (r8 verdict item 3): the full artifact line
-    # grew past what the driver's capture reliably holds (BENCH_r08.json
-    # came back `parsed: null`). Print a COMPACT but contract-complete
-    # summary line FIRST (metric/value/unit/queries/sf -- everything the
-    # driver's parser needs, ~1/3 the size), then the full line, and
-    # always persist the full artifact to bench_out.json next to this
-    # script so a truncated capture is recoverable.
+    # Truncation-proofing (r8 verdict item 3, ORDER fixed per r9 verdict
+    # item 2): the full artifact line grew past what the driver's capture
+    # reliably holds, and the driver keeps the TAIL of stdout -- so the
+    # compact contract-complete summary line (metric/value/unit/queries/
+    # sf, ~1/3 the size) must be printed LAST, after the full line, to
+    # survive head-cropping. The full artifact is also persisted to
+    # bench_out.json next to this script so any truncated capture is
+    # recoverable.
     summary = {
         "metric": "headline_query_wall_clock",
         "value": total,
@@ -253,8 +268,8 @@ def main() -> None:
     with open(Path(__file__).resolve().parent / "bench_out.json", "w") as fh:
         json.dump(full, fh)
         fh.write("\n")
-    print(json.dumps(summary))
     print(json.dumps(full))
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -1586,4 +1586,9 @@ def decode_qoi(data: bytes):
         prev = p
     if i != len(body):
         raise ValueError("QOI trailing bytes")
+    if len(pixels) != n:
+        # A RUN op near the end of a corrupt/crafted stream can extend
+        # past the header's w*h pixel count; reject it like the magic /
+        # end-marker checks do (r9 advice item).
+        raise ValueError("QOI pixel count exceeds header dimensions")
     return pixels, w, h

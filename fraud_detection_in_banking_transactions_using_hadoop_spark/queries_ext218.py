@@ -156,10 +156,14 @@ def q_usl_scalability_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("nu * y9")).cast("bigint").alias("sny"),
         F.sum(F.expr("nu * nu * y9")).cast("bigint").alias("sn2y"),
     )
-    # reuse the shared tail text by registering the 1-row sums frame
-    # as a temp view (unique name: session-wide namespace)
-    sums.createOrReplaceTempView("usl_sums_v")
-    return spark.sql("WITH " + _usl_tail("DECIMAL(38,0)", "usl_sums_v"))
+    # reuse the shared tail text over the 1-row sums frame via
+    # parameterized spark.sql DataFrame substitution -- no temp view,
+    # so query construction stays free of session-global side effects
+    # (r9 advice item: a view name collision under concurrent registry
+    # consumers would silently rebind another query's plan).
+    return spark.sql(
+        "WITH " + _usl_tail("DECIMAL(38,0)", "{usl_sums}"), usl_sums=sums
+    )
 
 
 @register(

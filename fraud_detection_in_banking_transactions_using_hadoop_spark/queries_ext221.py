@@ -46,6 +46,14 @@ _ELO_K = 32.0
 _ELO_INIT = 1500 * 10**9  # e9-int ratings
 
 
+def _trunc_div_e6(v: int) -> int:
+    """Truncate-toward-zero division by 1e6, matching DuckDB `//` and
+    Spark `DIV` semantics (both truncate: -7 DIV 2 = -3). Python's `//`
+    FLOORS (-7 // 2 = -4), so a rating that ever drifted negative would
+    hash-mismatch the oracle by one milli-unit (r9 advice item)."""
+    return -((-v) // 10**6) if v < 0 else v // 10**6
+
+
 _ELO_GAMES_SQL = """
     mrev AS (
       SELECT c.c_nationkey AS nation,
@@ -166,7 +174,7 @@ def q_elo_ratings_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = [r[n] + deltas[n] for n in range(25)]
     order = sorted(range(25), key=lambda n: (-r[n], n))
     rank = {n: k + 1 for k, n in enumerate(order)}
-    rows = [(n, r[n] // 10**6, rank[n]) for n in range(25)]
+    rows = [(n, _trunc_div_e6(r[n]), rank[n]) for n in range(25)]
     return spark.createDataFrame(
         rows, "nation int, rating_milli long, rank long"
     )
@@ -328,24 +336,25 @@ def q_bowtie_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY pri),
     fares AS (
       SELECT c.pri, c.t, c.cents // c.t AS fare,
-             CAST(d.d AS DOUBLE) * m.sc2 - CAST(m.sc AS DOUBLE) * m.sc
-               AS varnum,
-             CAST(d.d AS DOUBLE) AS dd
+             d.d * m.sc2 - m.sc * m.sc AS varnum,
+             d.d AS dd
       FROM cls c JOIN dmom m ON m.pri = c.pri CROSS JOIN dayn d),
     ranked AS (
       SELECT pri, t, fare, varnum, dd,
              row_number() OVER (ORDER BY fare DESC, pri) AS k
       FROM fares),
     cum AS (
-      SELECT r.k, r.pri, r.fare, r.t,
+      SELECT r.k, r.pri, r.fare, r.t, r.dd,
              CAST(sum(r2.t) AS BIGINT) AS cum_t,
              CAST(sum(r2.fare * r2.t) AS BIGINT) AS cum_ft,
-             sum(r2.varnum / (r2.dd * r2.dd)) AS cum_var,
-             sum(CAST(r2.t AS DOUBLE) / r2.dd) AS cum_mu
+             CAST(sum(r2.varnum) AS BIGINT) AS cum_varnum
       FROM ranked r JOIN ranked r2 ON r2.k <= r.k
-      GROUP BY r.k, r.pri, r.fare, r.t),
+      GROUP BY r.k, r.pri, r.fare, r.t, r.dd),
     nxt AS (
-      SELECT c.k, c.pri, c.fare, c.cum_t, c.cum_ft, c.cum_var, c.cum_mu,
+      SELECT c.k, c.pri, c.fare, c.cum_t, c.cum_ft,
+             CAST(c.cum_varnum AS DOUBLE)
+               / (CAST(c.dd AS DOUBLE) * CAST(c.dd AS DOUBLE)) AS cum_var,
+             CAST(c.cum_t AS DOUBLE) / CAST(c.dd AS DOUBLE) AS cum_mu,
              r.fare AS next_fare
       FROM cum c JOIN ranked r ON r.k = c.k + 1),
     z AS (
@@ -403,10 +412,12 @@ def q_emsr_b_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pri",
             "t",
             F.expr("cents DIV t").alias("fare"),
-            F.expr(
-                "CAST(d AS DOUBLE) * sc2 - CAST(sc AS DOUBLE) * sc"
-            ).alias("varnum"),
-            F.col("d").cast("double").alias("dd"),
+            # exact-integer variance numerator: the cross-class sum in
+            # `cum` stays a BIGINT sum (order-free); the shared day
+            # count dd divides ONCE at the end (r9 advice: never output
+            # a raw double sum over per-group double terms).
+            F.expr("d * sc2 - sc * sc").alias("varnum"),
+            F.col("d").alias("dd"),
         )
     )
     from pyspark.sql import Window
@@ -426,12 +437,11 @@ def q_emsr_b_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = (
         ranked.join(F.broadcast(r2), F.col("k2") <= F.col("k"))
-        .groupBy("k", "pri", "fare", "t")
+        .groupBy("k", "pri", "fare", "t", "dd")
         .agg(
             F.sum("t2").cast("bigint").alias("cum_t"),
             F.sum(F.expr("fare2 * t2")).cast("bigint").alias("cum_ft"),
-            F.sum(F.expr("varnum2 / (dd2 * dd2)")).alias("cum_var"),
-            F.sum(F.expr("CAST(t2 AS DOUBLE) / dd2")).alias("cum_mu"),
+            F.sum("varnum2").cast("bigint").alias("cum_varnum"),
         )
     )
     nxt = cum.join(
@@ -441,6 +451,14 @@ def q_emsr_b_protection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
         "k",
+    ).withColumns(
+        {
+            "cum_var": F.expr(
+                "CAST(cum_varnum AS DOUBLE)"
+                " / (CAST(dd AS DOUBLE) * CAST(dd AS DOUBLE))"
+            ),
+            "cum_mu": F.expr("CAST(cum_t AS DOUBLE) / CAST(dd AS DOUBLE)"),
+        }
     )
     z = nxt.select(
         "k",

@@ -26,6 +26,7 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.queries_ext221 i
     _ELO_INIT,
     _ELO_K,
     _elo_oracle,
+    _trunc_div_e6,
 )
 from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
@@ -152,7 +153,7 @@ def q_streaming_elo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = [st["r"][n] + st["dp"][n] for n in range(25)]  # flush pending
     order = sorted(range(25), key=lambda n: (-r[n], n))
     rank = {n: k + 1 for k, n in enumerate(order)}
-    rows = [(n, r[n] // 10**6, rank[n]) for n in range(25)]
+    rows = [(n, _trunc_div_e6(r[n]), rank[n]) for n in range(25)]
     return spark.createDataFrame(
         rows, "nation int, rating_milli long, rank long"
     )
