@@ -50,6 +50,21 @@ _K = 5  # LOF neighbors (must match queries_ext193._LOF_K)
 _CELL = 0.05  # LOF grid cell size
 _CQ = 50_000_000  # e9-quantized cell size: round(1e9 * 0.05)
 
+# Occupancy-skew guard (r9 verdict item 4): a single cell holding m
+# points degrades the tier-1 equi-join to m^2 SHUFFLED candidate rows
+# (the classic grid failure on clustered data -- a 100 TB corpus WILL
+# have pileups). Cells past _DENSE_CAP route their probes through a
+# chunked Arrow pass instead: per (cell, chunk-of-<=_DENSE_CHUNK
+# probes) task, distances to the same 3x3-halo candidate set are
+# computed vectorized in numpy, so the m^2 term becomes in-task FLOPs
+# (m/chunk tasks x chunk*|halo| each) and the only materialized rows
+# are the m*k winners. Candidate set, tie order (dq, j), and the
+# half-up e9 distance quantization are IDENTICAL to the join path, so
+# exactness is preserved bit-for-bit (pinned by the planted single-cell
+# fixture in test_ext212_invariants).
+_DENSE_CAP = 64
+_DENSE_CHUNK = 256
+
 _SV_BIN_Q = 200_000_000  # semivariogram lag-bin width (e9 units, 0.2)
 _SV_NEAR_Q = 600_000_000  # near-field cutoff: bins 0..2 exact (d < 0.6)
 _SV_NBINS = 9
@@ -76,6 +91,126 @@ def _top_k(cand: DataFrame, k: int) -> DataFrame:
     return cand.select("*", F.row_number().over(w).alias("rn")).where(
         F.col("rn") <= k
     )
+
+
+def _dense_tier1(
+    pts: DataFrame,
+    build: DataFrame,
+    dense_cells: DataFrame,
+    k: int,
+    cell_q: int,
+):
+    """Tier 1 for probes in over-occupied cells, as a chunked Arrow
+    pass: group = (cell, chunk of <= _DENSE_CHUNK probes), rows = that
+    chunk's probes plus the cell's full 3x3-halo candidate set
+    (replicated per chunk). numpy computes the e9-quantized distances
+    with the SAME half-up rounding as _DQ_EXPR (floor(x + 0.5) on a
+    nonnegative x == Spark round HALF_UP) and takes top-k in (dq, j)
+    order -- output identical to the join tier, but the m^2 term is
+    in-task vectorized FLOPs, never shuffled rows. Per-task memory is
+    O(_DENSE_CHUNK * |halo|); a deployment expecting 10^8-point pileups
+    dials _DENSE_CHUNK down."""
+    import pandas as pd
+
+    nchunks = F.greatest(
+        F.lit(1), F.ceil(F.col("occ") / F.lit(_DENSE_CHUNK))
+    ).cast("bigint")
+    dcell = dense_cells.select("cx", "cy", nchunks.alias("nchunks"))
+    probes = pts.join(F.broadcast(dcell), ["cx", "cy"]).select(
+        "cx",
+        "cy",
+        F.pmod(F.col("vec_id"), F.col("nchunks")).alias("chunk"),
+        F.lit("p").alias("role"),
+        F.col("vec_id").alias("id"),
+        "px",
+        "py",
+    )
+    # halo: every build point in the 3x3 neighborhood of a dense cell,
+    # replicated once per probe chunk of that cell.
+    halo_cells = dcell.select(
+        "cx",
+        "cy",
+        F.explode(F.expr("sequence(0, nchunks - 1)")).alias("chunk"),
+    )
+    halo = (
+        build.select(
+            "j",
+            "bx",
+            "by",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            (F.col("bcx") + F.lit(dx)).alias("cx"),
+                            (F.col("bcy") + F.lit(dy)).alias("cy"),
+                        )
+                        for dx in (-1, 0, 1)
+                        for dy in (-1, 0, 1)
+                    ]
+                )
+            ).alias("o"),
+        )
+        .select("j", "bx", "by", F.col("o.cx").alias("cx"), F.col("o.cy").alias("cy"))
+        .join(F.broadcast(halo_cells), ["cx", "cy"])
+        .select(
+            "cx",
+            "cy",
+            "chunk",
+            F.lit("b").alias("role"),
+            F.col("j").alias("id"),
+            F.col("bx").alias("px"),
+            F.col("by").alias("py"),
+        )
+    )
+
+    def _group_knn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        p = pdf[pdf["role"] == "p"]
+        b = pdf[pdf["role"] == "b"]
+        if p.empty or b.empty:
+            return pd.DataFrame({"i": [], "j": [], "dq": [], "rn": []})
+        pi = p["id"].to_numpy(np.int64)
+        px = p["px"].to_numpy(np.float64)
+        py = p["py"].to_numpy(np.float64)
+        bi = b["id"].to_numpy(np.int64)
+        bx = b["px"].to_numpy(np.float64)
+        by = b["py"].to_numpy(np.float64)
+        ddx = px[:, None] - bx[None, :]
+        ddy = py[:, None] - by[None, :]
+        dq = np.floor(1.0e9 * np.sqrt(ddx * ddx + ddy * ddy) + 0.5).astype(
+            np.int64
+        )
+        rows_i, rows_j, rows_dq, rows_rn = [], [], [], []
+        for r in range(len(pi)):
+            keep = bi != pi[r]
+            jj, dd = bi[keep], dq[r][keep]
+            order = np.lexsort((jj, dd))[:k]
+            rows_i.extend([pi[r]] * len(order))
+            rows_j.extend(jj[order])
+            rows_dq.extend(dd[order])
+            rows_rn.extend(range(1, len(order) + 1))
+        return pd.DataFrame(
+            {
+                "i": np.asarray(rows_i, np.int64),
+                "j": np.asarray(rows_j, np.int64),
+                "dq": np.asarray(rows_dq, np.int64),
+                "rn": np.asarray(rows_rn, np.int32),
+            }
+        )
+
+    top = (
+        probes.unionByName(halo)
+        .groupBy("cx", "cy", "chunk")
+        .applyInPandas(_group_knn, "i long, j long, dq long, rn int")
+    )
+    ok = (
+        top.groupBy("i")
+        .agg(F.max("dq").alias("kth"), F.count(F.lit(1)).alias("cnt"))
+        .where((F.col("cnt") == k) & (F.col("kth") < cell_q))
+        .select("i")
+    )
+    return top.join(ok, "i").select("i", "j", "dq", "rn"), ok
 
 
 def grid_exact_knn(
@@ -145,7 +280,21 @@ def grid_exact_knn(
         )
         return top.join(ok, "i").select("i", "j", "dq", "rn"), ok
 
-    knn1, ok1 = tier(pts, 1, cell_q)
+    # Occupancy-skew guard: probes living in cells with > _DENSE_CAP
+    # points take the chunked Arrow tier 1 (identical candidate set and
+    # tie order; no m^2 shuffle rows); everyone else keeps the
+    # codegen-friendly equi-join tier 1.
+    occ = pts.groupBy("cx", "cy").agg(F.count(F.lit(1)).alias("occ"))
+    dense_cells = occ.where(F.col("occ") > _DENSE_CAP).localCheckpoint(
+        eager=True
+    )
+    sparse_pts = pts.join(
+        F.broadcast(dense_cells.select("cx", "cy")), ["cx", "cy"], "left_anti"
+    )
+    knn1, ok1 = tier(sparse_pts, 1, cell_q)
+    knn1d, ok1d = _dense_tier1(pts, build, dense_cells, k, cell_q)
+    knn1 = knn1.unionByName(knn1d)
+    ok1 = ok1.unionByName(ok1d)
     esc1 = pts.join(ok1.select(F.col("i").alias("vec_id")), "vec_id", "left_anti")
     knn2, ok2 = tier(esc1, 2, 2 * cell_q)
     esc2 = esc1.join(ok2.select(F.col("i").alias("vec_id")), "vec_id", "left_anti")

@@ -68,3 +68,52 @@ def test_semivariogram_grid_deterministic(spark, sf_dir):
     a = sorted(map(tuple, _Q["semivariogram_grid"](spark, sf_dir).collect()))
     b = sorted(map(tuple, _Q["semivariogram_grid"](spark, sf_dir).collect()))
     assert a == b
+
+
+def test_grid_exact_knn_dense_cell_guard_matches_brute(spark):
+    """Occupancy-skew guard (r9 verdict item 4): a planted pileup --
+    305 points inside ONE 0.05-cell (well past _DENSE_CAP=64, and past
+    _DENSE_CHUNK=256 so the halo replicates across 2 probe chunks),
+    five of them exactly coincident (exercises the (dq, j) tie order),
+    plus ten boundary points in adjacent cells (the Arrow halo must see
+    them). The guard's chunked-Arrow tier must reproduce the brute-force
+    kNN BIT-IDENTICALLY: same (i, j, dq, rn) rows."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries_ext212 import (
+        _DENSE_CAP,
+        _DENSE_CHUNK,
+        _DQ_EXPR,
+        _top_k,
+        grid_exact_knn,
+    )
+
+    n_dense = 300
+    rows = [
+        (i, 0.0005 + (i * 7 % 311) * 0.00014, 0.0007 + (i * 11 % 311) * 0.00014)
+        for i in range(n_dense)
+    ]
+    rows += [(n_dense + t, 0.0201, 0.0203) for t in range(5)]
+    rows += [
+        (n_dense + 5 + t, 0.0501 + t * 0.0004, 0.001 + t * 0.004)
+        for t in range(10)
+    ]
+    assert n_dense + 5 > max(_DENSE_CAP, _DENSE_CHUNK)  # guard + chunking hit
+    pts = spark.createDataFrame(rows, "vec_id long, px double, py double")
+    got = sorted(
+        map(tuple, grid_exact_knn(pts, 5, 0.05, 50_000_000).collect())
+    )
+    a = pts.select(F.col("vec_id").alias("i"), "px", "py")
+    b = pts.select(
+        F.col("vec_id").alias("j"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+    )
+    brute = _top_k(
+        a.join(F.broadcast(b), F.col("i") != F.col("j")).select(
+            "i", "j", F.expr(_DQ_EXPR).alias("dq")
+        ),
+        5,
+    ).select("i", "j", "dq", "rn")
+    assert got == sorted(map(tuple, brute.collect()))
+    assert len(got) == len(rows) * 5

@@ -1,0 +1,93 @@
+"""Sharded full-registry oracle sweep: split the registry's query names
+into K groups and run K concurrent oracle_check.py subprocesses, each
+with its own small SparkSession (SPARK_GRAFT_CPUS per shard) and DuckDB
+connection — the pytest_shards.py pattern applied to the correctness
+gate, so a full sweep at sf0.1 (where single-process wall time is
+hours) finishes in one sitting.
+
+Usage:
+    python tools/oracle_shards.py [sf_dir] [K] [out_log]
+Defaults: sf_dir=/root/testdata/sf0.01, K=6, out_log=stdout-only.
+Exit code non-zero if ANY query fails; the merged PASS/FAIL lines (and
+a final "<n> pass, <n> fail, <n> rows-only" summary in oracle_check's
+own format) are written to out_log when given.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    out_log = Path(sys.argv[3]) if len(sys.argv) > 3 else None
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
+
+    names = sorted(q.name for q in registry())
+    # Interleave sorted names across shards: adjacent names share a
+    # family (same ext batch prefix), so round-robin spreads each
+    # family's heavy members instead of stacking one shard with them.
+    shards = [names[i::k] for i in range(k)]
+
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_CPUS", "5")
+    t0 = time.time()
+    procs = []
+    for i, shard in enumerate(shards):
+        cmd = [
+            sys.executable,
+            str(REPO / "tools" / "oracle_check.py"),
+            sf_dir,
+            *shard,
+        ]
+        procs.append(
+            (
+                i,
+                subprocess.Popen(
+                    cmd,
+                    cwd=REPO,
+                    stdout=subprocess.PIPE,
+                    stderr=subprocess.DEVNULL,
+                    text=True,
+                    env=env,
+                ),
+            )
+        )
+    lines: list[str] = []
+    rc = 0
+    n_pass = n_fail = n_skip = 0
+    for i, p in procs:
+        out, _ = p.communicate()
+        for ln in out.splitlines():
+            if ln.startswith(("PASS ", "FAIL ", "SKIP ")):
+                lines.append(ln)
+                if ln.startswith("PASS "):
+                    n_pass += 1
+                elif ln.startswith("FAIL "):
+                    n_fail += 1
+                else:
+                    n_skip += 1
+        if p.returncode != 0:
+            rc = 1
+        print(f"--- shard {i} done (rc={p.returncode}) ---", flush=True)
+    lines.sort()
+    summary = f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only"
+    body = "\n".join(lines) + summary + f"\nwall: {time.time() - t0:.0f}s\n"
+    if out_log is not None:
+        out_log.write_text(body)
+    print(body[-4000:])
+    # A shard can rc=1 only via FAIL lines, but belt-and-braces:
+    return 1 if (n_fail or rc) else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
