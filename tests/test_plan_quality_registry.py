@@ -849,6 +849,10 @@ EAGER = {
     # persisted-index stand-in); the only cross joins are 1-row
     # total/drift broadcasts over the 8-row cell spine
     "incremental_ivf_update",
+    # ext223: eager signature-table checkpoint (the persisted LSH index
+    # stand-in); the only cross joins are 1-row total/drift broadcasts
+    # over the 64-row bucket spine
+    "incremental_lsh_update",
     "triangle_counts", "label_propagation", "min_plus_shortest_paths",
     "streaming_cms_replay",
     "streaming_sprt_replay",
@@ -883,6 +887,9 @@ EAGER = {
     # scan; 128-point sample self-join, constant in SF)
     "lof_grid_knn",
     "semivariogram_grid",
+    # ext223: eager localCheckpoint of the per-cell moment table
+    # (multi-referenced: probe + broadcast build sides)
+    "semivariogram_moments",
     # CC-operator pipelines (eager pair checkpoint) + per-round
     # checkpointed peel loop
     "dbscan_grid_clusters",
