@@ -1592,3 +1592,89 @@ def decode_qoi(data: bytes):
         # end-marker checks do (r9 advice item).
         raise ValueError("QOI pixel count exceeds header dimensions")
     return pixels, w, h
+
+
+# ---------------------------------------------------------------------------
+# Golomb-Rice residual codec (round 10) -- the 10th real codec, and the
+# first entropy coder in the audio tier: FLAC-style order-1 linear
+# prediction + zigzag + Rice(k) coding of the residuals, k chosen by an
+# EXHAUSTIVE exact-integer scan (k in 0..15 minimizing total bits,
+# smallest-k tiebreak), so the parameter choice itself is reproducible
+# in plain SQL aggregation -- no recursion needed, unlike the adaptive
+# ADPCM/QOI replays. Stream format: 1 header byte (k), then per
+# residual z: (z >> k) one-bits, a zero-bit, then the k low bits of z
+# MSB-first. Lossless: decode_rice(encode_rice(s), n) == s exactly.
+# ---------------------------------------------------------------------------
+def rice_zigzag(samples) -> list:
+    """Order-1 prediction (prev sample, seed 0) + zigzag mapping to
+    nonnegative residuals. Shared by the encoder and the tests."""
+    prev = 0
+    out = []
+    for s in samples:
+        d = int(s) - prev
+        prev = int(s)
+        out.append(2 * d if d >= 0 else -2 * d - 1)
+    return out
+
+
+def rice_pick_k(z) -> tuple:
+    """Exact exhaustive parameter scan: returns (k, payload_bits,
+    max_unary) minimizing sum((z >> k) + 1 + k), smallest k on ties --
+    the same argmin the SQL oracle computes from a 16-row k spine."""
+    best = None
+    for k in range(16):
+        bits = sum((v >> k) + 1 + k for v in z)
+        if best is None or bits < best[1]:
+            best = (k, bits, max((v >> k) for v in z) if z else 0)
+    return best
+
+
+def encode_rice(samples) -> bytes:
+    z = rice_zigzag(samples)
+    k, _, _ = rice_pick_k(z)
+    bits = []
+    for v in z:
+        bits.extend([1] * (v >> k))
+        bits.append(0)
+        for b in range(k - 1, -1, -1):
+            bits.append((v >> b) & 1)
+    out = bytearray([k])
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for b in bits[i : i + 8]:
+            byte = (byte << 1) | b
+        byte <<= max(0, 8 - len(bits[i : i + 8]))
+        out.append(byte)
+    return bytes(out)
+
+
+def decode_rice(data: bytes, n: int):
+    """Decode n samples; raises on truncated streams."""
+    if not data:
+        raise ValueError("empty Rice stream")
+    k = data[0]
+    if k > 15:
+        raise ValueError("Rice k out of range")
+    nbits = (len(data) - 1) * 8
+
+    def bit(i):
+        if i >= nbits:
+            raise ValueError("truncated Rice stream")
+        return (data[1 + (i >> 3)] >> (7 - (i & 7))) & 1
+
+    out, prev, i = [], 0, 0
+    for _ in range(n):
+        q = 0
+        while bit(i):
+            q += 1
+            i += 1
+        i += 1  # the terminating zero
+        r = 0
+        for _ in range(k):
+            r = (r << 1) | bit(i)
+            i += 1
+        z = (q << k) | r
+        d = (z >> 1) if z % 2 == 0 else -((z + 1) >> 1)
+        prev = prev + d
+        out.append(prev)
+    return out

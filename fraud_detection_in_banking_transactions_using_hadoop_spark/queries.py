@@ -294,6 +294,7 @@ def registry() -> list[Query]:
         queries_ext221,
         queries_ext222,
         queries_ext223,
+        queries_ext224,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -38,6 +38,9 @@ ALLOWED_NESTED_LOOP = {
     "rendezvous_shard_balance",
     # 1-row best-rate broadcast (ext210 OEE)
     "oee_daily",
+    # 1-row bigram-type-total broadcast over the <=25-row bigram table
+    # (ext224 Kneser-Ney)
+    "kneser_ney_bigrams",
     # constant 6-row degree-cutoff grid broadcast over the bounded
     # nation edge list (ext211)
     "payment_rich_club",
@@ -985,6 +988,9 @@ EAGER = {
     # bounded 5x6 transition-count collect + driver absorption folds
     # (ext206 Markov attribution)
     "markov_removal_attribution",
+    # ext224: bounded 5x5 transition-count collect + driver
+    # power-iteration fold (aligned with the recursive-CTE oracle)
+    "markov_stationary_distribution",
     # bounded-adjacency collect + driver-side exact graph algorithms
     # (ext200, r8 fold pattern)
     "betweenness_brandes_nations",
