@@ -304,7 +304,8 @@ def q_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE a.q <> b.q
     )
     SELECT CAST(supp AS BIGINT) AS supp, CAST(count(*) AS BIGINT) AS n_pairs,
-           round(quantile_cont(slope, 0.5), 6) AS median_slope
+           floor(quantile_cont(slope, 0.5) * 1e6 + 0.5) / 1e6
+             AS median_slope
     FROM slopes GROUP BY supp
     """,
     tags=("robust", "regression", "J1"),
@@ -348,9 +349,15 @@ def q_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("b.p") - F.col("a.p")) / (F.col("b.q") - F.col("a.q"))).alias("slope"),
         )
     )
+    # floor-quantize the (bit-identical) interpolated median instead of
+    # round(6): the r10 sf0.1 sweep caught Spark's BigDecimal HALF_UP
+    # vs DuckDB's binary nearbyint flipping 1/1000 rows at the 6th
+    # decimal; floor(x*1e6 + 0.5) is the same function in both engines.
     return slopes.groupBy("supp").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("median_slope"),
+        F.expr(
+            "floor(percentile(slope, 0.5) * 1e6 + 0.5) / 1e6"
+        ).alias("median_slope"),
     ).select(F.col("supp").cast("bigint").alias("supp"), "n_pairs", "median_slope")
 
 

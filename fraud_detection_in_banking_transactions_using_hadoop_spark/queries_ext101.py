@@ -271,11 +271,15 @@ def _rss_sql(alias: str, cond: str) -> str:
       FROM seq {cond})"""
 
 
+# exact-integer RSS (dollars^2): RSS = (Cyy*Ctt - Cty^2) / (Ctt*n) as
+# ONE integer floor-division -- the r10 sf0.1 sweep caught the double
+# form drifting: DuckDB's optimizer reassociates (a - b/c)/n, and
+# round(x, 2) at ~1.26e16 magnitude is past 2^53 on DuckDB's
+# multiply-nearbyint path. Integer RSS has neither problem.
 _RSS_EXPR = (
-    "(CAST(n * syy - sy * sy AS DOUBLE)"
-    " - CAST(n * sty - st * sy AS DOUBLE)"
-    " * CAST(n * sty - st * sy AS DOUBLE)"
-    " / CAST(n * stt - st * st AS DOUBLE)) / CAST(n AS DOUBLE)"
+    "CAST(((n * syy - sy * sy) * (n * stt - st * st)"
+    " - (n * sty - st * sy) * (n * sty - st * sy))"
+    " // ((n * stt - st * st) * n) AS BIGINT)"
 )
 
 
@@ -296,16 +300,20 @@ _RSS_EXPR = (
       SELECT (SELECT {_RSS_EXPR} FROM all_m) AS rss_p,
              (SELECT {_RSS_EXPR} FROM pre_m) AS rss_1,
              (SELECT {_RSS_EXPR} FROM post_m) AS rss_2,
-             (SELECT n FROM all_m) AS n)
+             (SELECT n FROM all_m) AS n),
+    f AS (
+      SELECT n, rss_p, rss_1, rss_2,
+             CAST(rss_p - rss_1 - rss_2 AS HUGEINT) * (n - 4) AS fnum,
+             2 * CAST(rss_1 + rss_2 AS HUGEINT) AS fden
+      FROM r)
     SELECT CAST(n AS BIGINT) AS n_days,
-           round(rss_p, 2) AS rss_pooled,
-           round(rss_1 + rss_2, 2) AS rss_split,
-           round(((rss_p - rss_1 - rss_2) / 2.0)
-                 / ((rss_1 + rss_2) / (n - 4)), 4) AS chow_f,
-           CASE WHEN ((rss_p - rss_1 - rss_2) / 2.0)
-                     / ((rss_1 + rss_2) / (n - 4)) > 3.0
-                THEN 'break' ELSE 'no-break' END AS verdict
-    FROM r
+           rss_p AS rss_pooled,
+           rss_1 + rss_2 AS rss_split,
+           round(CAST(fnum AS DOUBLE) / CAST(fden AS DOUBLE), 4) + 0.0
+             AS chow_f,
+           CASE WHEN fnum > 3 * fden THEN 'break' ELSE 'no-break' END
+             AS verdict
+    FROM f
     """,
     tags=("econometrics", "structural-break", "exact-arith"),
 )
@@ -347,28 +355,33 @@ def q_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast(_DEC)
             .alias("syy"),
         )
-        nd = F.col("n").cast(_DEC)
-        cyy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-        cty = (nd * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
-        ctt = (nd * F.col("stt") - F.col("st") * F.col("st")).cast("double")
-        return mom.select(
-            ((cyy - cty * cty / ctt) / F.col("n").cast("double")).alias("rss"),
-            F.col("n").alias("n"),
+        # exact-integer RSS via ONE floor division (mirrors _RSS_EXPR;
+        # see the r10 reassociation note on the oracle text)
+        return mom.selectExpr(
+            "CAST(((n * syy - sy * sy) * (n * stt - st * st)"
+            " - (n * sty - st * sy) * (n * sty - st * sy))"
+            " DIV ((n * stt - st * st) * n) AS BIGINT) AS rss",
+            "n",
         )
 
     rp = rss(seq).select(F.col("rss").alias("rss_p"), F.col("n").alias("n"))
     r1 = rss(seq.where(F.col("dt") < brk)).select(F.col("rss").alias("rss_1"))
     r2 = rss(seq.where(F.col("dt") >= brk)).select(F.col("rss").alias("rss_2"))
     r = rp.crossJoin(F.broadcast(r1)).crossJoin(F.broadcast(r2))
-    fstat = ((F.col("rss_p") - F.col("rss_1") - F.col("rss_2")) / 2.0) / (
-        (F.col("rss_1") + F.col("rss_2")) / (F.col("n") - 4)
+    f = r.selectExpr(
+        "n",
+        "rss_p",
+        "rss_1",
+        "rss_2",
+        "CAST(rss_p - rss_1 - rss_2 AS DECIMAL(38,0)) * (n - 4) AS fnum",
+        "2 * CAST(rss_1 + rss_2 AS DECIMAL(38,0)) AS fden",
     )
-    return r.select(
-        F.col("n").cast("bigint").alias("n_days"),
-        F.round("rss_p", 2).alias("rss_pooled"),
-        F.round(F.col("rss_1") + F.col("rss_2"), 2).alias("rss_split"),
-        F.round(fstat, 4).alias("chow_f"),
-        F.when(fstat > 3.0, F.lit("break"))
-        .otherwise(F.lit("no-break"))
-        .alias("verdict"),
+    return f.selectExpr(
+        "CAST(n AS BIGINT) AS n_days",
+        "rss_p AS rss_pooled",
+        "rss_1 + rss_2 AS rss_split",
+        "round(CAST(fnum AS DOUBLE) / CAST(fden AS DOUBLE), 4) + 0.0"
+        " AS chow_f",
+        "CASE WHEN fnum > 3 * fden THEN 'break' ELSE 'no-break' END"
+        " AS verdict",
     )

@@ -59,8 +59,13 @@ def _katz_sql() -> str:
       SELECT e.b AS node, CAST(sum(w.c) AS BIGINT) AS c
       FROM edges e JOIN w{k} w ON w.node = e.a
       GROUP BY e.b)""")
+    # alpha = 0.05 makes every alpha^k * 1e8 an exact INTEGER
+    # (5e6/250000/12500/625), so the whole attenuation sum is integer
+    # arithmetic and the 6-dp output is a half-up integer division --
+    # the r10 sf0.1 sweep caught the float form flipping 4/803 rows
+    # between Spark's and DuckDB's round() at 6-dp half boundaries.
     close = " + ".join(
-        f"{_KATZ_ALPHA ** (k + 1)!r} * coalesce(w{k + 1}.c, 0)"
+        f"{round(_KATZ_ALPHA ** (k + 1) * 10**8)} * coalesce(w{k + 1}.c, 0)"
         for k in range(_KATZ_K)
     )
     joins = "\n    ".join(
@@ -75,7 +80,7 @@ def _katz_sql() -> str:
     {','.join(steps)}
     SELECT nd.node, CAST(coalesce(w1.c, 0) AS BIGINT) AS degree,
            CAST(coalesce(w{_KATZ_K}.c, 0) AS BIGINT) AS walks_{_KATZ_K},
-           round({close}, 6) AS katz
+           CAST((({close}) + 50) // 100 AS DOUBLE) / 1e6 AS katz
     FROM nodes nd
     {joins}
     """
@@ -107,19 +112,23 @@ def q_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.join(
             wk.withColumnRenamed("c", f"c{k + 1}"), "node", "left"
         )
+    # exact e8-integer attenuation (mirrors the oracle text; see the
+    # r10 note there)
     close = None
     for k in range(_KATZ_K):
-        term = F.lit(_KATZ_ALPHA ** (k + 1)) * F.coalesce(
+        term = F.lit(round(_KATZ_ALPHA ** (k + 1) * 10**8)) * F.coalesce(
             F.col(f"c{k + 1}"), F.lit(0)
         )
         close = term if close is None else close + term
-    return out.select(
+    return out.withColumn("katz_e8", close.cast("bigint")).select(
         "node",
         F.coalesce(F.col("c1"), F.lit(0)).cast("bigint").alias("degree"),
         F.coalesce(F.col(f"c{_KATZ_K}"), F.lit(0))
         .cast("bigint")
         .alias(f"walks_{_KATZ_K}"),
-        F.round(close, 6).alias("katz"),
+        F.expr("CAST((katz_e8 + 50) DIV 100 AS DOUBLE) / 1e6").alias(
+            "katz"
+        ),
     )
 
 

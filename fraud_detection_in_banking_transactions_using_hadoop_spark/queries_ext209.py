@@ -62,21 +62,22 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AND CURRENT ROW)),
     full_fr AS (
       SELECT d, cents, s1, s2,
-             CAST(s1 AS DOUBLE) / {_W} AS mid,
-             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
-                   * CAST(s1 AS DOUBLE) / {_W}) / {_W}) AS sd
+             CAST(floor(sqrt(CAST({_W} * s2 - CAST(s1 AS HUGEINT) * s1
+                             AS DOUBLE)) * {10000 // _W} + 0.5)
+                  AS BIGINT) AS sd4
       FROM fr WHERE k = {_W})
     SELECT strftime(d, '%Y-%m-%d') AS day, cents,
-           round(mid, 4) AS mid_cents,
-           round(mid + 2.0 * sd, 4) AS upper_band,
-           round(mid - 2.0 * sd, 4) AS lower_band,
-           CASE WHEN sd = 0 THEN NULL
-                ELSE round((cents - (mid - 2.0 * sd)) / (4.0 * sd), 6)
+           CAST(s1 * 500 AS DOUBLE) / 1e4 AS mid_cents,
+           CAST(s1 * 500 + 2 * sd4 AS DOUBLE) / 1e4 AS upper_band,
+           CAST(s1 * 500 - 2 * sd4 AS DOUBLE) / 1e4 AS lower_band,
+           CASE WHEN sd4 = 0 THEN NULL
+                ELSE round(CAST(cents * 10000 - (s1 * 500 - 2 * sd4)
+                                AS DOUBLE) / (4.0 * sd4), 6)
                      + 0.0 END AS pct_b,
-           CAST(CASE WHEN cents > mid + 2.0 * sd THEN 1 ELSE 0 END
-                AS INTEGER) AS above,
-           CAST(CASE WHEN cents < mid - 2.0 * sd THEN 1 ELSE 0 END
-                AS INTEGER) AS below
+           CAST(CASE WHEN cents * 10000 > s1 * 500 + 2 * sd4
+                THEN 1 ELSE 0 END AS INTEGER) AS above,
+           CAST(CASE WHEN cents * 10000 < s1 * 500 - 2 * sd4
+                THEN 1 ELSE 0 END AS INTEGER) AS below
     FROM full_fr
     """,
     tags=("finance", "ta", "calendar"),
@@ -84,8 +85,13 @@ def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bollinger bands on daily revenue: 20-day rolling mean +/- 2
     POPULATION sigmas, every frame statistic derived from exact
-    integer sums (mean = s1/20, sigma from s2 - s1^2/20), %B position,
-    and band-breach flags. Only full 20-day frames emit."""
+    integer sums (mean = s1/20 = s1*500/1e4 exactly; sigma is
+    floor-quantized to an e4 integer BEFORE the band arithmetic -- the
+    r10 sf0.1 sweep caught round(mid +/- 2*sd, 4) flipping 10/2386
+    rows between Spark's BigDecimal HALF_UP and DuckDB's binary
+    nearbyint on these ~1.9e9-magnitude outputs; integer-derived bands
+    have no round() at all), %B position, and band-breach flags. Only
+    full 20-day frames emit."""
     daily = _daily(spark, sf_dir)
     w = Window.orderBy("d").rowsBetween(-(_W - 1), 0)
     fr = daily.select(
@@ -98,34 +104,40 @@ def q_bollinger_bands_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s2"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("k"),
     ).where(F.col("k") == _W)
-    mid = F.col("s1").cast("double") / _W
-    sd = F.sqrt(
-        (
-            F.col("s2").cast("double")
-            - F.col("s1").cast("double") * F.col("s1").cast("double") / _W
-        )
-        / _W
+    # exact integer variance numerator 20*s2 - s1^2 -> ONE double cast
+    # -> sqrt: the r10 sweep showed DuckDB's optimizer REASSOCIATES
+    # (a - b)/20 into a/20 - b/20, which under the ~30-digit
+    # cancellation here moved sd by 7e-7 -- shared float expression
+    # text is NOT enough across a subtract-divide; only an exact
+    # integer numerator pins both engines.
+    sd4 = F.expr(
+        f"CAST(floor(sqrt(CAST({_W} * s2 - CAST(s1 AS DECIMAL(38,0))"
+        f" * s1 AS DOUBLE)) * {10000 // _W} + 0.5) AS BIGINT)"
     )
+    fr = fr.withColumn("sd4", sd4)
     return fr.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "cents",
-        F.round(mid, 4).alias("mid_cents"),
-        F.round(mid + 2.0 * sd, 4).alias("upper_band"),
-        F.round(mid - 2.0 * sd, 4).alias("lower_band"),
-        F.when(sd == 0, F.lit(None).cast("double"))
-        .otherwise(
-            F.round((F.col("cents") - (mid - 2.0 * sd)) / (4.0 * sd), 6)
-            + 0.0
-        )
-        .alias("pct_b"),
-        F.when(F.col("cents") > mid + 2.0 * sd, 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("above"),
-        F.when(F.col("cents") < mid - 2.0 * sd, 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("below"),
+        F.expr("CAST(s1 * 500 AS DOUBLE) / 1e4").alias("mid_cents"),
+        F.expr("CAST(s1 * 500 + 2 * sd4 AS DOUBLE) / 1e4").alias(
+            "upper_band"
+        ),
+        F.expr("CAST(s1 * 500 - 2 * sd4 AS DOUBLE) / 1e4").alias(
+            "lower_band"
+        ),
+        F.expr(
+            "CASE WHEN sd4 = 0 THEN NULL"
+            " ELSE round(CAST(cents * 10000 - (s1 * 500 - 2 * sd4)"
+            " AS DOUBLE) / (4.0 * sd4), 6) + 0.0 END"
+        ).alias("pct_b"),
+        F.expr(
+            "CAST(CASE WHEN cents * 10000 > s1 * 500 + 2 * sd4"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("above"),
+        F.expr(
+            "CAST(CASE WHEN cents * 10000 < s1 * 500 - 2 * sd4"
+            " THEN 1 ELSE 0 END AS INT)"
+        ).alias("below"),
     )
 
 

@@ -301,11 +301,12 @@ def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN new.k IS NULL THEN 'removed'
                   WHEN old.v <> new.v THEN 'changed'
                   ELSE 'unchanged' END AS change_type,
-             round(abs(coalesce(new.v, 0) - coalesce(old.v, 0)), 8) AS delta
+             CAST(floor(abs(coalesce(new.v, 0) - coalesce(old.v, 0))
+                        * 10000 + 0.5) AS BIGINT) AS delta_e4
       FROM old FULL OUTER JOIN new ON old.k = new.k)
     SELECT change_type,
            CAST(count(*) AS BIGINT) AS n,
-           round(sum(delta), 4) AS total_delta
+           CAST(sum(delta_e4) AS DOUBLE) / 1e4 AS total_delta
     FROM d GROUP BY change_type
     """,
     tags=("cdc", "join"),
@@ -314,8 +315,10 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation as one shuffle: both versions hash on the
     key, FULL OUTER sort-merge/hash join, map-side classification, tiny
     final aggregate. At 100 TB both sides bucket/cluster on the same key
-    so the join is co-located; per-row deltas are round(8)ed before the
-    sum (parallel vs serial summation-order parity)."""
+    so the join is co-located; per-row deltas floor-quantize to e4
+    INTEGERS before the sum (the r10 sf0.1 sweep caught the
+    rounded-double sum drifting 1e-4 across engine summation orders at
+    60k rows -- integer sums are order-free)."""
     orders = read_table(spark, sf_dir, "orders")
     old = orders.filter(F.col("o_orderdate") < "1999-01-01").select(
         F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("v")
@@ -336,15 +339,20 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("a.v") != F.col("b.v"), "changed")
         .otherwise("unchanged")
     )
-    delta = F.round(
-        F.abs(F.coalesce(F.col("b.v"), F.lit(0)) - F.coalesce(F.col("a.v"), F.lit(0))), 8
-    )
+    delta_e4 = F.floor(
+        F.abs(
+            F.coalesce(F.col("b.v"), F.lit(0))
+            - F.coalesce(F.col("a.v"), F.lit(0))
+        )
+        * 10000
+        + 0.5
+    ).cast("bigint")
     return (
-        j.select(change.alias("change_type"), delta.alias("delta"))
+        j.select(change.alias("change_type"), delta_e4.alias("delta_e4"))
         .groupBy("change_type")
         .agg(
             F.count("*").cast("bigint").alias("n"),
-            F.round(F.sum("delta"), 4).alias("total_delta"),
+            (F.sum("delta_e4").cast("double") / 1e4).alias("total_delta"),
         )
     )
 

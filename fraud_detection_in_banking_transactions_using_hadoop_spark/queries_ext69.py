@@ -73,19 +73,28 @@ def _jl_proj_sq_sql(x: str, y: str, one_based: bool) -> str:
     "jl_projection_distortion",
     f"""
     WITH probes AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_JL_PROBES}),
+      -- ::DOUBLE[] is load-bearing: bare `embedding` keeps the chain
+      -- in FLOAT32 on DuckDB while Spark casts to double -- the d2/p2
+      -- doubles then differ in the 8th digit on every pair (caught by
+      -- the r10 sf0.1 sweep; sf0.01 only passed because round(6)
+      -- absorbed the float noise).
+      SELECT vec_id, embedding::DOUBLE[] AS embedding
+      FROM embeddings WHERE vec_id < {_JL_PROBES}),
     pairs AS (
       SELECT a.vec_id AS ida, b.vec_id AS idb,
              {_sq_dist_sql('a.embedding', 'b.embedding', _JL_IN, True)} AS d2,
              {_jl_proj_sq_sql('a.embedding', 'b.embedding', True)} AS p2
       FROM probes a JOIN probes b ON a.vec_id < b.vec_id),
     ratios AS (
-      SELECT CAST(round(1e9 * sqrt(p2 / d2), 0) AS BIGINT) AS ratio_e9
+      SELECT CAST(floor(1e9 * sqrt(p2 / d2) + 0.5) AS BIGINT) AS ratio_e9
       FROM pairs WHERE d2 > 0)
     SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-           round(min(ratio_e9) / 1e9, 6) AS min_ratio,
-           round(max(ratio_e9) / 1e9, 6) AS max_ratio,
-           round(CAST(sum(ratio_e9) AS DOUBLE) / count(*) / 1e9, 6) AS avg_ratio,
+           CAST((min(ratio_e9) + 500) // 1000 AS DOUBLE) / 1e6
+             AS min_ratio,
+           CAST((max(ratio_e9) + 500) // 1000 AS DOUBLE) / 1e6
+             AS max_ratio,
+           CAST((2 * CAST(sum(ratio_e9) AS BIGINT) + 1000 * count(*))
+                // (2000 * count(*)) AS DOUBLE) / 1e6 AS avg_ratio,
            CAST(sum(CASE WHEN ratio_e9 BETWEEN 700000000 AND 1300000000
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_within_30pct
     FROM ratios
@@ -114,23 +123,31 @@ def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_sq_dist_sql("ea", "eb", _JL_IN, False)).alias("d2"),
         F.expr(_jl_proj_sq_sql("ea", "eb", False)).alias("p2"),
     )
+    # floor(x + 0.5) + pure-integer output rounding: the r10 sf0.1
+    # sweep caught round() flipping one pair's e9 ratio between
+    # Spark's BigDecimal HALF_UP and DuckDB's binary nearbyint, moving
+    # max_ratio by 1e-6. Integer half-up is the same function in both.
     ratios = pairs.where(F.col("d2") > 0).select(
-        F.round(F.lit(1e9) * F.sqrt(F.col("p2") / F.col("d2")), 0)
+        F.floor(F.lit(1e9) * F.sqrt(F.col("p2") / F.col("d2")) + 0.5)
         .cast("bigint")
         .alias("ratio_e9")
     )
-    return ratios.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.round(F.min("ratio_e9") / 1e9, 6).alias("min_ratio"),
-        F.round(F.max("ratio_e9") / 1e9, 6).alias("max_ratio"),
-        F.round(F.sum("ratio_e9").cast("double") / F.count(F.lit(1)) / 1e9, 6).alias(
-            "avg_ratio"
-        ),
-        F.sum(
-            F.when(F.col("ratio_e9").between(700000000, 1300000000), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_within_30pct"),
+    return ratios.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                      F.min("ratio_e9").alias("mn"),
+                      F.max("ratio_e9").alias("mx"),
+                      F.sum("ratio_e9").cast("bigint").alias("s"),
+                      F.sum(
+                          F.when(
+                              F.col("ratio_e9").between(700000000, 1300000000),
+                              1,
+                          ).otherwise(0)
+                      ).cast("bigint").alias("n_within_30pct")).selectExpr(
+        "n_pairs",
+        "CAST((mn + 500) DIV 1000 AS DOUBLE) / 1e6 AS min_ratio",
+        "CAST((mx + 500) DIV 1000 AS DOUBLE) / 1e6 AS max_ratio",
+        "CAST((2 * s + 1000 * n_pairs) DIV (2000 * n_pairs) AS DOUBLE)"
+        " / 1e6 AS avg_ratio",
+        "n_within_30pct",
     )
 
 

@@ -175,7 +175,7 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     "jarque_bera",
     """
     WITH d AS (
-      SELECT CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) AS y
+      SELECT CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) // 100 AS y
       FROM orders GROUP BY o_orderdate),
     mom AS (
       SELECT CAST(count(*) AS BIGINT) AS n,
@@ -213,15 +213,19 @@ def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jarque-Bera normality statistic of the daily revenue
-    distribution: population skewness and excess kurtosis close over
-    exact integer power sums (y, y^2, y^3, y^4 in DECIMAL(38,0) --
-    2.4e31 at sf1, comfortably inside 38 digits); JB = n/6 (S^2 +
-    K^2/4). sqrt(m2)*m2 replaces pow(m2, 1.5) because sqrt is
+    distribution (WHOLE DOLLARS -- the r10 sf0.1 sweep proved cents
+    overflow even HUGEINT in sum(y^4): ~1.7e38 at sf0.1; dollar
+    quantization is scale-invariant for skew/kurtosis up to the
+    documented e-2 rounding of the daily level): population skewness
+    and excess kurtosis close over exact integer power sums; JB = n/6
+    (S^2 + K^2/4). sqrt(m2)*m2 replaces pow(m2, 1.5) because sqrt is
     correctly rounded in IEEE while libm pow differs by 1 ulp across
     engines. No window at all -- two aggregates."""
     orders = read_table(spark, sf_dir, "orders")
     d = orders.groupBy("o_orderdate").agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0)).cast("bigint").alias("y")
+        F.expr(
+            "CAST(sum(round(o_totalprice * 100, 0)) AS BIGINT) DIV 100"
+        ).alias("y")
     )
     yd = F.col("y").cast(_DEC)
     mom = d.agg(

@@ -226,8 +226,12 @@ def q_biweight_midvariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     terms = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.when(inside, num_term).otherwise(0)).cast(_DEC).alias("num_e4"),
-        F.sum(F.when(inside, den_term).otherwise(0)).cast(_DEC).alias("den_e9"),
+        # cast each term to DECIMAL BEFORE the sum: Spark's sum over
+        # BIGINT keeps a LONG accumulator (ANSI overflow at sf0.1 --
+        # the e4-scaled squared deviations total past 2^63), while
+        # DuckDB's sum(BIGINT) auto-promotes to HUGEINT (r10 sweep)
+        F.sum(F.when(inside, num_term).otherwise(0).cast(_DEC)).alias("num_e4"),
+        F.sum(F.when(inside, den_term).otherwise(0).cast(_DEC)).alias("den_e9"),
         F.sum("y").cast(_DEC).alias("sy"),
         F.sum(F.col("y").cast(_DEC) * F.col("y").cast(_DEC)).cast(_DEC).alias("sy2"),
         F.max("m").alias("m"),
