@@ -295,6 +295,7 @@ def registry() -> list[Query]:
         queries_ext222,
         queries_ext223,
         queries_ext224,
+        queries_ext225,
         queries_feat,
         queries_funcs,
         queries_funcs2,

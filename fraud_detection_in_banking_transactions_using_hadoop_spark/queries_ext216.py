@@ -120,26 +120,41 @@ _DGIM_ORACLE = f"""
                   CAST(sum(CASE WHEN e.rn > d.n - {_WIN}
                        THEN e.bit ELSE 0 END) AS BIGINT) AS true_ones
            FROM ev e JOIN days d ON d.day = e.day GROUP BY e.day),
+    -- fold over ONES ONLY: a zero arrival never touches the bucket
+    -- list (timestamps are the original stream positions rn), so the
+    -- recursion needs 13 * ones_per_day levels, not 13 * n -- and the
+    -- per-level join is against the 30-row per-day position LIST, not
+    -- the full event table (the r10 sf0.1 sweep found the old
+    -- ev-join-per-level form super-linear: 86k levels x 200k-row hash
+    -- builds ran for hours).
+    oi AS (
+      SELECT day, rn,
+             CAST(row_number() OVER (PARTITION BY day ORDER BY rn)
+                  AS BIGINT) AS i
+      FROM ev WHERE bit = 1),
+    arr AS MATERIALIZED (
+      SELECT day, list(rn ORDER BY i) AS ts1,
+             CAST(count(*) AS BIGINT) AS m
+      FROM oi GROUP BY day),
     fold AS (
-      SELECT d.day, d.n * {_PH} AS n13, CAST(0 AS BIGINT) AS k,
+      SELECT d.day, d.n, coalesce(a.m, 0) * {_PH} AS m13,
+             CAST(0 AS BIGINT) AS k,
              CAST([] AS STRUCT(t BIGINT, sz BIGINT)[]) AS st
-      FROM days d
+      FROM days d LEFT JOIN arr a ON a.day = d.day
       UNION ALL
-      SELECT f.day, f.n13, f.k + 1,
-        CASE WHEN (f.k % {_PH}) = 0 THEN
-          CASE WHEN e.bit = 1
-               THEN list_append(f.st,
-                      struct_pack(t := e.rn, sz := CAST(1 AS BIGINT)))
-               ELSE f.st END
+      SELECT f.day, f.n, f.m13, f.k + 1,
+        CASE WHEN (f.k % {_PH}) = 0
+             THEN list_append(f.st,
+                    struct_pack(t := a.ts1[f.k // {_PH} + 1],
+                                sz := CAST(1 AS BIGINT)))
         ELSE {_merge_sql('f.st')}
         END
       FROM fold f
-      LEFT JOIN ev e ON e.day = f.day AND (f.k % {_PH}) = 0
-                     AND e.rn = f.k // {_PH} + 1
-      WHERE f.k < f.n13),
+      JOIN arr a ON a.day = f.day
+      WHERE f.k < f.m13),
     fin AS (
-      SELECT f.day, f.st, f.n13 // {_PH} AS n
-      FROM fold f WHERE f.k = f.n13),
+      SELECT f.day, f.st, f.n
+      FROM fold f WHERE f.k = f.m13),
     est AS (
       SELECT day, n,
              len(st) AS n_buckets,

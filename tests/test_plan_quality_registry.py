@@ -893,6 +893,10 @@ EAGER = {
     # ext223: eager localCheckpoint of the per-cell moment table
     # (multi-referenced: probe + broadcast build sides)
     "semivariogram_moments",
+    # ext225: eager daily-spine checkpoint feeding both sides of the
+    # calendar-bounded pair self-join (+ 1-row radius broadcast)
+    "rqa_recurrence_daily",
+    "horizontal_visibility_graph",
     # CC-operator pipelines (eager pair checkpoint) + per-round
     # checkpointed peel loop
     "dbscan_grid_clusters",
