@@ -85,6 +85,10 @@ HEADLINE = [
     "semivariogram_grid",  # exact near-field cell join + md5-rank far sample
     "quantile_sketch_deciles",  # KMV bottom-K mergeable quantile sketch
     "incremental_ivf_update",  # frozen-quantizer delta assignment + drift
+    # round-10 flagship operators
+    "semivariogram_moments",  # density-growth twin: per-cell moments only
+    "incremental_lsh_update",  # frozen-plane delta signature + TV drift
+    "multimodal_rice_stats",  # Golomb-Rice entropy coder (10th real codec)
 ]
 
 

@@ -57,6 +57,14 @@ HEAVY = [
     "dgim_error_window_daily",
     "sn_scale_daily",
     "incremental_ivf_update",
+    # r10: the density-growth semivariogram twin (vs the exact baseline
+    # above), incremental LSH, the Rice coder, and the two
+    # calendar-pair nonlinear reads
+    "semivariogram_moments",
+    "incremental_lsh_update",
+    "multimodal_rice_stats",
+    "rqa_recurrence_daily",
+    "horizontal_visibility_graph",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
