@@ -296,6 +296,7 @@ def registry() -> list[Query]:
         queries_ext223,
         queries_ext224,
         queries_ext225,
+        queries_ext226,
         queries_feat,
         queries_funcs,
         queries_funcs2,

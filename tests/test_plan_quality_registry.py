@@ -897,6 +897,10 @@ EAGER = {
     # calendar-bounded pair self-join (+ 1-row radius broadcast)
     "rqa_recurrence_daily",
     "horizontal_visibility_graph",
+    # ext226: eager 40-job TakeOrdered checkpoint feeding two window
+    # passes; calendar-bounded driver fold over the daily bit string
+    "johnson_two_machine",
+    "lz76_complexity",
     # CC-operator pipelines (eager pair checkpoint) + per-round
     # checkpointed peel loop
     "dbscan_grid_clusters",
