@@ -465,3 +465,128 @@ def q_crc32_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return raw.mapInPandas(op, schema=schema)
+
+
+@register(
+    "streaming_crc_replay",
+    _CRC_ORACLE,
+    tags=("streaming", "integrity", "stateful", "replay"),
+)
+def q_streaming_crc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """31st live replay -- chunked-upload integrity: every media's 60
+    bytes arrive as four 15-byte micro-batches and the carried state is
+    the RUNNING CRC-32 (zlib.crc32's seed form un-finalizes and
+    continues, the multipart-upload pattern), so the final digest must
+    equal the one-shot digest byte-for-byte. Same from-scratch
+    recursive-CTE oracle as crc32_media -- the replay, the one-shot
+    zlib path, and the SQL polynomial recursion must all agree."""
+    import tempfile
+    import zlib
+    from pathlib import Path
+
+    import pandas as pd
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.merge import (
+        atomic_overwrite,
+        recover_table,
+    )
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.session import (
+        normalize_runtime_conf,
+    )
+
+    normalize_runtime_conf(spark)
+    base = Path(tempfile.mkdtemp(prefix="crc_stream_"))
+    src, state = base / "src", base / "state"
+    docs = read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    ev = (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.concat(
+                F.md5(F.concat(d, F.lit("a"))),
+                F.md5(F.concat(d, F.lit("b"))),
+                F.md5(F.concat(d, F.lit("c"))),
+                F.md5(F.concat(d, F.lit("d"))),
+            ).alias("hexs"),
+        )
+        .select("media_id", "hexs", F.expr("explode(sequence(0, 59))").alias("i"))
+        .select(
+            "media_id",
+            "i",
+            F.expr(
+                "CAST(conv(substr(hexs, CAST(i * 2 + 1 AS INT), 2), 16, 10)"
+                " AS BIGINT)"
+            ).alias("v"),
+        )
+    )
+    for p in range(4):
+        ev.where((F.col("i") >= p * 15) & (F.col("i") < (p + 1) * 15)).coalesce(
+            1
+        ).write.parquet(str(src / f"part{p + 1}"))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "part*"))
+    )
+
+    state_schema = "media_id long, crc long, n long"
+
+    def fold(batch_df, batch_id):
+        def seed_and_fold(pdf):
+            sr = pdf[pdf["kind"] == "state"]
+            seed, n0 = 0, 0
+            if len(sr):
+                seed = int(sr["crc"].iloc[0])
+                n0 = int(sr["n"].iloc[0])
+            er = pdf[pdf["kind"] == "event"].sort_values("i")
+            data = bytes(int(x) for x in er["v"])
+            crc = zlib.crc32(data, seed) & _CRC_MASK
+            return pd.DataFrame(
+                {
+                    "media_id": [int(pdf["media_id"].iloc[0])],
+                    "crc": [crc],
+                    "n": [n0 + len(data)],
+                }
+            )
+
+        b = batch_df.select(
+            "media_id",
+            "i",
+            "v",
+            F.lit("event").alias("kind"),
+            F.lit(None).cast("long").alias("crc"),
+            F.lit(None).cast("long").alias("n"),
+        )
+        try:
+            recover_table(spark, str(state))
+            prev = spark.read.parquet(str(state)).select(
+                "media_id",
+                F.lit(None).cast("long").alias("i"),
+                F.lit(None).cast("long").alias("v"),
+                F.lit("state").alias("kind"),
+                "crc",
+                "n",
+            )
+            merged = b.unionByName(prev).groupBy("media_id").applyInPandas(
+                seed_and_fold, schema=state_schema
+            )
+            atomic_overwrite(merged, str(state), f"crc{batch_id}")
+        except Exception:
+            first = b.groupBy("media_id").applyInPandas(
+                seed_and_fold, schema=state_schema
+            )
+            first.write.mode("overwrite").parquet(str(state))
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return spark.read.parquet(str(state)).select(
+        "media_id",
+        F.col("n").alias("n_bytes"),
+        F.col("crc").alias("crc32"),
+    )

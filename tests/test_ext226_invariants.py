@@ -198,3 +198,26 @@ def test_crc32_query_rows(spark, sf_dir):
         )
     )[:60]
     assert r0["crc32"] == _crc32_bitwise(content)
+
+
+def test_crc_seeded_continuation_equals_one_shot():
+    """The replay's carried-state contract: zlib.crc32(b, crc32(a)) ==
+    crc32(a + b) for arbitrary cuts -- the multipart-upload law."""
+    rng = random.Random(3)
+    for _ in range(50):
+        data = bytes(rng.randrange(256) for _ in range(60))
+        cut1, cut2 = sorted(rng.sample(range(61), 2))
+        c = zlib.crc32(data[:cut1])
+        c = zlib.crc32(data[cut1:cut2], c)
+        c = zlib.crc32(data[cut2:], c)
+        assert c & _CRC_MASK == zlib.crc32(data) & _CRC_MASK
+
+
+def test_streaming_crc_replay_equals_one_shot(spark, sf_dir):
+    a = sorted(
+        map(tuple, _Q["crc32_media"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(tuple, _Q["streaming_crc_replay"](spark, sf_dir).collect())
+    )
+    assert a == b

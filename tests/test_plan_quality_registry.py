@@ -867,6 +867,8 @@ EAGER = {
     "streaming_transition_replay",
     # live streaming replay (deferred-application Elo vector state)
     "streaming_elo_replay",
+    # live streaming replay (running-CRC carried state, ext226)
+    "streaming_crc_replay",
     # eager localCheckpoint of the sign-bucket table (feeds both sides
     # of the self-join; lineage would otherwise compute twice)
     "semantic_dedup_prune",
