@@ -297,6 +297,7 @@ def registry() -> list[Query]:
         queries_ext224,
         queries_ext225,
         queries_ext226,
+        queries_ext227,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -264,6 +264,7 @@ CALENDAR = {
     "xmr_individuals_chart": "orders_days",
     "wrights_experience_curve": "orders_months",
     "bollinger_bands_daily": "orders_days",
+    "hedge_expert_weights": "orders_days",
     "rsi_wilder_daily": "orders_days",
     "macd_crossover_daily": "orders_days",
     "cochrane_orcutt": "orders_days",

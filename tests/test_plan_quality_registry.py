@@ -41,6 +41,9 @@ ALLOWED_NESTED_LOOP = {
     # 1-row bigram-type-total broadcast over the <=25-row bigram table
     # (ext224 Kneser-Ney)
     "kneser_ney_bigrams",
+    # 1-row warm-mean / best-loss / share-total broadcasts over the
+    # 5-row expert frame (ext227 Hedge)
+    "hedge_expert_weights",
     # constant 6-row degree-cutoff grid broadcast over the bounded
     # nation edge list (ext211)
     "payment_rich_club",
@@ -630,6 +633,9 @@ ALLOWED_GLOBAL_WINDOW = {
     # ext215: day-spine row ids + rank over the n per-day himeds
     "sn_scale_daily": "daily spine ranks (n rows, 2 passes)",
     "bollinger_bands_daily": "daily revenue series (20-row frame)",
+    # ext227: lag/prefix spine over the daily revenue series (the
+    # e-process is EAGER; Hedge's five forecasters read lag windows)
+    "hedge_expert_weights": "daily revenue series (lag spine)",
     "rsi_wilder_daily": "365-day delta series -> 1-row array fold",
     "macd_crossover_daily": "365-day series -> 1-row array fold",
     "pareto_80_20": "B-row bucket offsets",
@@ -903,6 +909,9 @@ EAGER = {
     # passes; calendar-bounded driver fold over the daily bit string
     "johnson_two_machine",
     "lz76_complexity",
+    # ext227: eager wealth-path checkpoint (referenced by both the
+    # aggregate and the crossing scan)
+    "betting_eprocess_daily",
     # CC-operator pipelines (eager pair checkpoint) + per-round
     # checkpointed peel loop
     "dbscan_grid_clusters",
