@@ -1678,3 +1678,54 @@ def decode_rice(data: bytes, n: int):
         prev = prev + d
         out.append(prev)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Elias-gamma universal code (round 10): gamma(N >= 1) = (bit_length(N)
+# - 1) zero bits, then N's bit_length(N) binary digits (MSB first, the
+# leading 1 included). Parameter-free -- the universal-coding
+# counterpart of the tuned Rice(k) coder above; 2*bit_length(N) - 1
+# bits per value.
+# ---------------------------------------------------------------------------
+def encode_elias_gamma(values) -> tuple:
+    """Encode positive ints; returns (bytes, total_bits)."""
+    bits = []
+    for v in values:
+        v = int(v)
+        if v < 1:
+            raise ValueError("Elias gamma needs N >= 1")
+        bl = v.bit_length()
+        bits.extend([0] * (bl - 1))
+        for b in range(bl - 1, -1, -1):
+            bits.append((v >> b) & 1)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        chunk = bits[i : i + 8]
+        for b in chunk:
+            byte = (byte << 1) | b
+        byte <<= 8 - len(chunk)
+        out.append(byte)
+    return bytes(out), len(bits)
+
+
+def decode_elias_gamma(data: bytes, n: int):
+    nbits = len(data) * 8
+
+    def bit(i):
+        if i >= nbits:
+            raise ValueError("truncated Elias-gamma stream")
+        return (data[i >> 3] >> (7 - (i & 7))) & 1
+
+    out, i = [], 0
+    for _ in range(n):
+        z = 0
+        while bit(i) == 0:
+            z += 1
+            i += 1
+        v = 0
+        for _ in range(z + 1):
+            v = (v << 1) | bit(i)
+            i += 1
+        out.append(v)
+    return out

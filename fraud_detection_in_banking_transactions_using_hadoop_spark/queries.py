@@ -298,6 +298,7 @@ def registry() -> list[Query]:
         queries_ext225,
         queries_ext226,
         queries_ext227,
+        queries_ext228,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -912,6 +912,10 @@ EAGER = {
     # ext227: eager wealth-path checkpoint (referenced by both the
     # aggregate and the crossing scan)
     "betting_eprocess_daily",
+    # ext228: bounded driver folds (64-point tour greedy; 50-item FFD
+    # bin-level list)
+    "nn_tour_embedding",
+    "bin_packing_ffd",
     # CC-operator pipelines (eager pair checkpoint) + per-round
     # checkpointed peel loop
     "dbscan_grid_clusters",
