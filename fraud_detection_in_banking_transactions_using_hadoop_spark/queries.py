@@ -299,6 +299,7 @@ def registry() -> list[Query]:
         queries_ext226,
         queries_ext227,
         queries_ext228,
+        queries_ext229,
         queries_feat,
         queries_funcs,
         queries_funcs2,

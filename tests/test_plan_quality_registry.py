@@ -916,6 +916,10 @@ EAGER = {
     # bin-level list)
     "nn_tour_embedding",
     "bin_packing_ffd",
+    # ext229: eager top2-nation checkpoint + driver nation lookup; the
+    # 128/136-row ring broadcasts feed bounded nested-loop argmins
+    "markowitz_two_asset",
+    "consistent_hash_ring",
     # CC-operator pipelines (eager pair checkpoint) + per-round
     # checkpointed peel loop
     "dbscan_grid_clusters",
