@@ -1729,3 +1729,136 @@ def decode_elias_gamma(data: bytes, n: int):
             i += 1
         out.append(v)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Adaptive binary arithmetic coder (round 10) -- Witten-Neal-Cleary
+# 32-bit integer coding with a Laplace-smoothed adaptive order-0 model
+# (c0 = c1 = 1). Every operation is integer (range split by one
+# floor-division, E1/E2/E3 renormalization with underflow-pending
+# bits), so the encoder STATE TRAJECTORY is exactly replayable in SQL.
+# ---------------------------------------------------------------------------
+_AC_BITS = 32
+_AC_TOP = (1 << _AC_BITS) - 1
+_AC_HALF = 1 << (_AC_BITS - 1)
+_AC_QUARTER = 1 << (_AC_BITS - 2)
+
+
+def ac_encode_bits(bits):
+    """Encode an iterable of 0/1 ints; returns (bytes, n_bits_out,
+    trace) where trace = (n_emitted_before_flush, ones_before_flush,
+    low, high, pending, c0, c1) -- the state the SQL oracle replays."""
+    low, high, pending = 0, _AC_TOP, 0
+    c0 = c1 = 1
+    out = []
+
+    def emit(b):
+        out.append(b)
+
+    def emit_with_pending(b):
+        nonlocal pending
+        emit(b)
+        for _ in range(pending):
+            emit(1 - b)
+        pending = 0
+
+    n_emitted = ones = 0
+
+    def track():
+        nonlocal n_emitted, ones
+        n_emitted = len(out)
+        ones = sum(out)
+
+    for b in bits:
+        rng = high - low + 1
+        split = low + (rng * c0) // (c0 + c1) - 1
+        if b == 0:
+            high = split
+            c0 += 1
+        else:
+            low = split + 1
+            c1 += 1
+        while True:
+            if high < _AC_HALF:
+                emit_with_pending(0)
+            elif low >= _AC_HALF:
+                emit_with_pending(1)
+                low -= _AC_HALF
+                high -= _AC_HALF
+            elif low >= _AC_QUARTER and high < 3 * _AC_QUARTER:
+                pending += 1
+                low -= _AC_QUARTER
+                high -= _AC_QUARTER
+            else:
+                break
+            low <<= 1
+            high = (high << 1) | 1
+    track()
+    pending_pre_flush = pending
+    # flush: one more disambiguating bit plus pendings
+    pending += 1
+    if low < _AC_QUARTER:
+        emit_with_pending(0)
+    else:
+        emit_with_pending(1)
+    data = bytearray()
+    for i in range(0, len(out), 8):
+        byte = 0
+        chunk = out[i : i + 8]
+        for bb in chunk:
+            byte = (byte << 1) | bb
+        byte <<= 8 - len(chunk)
+        data.append(byte)
+    return (
+        bytes(data),
+        len(out),
+        (n_emitted, ones, low, high, pending_pre_flush, c0, c1),
+    )
+
+
+def ac_decode_bits(data: bytes, n: int):
+    """Decode n bits encoded by ac_encode_bits."""
+    nbits = len(data) * 8
+
+    def bit(i):
+        if i >= nbits:
+            return 0  # the stream may end; trailing zeros are implied
+        return (data[i >> 3] >> (7 - (i & 7))) & 1
+
+    low, high = 0, _AC_TOP
+    c0 = c1 = 1
+    code = 0
+    pos = 0
+    for _ in range(_AC_BITS):
+        code = (code << 1) | bit(pos)
+        pos += 1
+    out = []
+    for _ in range(n):
+        rng = high - low + 1
+        split = low + (rng * c0) // (c0 + c1) - 1
+        if code <= split:
+            out.append(0)
+            high = split
+            c0 += 1
+        else:
+            out.append(1)
+            low = split + 1
+            c1 += 1
+        while True:
+            if high < _AC_HALF:
+                pass
+            elif low >= _AC_HALF:
+                low -= _AC_HALF
+                high -= _AC_HALF
+                code -= _AC_HALF
+            elif low >= _AC_QUARTER and high < 3 * _AC_QUARTER:
+                low -= _AC_QUARTER
+                high -= _AC_QUARTER
+                code -= _AC_QUARTER
+            else:
+                break
+            low <<= 1
+            high = (high << 1) | 1
+            code = (code << 1) | bit(pos)
+            pos += 1
+    return out

@@ -300,6 +300,7 @@ def registry() -> list[Query]:
         queries_ext227,
         queries_ext228,
         queries_ext229,
+        queries_ext230,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -920,6 +920,9 @@ EAGER = {
     # 128/136-row ring broadcasts feed bounded nested-loop argmins
     "markowitz_two_asset",
     "consistent_hash_ring",
+    # ext230: calendar-bounded driver fold (the real arithmetic coder
+    # with its decode roundtrip asserted in-fold)
+    "arith_coder_daily",
     # CC-operator pipelines (eager pair checkpoint) + per-round
     # checkpointed peel loop
     "dbscan_grid_clusters",
