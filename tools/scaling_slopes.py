@@ -65,6 +65,16 @@ HEAVY = [
     "multimodal_rice_stats",
     "rqa_recurrence_daily",
     "horizontal_visibility_graph",
+    # r10 late batches: per-media codecs (row-linear by construction),
+    # the events pair screen, the ring lookup, and three calendar folds
+    "crc32_media",
+    "round_trip_payments",
+    "elias_gamma_bits",
+    "consistent_hash_ring",
+    "lz76_complexity",
+    "arith_coder_daily",
+    "betting_eprocess_daily",
+    "hedge_expert_weights",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
