@@ -301,6 +301,7 @@ def registry() -> list[Query]:
         queries_ext228,
         queries_ext229,
         queries_ext230,
+        queries_ext231,
         queries_feat,
         queries_funcs,
         queries_funcs2,

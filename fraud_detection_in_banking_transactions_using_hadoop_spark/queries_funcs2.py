@@ -151,10 +151,13 @@ def q_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical customer names inside a nation block -- the
-    entity-resolution primitive. Blocking is the scale lever (cost
-    sum |block|^2, never n^2); levenshtein itself is a JVM builtin, no
-    UDF. For 100 TB blocks, chain an LSH candidate stage upstream
-    (operators/dedup.py) and keep this as the verifier."""
+    entity-resolution primitive, kept as the DOCUMENTED QUADRATIC
+    BASELINE: c_nationkey has fixed cardinality 25, so this join is
+    O(n^2/25) in block density (measured slope ~1.5 across
+    sf0.01->0.1). The registered scale twin is fuzzy_name_match_djoin
+    (queries_ext231.py): a delete-1-neighborhood equi-join, provably
+    complete for dist<=1, set-equal by pytest, slope 0.04. levenshtein
+    itself is a JVM builtin, no UDF."""
     cust = read_table(spark, sf_dir, "customer").select("c_nationkey", "c_name")
     a = cust.alias("a")
     b = cust.select(

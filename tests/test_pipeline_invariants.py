@@ -146,3 +146,25 @@ def test_registry_names_are_unique():
 
     dupes = [n for n, c in Counter(q.name for q in registry()).items() if c > 1]
     assert dupes == [], f"duplicate registry names: {dupes}"
+
+
+def test_readme_heavy_slope_count_matches():
+    """r10 verdict item 4: the slope-table count drifted (README said
+    37, HEAVY had 40, a commit message said 45). Pin it the same way
+    as the registry count: the README heading's 'N queries as of
+    round' figure must equal len(scaling_slopes.HEAVY)."""
+    import re
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(root / "tools"))
+    from scaling_slopes import HEAVY
+
+    text = (root / "README.md").read_text()
+    m = re.search(r"(\d+) queries as of round", text)
+    assert m, "README.md lost its slope-table count marker"
+    assert int(m.group(1)) == len(HEAVY), (
+        f"README slope-table heading says {m.group(1)} queries but "
+        f"tools/scaling_slopes.py HEAVY has {len(HEAVY)} -- update both"
+    )

@@ -75,6 +75,17 @@ HEAVY = [
     "arith_coder_daily",
     "betting_eprocess_daily",
     "hedge_expert_weights",
+    # r11: the fuzzy-match delete-neighborhood twin vs its blocked
+    # baseline (the r10 verdict weak), plus every >10 s sf0.1-sweep
+    # line that is engine- (not oracle-) dominated (r10 verdict item 5)
+    "fuzzy_name_match",
+    "fuzzy_name_match_djoin",
+    "embedding_dup_pairs",
+    "bwt_compressibility_gain",
+    "distance_correlation_daily",
+    "probit_newton_1d",
+    "lsh_recall_eval",
+    "pagerank_sim_graph",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
