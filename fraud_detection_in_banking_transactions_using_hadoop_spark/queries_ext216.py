@@ -81,30 +81,27 @@ def dgim_estimate(st, n, win=_WIN):
     return est, bound, len(st)
 
 
-# ---- oracle: phase-encoded recursive CTE ----
-# expression text for one cascade-merge step applied to list {st}
-def _merge_sql(st: str) -> str:
-    trip = (
-        f"list_aggregate(list_transform(list_filter({st}, b ->"
-        f" len(list_filter({st}, c -> c.sz = b.sz)) >= 3),"
-        f" b -> b.sz), 'min')"
-    )
-    t1 = (
-        f"list_aggregate(list_transform(list_filter({st}, b ->"
-        f" b.sz = ({trip})), b -> b.t), 'min')"
-    )
-    t2 = (
-        f"list_aggregate(list_transform(list_filter({st}, b ->"
-        f" b.sz = ({trip}) AND b.t <> ({t1})), b -> b.t), 'min')"
-    )
-    return f"""
-      CASE WHEN ({trip}) IS NULL THEN {st}
-           ELSE list_append(
-             list_filter({st}, b -> NOT (b.sz = ({trip})
-               AND (b.t = ({t1}) OR b.t = ({t2})))),
-             struct_pack(t := ({t2}), sz := ({trip}) * 2))
-      END
-    """
+# ---- oracle: bijective-base-2 closed form (round 11) ----
+# The r9 oracle replayed the merge recursion as a phase-encoded CTE
+# (13 micro-steps per one-bit); the r10 sf0.1 sweep showed those
+# replays dominating the sweep wall (245 s + 242 s for the two DGIM
+# queries). Round 11 replaces the replay with the construction's
+# CLOSED FORM: one-at-a-time DGIM insertion is exactly a counter in
+# BIJECTIVE BASE 2 -- append increments d_0, and "two oldest of a
+# tripled size merge" is the carry d_s: 3 -> 1, d_{s+1} += 1 -- so
+# after m ones the per-size bucket counts are the unique digits
+# d_i in {1, 2} with m = sum d_i 2^i, and because merges always take
+# the two OLDEST buckets, buckets partition the ones into consecutive
+# runs (newest runs smallest) with each bucket stamped by its newest
+# one's stream position. The oracle therefore builds the final list
+# directly: extract the bijective digits of m (a <=13-level recursion
+# over the 30 per-day rows, not 13*m levels over every arrival),
+# unnest one row per bucket, index the per-day ones-position list at
+# rank m - (cumulative newer sizes). test_ext216_invariants fuzzes
+# this numeration theorem against the real merge recursion
+# (dgim_fold) on thousands of random streams, so the oracle remains
+# an independent check of the fold -- via the theorem rather than a
+# step replay. 242 s -> sub-second at sf0.1.
 
 
 _DGIM_ORACLE = f"""
@@ -136,25 +133,43 @@ _DGIM_ORACLE = f"""
       SELECT day, list(rn ORDER BY i) AS ts1,
              CAST(count(*) AS BIGINT) AS m
       FROM oi GROUP BY day),
-    fold AS (
-      SELECT d.day, d.n, coalesce(a.m, 0) * {_PH} AS m13,
-             CAST(0 AS BIGINT) AS k,
-             CAST([] AS STRUCT(t BIGINT, sz BIGINT)[]) AS st
-      FROM days d LEFT JOIN arr a ON a.day = d.day
+    -- bijective-base-2 digits of m, least significant first: the
+    -- per-size bucket counts of the final DGIM state (see module
+    -- comment; fuzz-proven equal to the merge recursion in pytest)
+    digits AS (
+      SELECT day, m AS mm, CAST(-1 AS BIGINT) AS i, CAST(0 AS BIGINT) AS d
+      FROM arr
       UNION ALL
-      SELECT f.day, f.n, f.m13, f.k + 1,
-        CASE WHEN (f.k % {_PH}) = 0
-             THEN list_append(f.st,
-                    struct_pack(t := a.ts1[f.k // {_PH} + 1],
-                                sz := CAST(1 AS BIGINT)))
-        ELSE {_merge_sql('f.st')}
-        END
-      FROM fold f
-      JOIN arr a ON a.day = f.day
-      WHERE f.k < f.m13),
+      SELECT day, (mm - (((mm - 1) % 2) + 1)) // 2, i + 1,
+             ((mm - 1) % 2) + 1
+      FROM digits WHERE mm > 0),
+    -- one row per bucket, newest-first within a day (size asc, and
+    -- j=1 the newer of a doubled size); c = total size of all NEWER
+    -- buckets, so the bucket's newest one has rank m - c and its
+    -- timestamp is that one's stream position
+    bk AS (
+      SELECT g.day, g.i, j.j,
+             ((CAST(1 AS BIGINT) << CAST(g.i AS INTEGER))) AS sz
+      FROM digits g,
+           LATERAL (SELECT unnest(range(1, g.d + 1)) AS j) j
+      WHERE g.i >= 0),
+    bk2 AS (
+      SELECT day, sz,
+             coalesce(sum(sz) OVER (PARTITION BY day ORDER BY i, j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT)) AS c
+      FROM bk),
     fin AS (
-      SELECT f.day, f.st, f.n
-      FROM fold f WHERE f.k = f.m13),
+      SELECT d.day,
+             coalesce(s.st, CAST([] AS STRUCT(t BIGINT, sz BIGINT)[]))
+               AS st,
+             d.n
+      FROM days d LEFT JOIN (
+        SELECT b.day,
+               list(struct_pack(t := a.ts1[CAST(a.m - b.c AS INTEGER)],
+                                sz := b.sz)) AS st
+        FROM bk2 b JOIN arr a ON a.day = b.day
+        GROUP BY b.day) s ON s.day = d.day),
     est AS (
       SELECT day, n,
              len(st) AS n_buckets,

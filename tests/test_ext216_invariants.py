@@ -80,3 +80,50 @@ def test_replay_equals_batch(spark, sf_dir):
     )
     assert batch == replay
     assert all(r[-1] == 1 for r in batch)  # within_bound everywhere
+
+
+def _closed_form(positions):
+    """The round-11 oracle's bijective-base-2 construction, in Python:
+    after m in-order one-bit insertions the per-size bucket counts are
+    the unique digits d_i in {1,2} with m = sum d_i 2^i, buckets
+    partition the ones into consecutive runs (newest runs smallest),
+    and each bucket is stamped with its newest one's position."""
+    m = len(positions)
+    out, mm, i, c = [], m, 0, 0
+    digits = []
+    while mm > 0:
+        d = ((mm - 1) % 2) + 1
+        digits.append(d)
+        mm = (mm - d) // 2
+    for i, d in enumerate(digits):
+        sz = 1 << i
+        for _ in range(d):
+            out.append((positions[m - c - 1], sz))
+            c += sz
+    return out
+
+
+def test_closed_form_equals_merge_recursion():
+    """The numeration theorem the SQL oracle now relies on, fuzzed
+    against the real merge recursion: 3000 random streams across
+    sparse/balanced/dense regimes, exact bucket-list equality."""
+    import random
+
+    rng = random.Random(7)
+    for _ in range(3000):
+        n = rng.randint(0, 400)
+        p = rng.choice([0.02, 0.3, 0.9])
+        bits = [1 if rng.random() < p else 0 for _ in range(n)]
+        st, _ = dgim_fold(bits)
+        positions = [i + 1 for i, b in enumerate(bits) if b]
+        assert sorted(st) == sorted(_closed_form(positions))
+
+
+def test_closed_form_exhaustive_small_m():
+    """Exhaustive (not sampled) check for every m in 1..256 on the
+    all-ones stream: digit counts, consecutive-run coverage, stamps."""
+    for m in range(1, 257):
+        st, _ = dgim_fold([1] * m)
+        cf = _closed_form(list(range(1, m + 1)))
+        assert sorted(st) == sorted(cf), m
+        assert sum(sz for _, sz in cf) == m
