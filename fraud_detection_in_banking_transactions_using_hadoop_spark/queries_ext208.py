@@ -51,21 +51,47 @@ _LZ_ORACLE = """
       FROM events),
     days AS (SELECT day, CAST(count(*) AS BIGINT) AS n
              FROM ev GROUP BY day),
+    strs AS MATERIALIZED (
+      SELECT day, string_agg(ch, '' ORDER BY rn) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ev GROUP BY day),
+    -- VARIABLE-ADVANCE recursion (round 11): one level per PHRASE,
+    -- not per character. The LZ78 dictionary (plus '') is
+    -- prefix-closed -- every inserted phrase is an existing phrase
+    -- plus one char -- so the greedy char-by-char extension reaches
+    -- exactly the LONGEST dict word that prefixes the remaining
+    -- text; the next phrase is that word plus one char. Each level
+    -- finds bestlen by scanning the dict once, appends the phrase,
+    -- and jumps pos by bestlen+1. Levels = n_phrases (~n/avg_len)
+    -- instead of n, and the per-level join is the 30-row per-day
+    -- string table, never the event table (the r10 DGIM super-
+    -- linearity class). A day whose remainder is entirely a known
+    -- phrase ends with that remainder as the in-flight partial cur,
+    -- exactly like the char fold.
     fold AS (
-      SELECT day, CAST(0 AS BIGINT) AS rn,
+      SELECT day, CAST(1 AS BIGINT) AS pos,
              CAST([] AS VARCHAR[]) AS dict, '' AS cur
-      FROM days
+      FROM strs
       UNION ALL
-      SELECT f.day, f.rn + 1,
-             CASE WHEN list_contains(f.dict, f.cur || e.ch)
-                  THEN f.dict
-                  ELSE list_append(f.dict, f.cur || e.ch) END,
-             CASE WHEN list_contains(f.dict, f.cur || e.ch)
-                  THEN f.cur || e.ch ELSE '' END
-      FROM fold f JOIN ev e ON e.day = f.day AND e.rn = f.rn + 1),
+      SELECT day,
+             CASE WHEN bestlen = r THEN n + 1 ELSE pos + bestlen + 1 END,
+             CASE WHEN bestlen = r THEN dict
+                  ELSE list_append(dict, substr(s, CAST(pos AS INTEGER),
+                                    CAST(bestlen + 1 AS INTEGER))) END,
+             CASE WHEN bestlen = r THEN substr(s, CAST(pos AS INTEGER))
+                  ELSE '' END
+      FROM (
+        SELECT f.day, f.pos, f.dict, s.s, s.n,
+               s.n - f.pos + 1 AS r,
+               coalesce(list_aggregate(list_transform(
+                 list_filter(f.dict,
+                   w -> w = substr(s.s, CAST(f.pos AS INTEGER), len(w))),
+                 w -> len(w)), 'max'), 0) AS bestlen
+        FROM fold f JOIN strs s ON s.day = f.day
+        WHERE f.pos <= s.n)),
     fin AS (
       SELECT f.day, f.dict, f.cur, d.n FROM fold f
-      JOIN days d ON d.day = f.day AND f.rn = d.n)
+      JOIN days d ON d.day = f.day AND f.pos = d.n + 1)
     SELECT strftime(day, '%Y-%m-%d') AS day,
            n AS n_events,
            CAST(len(dict) + CASE WHEN cur <> '' THEN 1 ELSE 0 END

@@ -395,36 +395,65 @@ def q_lz76_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # crc32_media
 # ---------------------------------------------------------------------------
-def _crc_byte_sql(crc: str, byte: str) -> str:
-    """One CRC-32 byte update: crc ^= byte, then 8 reflected shift-xor
-    steps, unrolled as nested text (DuckDB xor() function syntax)."""
-    expr = f"xor({crc}, {byte})"
-    for _ in range(8):
-        expr = (
-            f"xor(({expr}) // 2, CASE WHEN ({expr}) % 2 = 1"
-            f" THEN {_CRC_POLY} ELSE CAST(0 AS BIGINT) END)"
-        )
-    return expr
-
-
+# Round-11 oracle rewrite. The r10 form ran one recursion level per
+# BYTE per media with the 8-step shift-xor unrolled as nested text --
+# the two self-references per step made the level expression ~2^8
+# copies of the base term, and the per-level join rebuilt a
+# documents-sized hash table each level (the DGIM super-linearity
+# class; 78 s of sf0.1 sweep time). The rewrite keeps the from-scratch
+# polynomial arithmetic but restructures it the way real
+# implementations do:
+#   1. tbl: the 256-entry CRC table DERIVED IN-SQL from the bitwise
+#      definition (8 shift-xor levels over 256 seed rows -- the same
+#      reflected recursion, now run once instead of per byte);
+#   2. fold: ALL media advance together -- the state is ONE row
+#      carrying the list of running CRCs (ordered by media_id), each
+#      level consumes byte position k for every media via the 60-row
+#      per-position table and the table-lookup step
+#      crc' = xor(crc // 256, T[xor(crc % 256, byte)]).
+# 60 levels total (vs 60 * n_media), no data-sized per-level join.
 _CRC_ORACLE = f"""
     WITH RECURSIVE {_MD5_HEX_SQL},
-    arr AS MATERIALIZED (
-      SELECT media_id, list(v ORDER BY i) AS bytes,
-             CAST(count(*) AS BIGINT) AS m
-      FROM b GROUP BY media_id),
-    fold AS (
-      SELECT media_id, m, CAST(0 AS BIGINT) AS k,
-             CAST({_CRC_MASK} AS BIGINT) AS crc
-      FROM arr
+    tseed AS (SELECT unnest(range(0, 256)) AS idx),
+    tbl AS (
+      SELECT idx, CAST(idx AS BIGINT) AS t, CAST(0 AS BIGINT) AS stp
+      FROM tseed
       UNION ALL
-      SELECT f.media_id, f.m, f.k + 1,
-             {_crc_byte_sql('f.crc', 'a.bytes[CAST(f.k + 1 AS INTEGER)]')}
-      FROM fold f JOIN arr a ON a.media_id = f.media_id
-      WHERE f.k < f.m)
-    SELECT media_id, m AS n_bytes,
-           xor(crc, {_CRC_MASK}) AS crc32
-    FROM fold WHERE k = m
+      SELECT idx,
+             xor(t // 2, CASE WHEN t % 2 = 1 THEN {_CRC_POLY}
+                              ELSE CAST(0 AS BIGINT) END),
+             stp + 1
+      FROM tbl WHERE stp < 8),
+    tlist AS MATERIALIZED (
+      SELECT list(t ORDER BY idx) AS tl FROM tbl WHERE stp = 8),
+    idl AS MATERIALIZED (
+      SELECT list(media_id ORDER BY media_id) AS ids,
+             CAST(count(*) AS BIGINT) AS nm
+      FROM h),
+    byp AS MATERIALIZED (
+      SELECT i, list(v ORDER BY media_id) AS vs
+      FROM b GROUP BY i),
+    fold AS (
+      SELECT CAST(0 AS BIGINT) AS k,
+             list_transform(range(1, nm + 1),
+               q -> CAST({_CRC_MASK} AS BIGINT)) AS crcs
+      FROM idl
+      UNION ALL
+      SELECT f.k + 1,
+             list_transform(range(1, len(f.crcs) + 1),
+               q -> xor(f.crcs[q] // 256,
+                        t.tl[CAST(xor(f.crcs[q] % 256,
+                                      p.vs[q]) AS INTEGER) + 1]))
+      FROM fold f
+      JOIN byp p ON p.i = f.k
+      CROSS JOIN tlist t
+      WHERE f.k < 60),
+    fin AS (SELECT crcs FROM fold WHERE k = 60)
+    SELECT d.ids[CAST(u.q AS INTEGER)] AS media_id,
+           CAST(60 AS BIGINT) AS n_bytes,
+           xor(f.crcs[CAST(u.q AS INTEGER)], {_CRC_MASK}) AS crc32
+    FROM fin f CROSS JOIN idl d,
+         LATERAL (SELECT unnest(range(1, d.nm + 1)) AS q) u
 """
 
 
@@ -533,48 +562,43 @@ def q_streaming_crc_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_schema = "media_id long, crc long, n long"
 
     def fold(batch_df, batch_id):
-        def seed_and_fold(pdf):
-            sr = pdf[pdf["kind"] == "state"]
-            seed, n0 = 0, 0
-            if len(sr):
-                seed = int(sr["crc"].iloc[0])
-                n0 = int(sr["n"].iloc[0])
-            er = pdf[pdf["kind"] == "event"].sort_values("i")
-            data = bytes(int(x) for x in er["v"])
-            crc = zlib.crc32(data, seed) & _CRC_MASK
-            return pd.DataFrame(
-                {
-                    "media_id": [int(pdf["media_id"].iloc[0])],
-                    "crc": [crc],
-                    "n": [n0 + len(data)],
-                }
-            )
-
-        b = batch_df.select(
-            "media_id",
-            "i",
-            "v",
-            F.lit("event").alias("kind"),
-            F.lit(None).cast("long").alias("crc"),
-            F.lit(None).cast("long").alias("n"),
+        # Per-batch state update as collect_list + equi-join + ONE
+        # mapInPandas pass (round 11): the r10 form ran
+        # groupBy(media_id).applyInPandas over 5000 single-media
+        # groups per batch -- 20k tiny pandas frames across the four
+        # batches, pure per-group Python overhead. Gathering each
+        # media's 15 bytes JVM-side (sort_array over (i, v) structs)
+        # and folding the whole 5000-row state frame in one Arrow
+        # batch keeps identical semantics: seed = carried crc,
+        # zlib.crc32(data, seed) continuation.
+        bb = batch_df.groupBy("media_id").agg(
+            F.sort_array(F.collect_list(F.struct("i", "v"))).alias("bts")
         )
+
+        def upd(batches):
+            for pdf in batches:
+                ids, crcs, ns = [], [], []
+                for row in pdf.itertuples():
+                    seed = 0 if pd.isna(row.crc) else int(row.crc)
+                    n0 = 0 if pd.isna(row.n) else int(row.n)
+                    data = bytes(int(x["v"]) for x in row.bts)
+                    ids.append(int(row.media_id))
+                    crcs.append(zlib.crc32(data, seed) & _CRC_MASK)
+                    ns.append(n0 + len(data))
+                yield pd.DataFrame({"media_id": ids, "crc": crcs, "n": ns})
+
         try:
             recover_table(spark, str(state))
-            prev = spark.read.parquet(str(state)).select(
-                "media_id",
-                F.lit(None).cast("long").alias("i"),
-                F.lit(None).cast("long").alias("v"),
-                F.lit("state").alias("kind"),
-                "crc",
-                "n",
-            )
-            merged = b.unionByName(prev).groupBy("media_id").applyInPandas(
-                seed_and_fold, schema=state_schema
+            prev = spark.read.parquet(str(state))
+            merged = bb.join(prev, "media_id", "left").mapInPandas(
+                upd, schema=state_schema
             )
             atomic_overwrite(merged, str(state), f"crc{batch_id}")
         except Exception:
-            first = b.groupBy("media_id").applyInPandas(
-                seed_and_fold, schema=state_schema
+            first = (
+                bb.withColumn("crc", F.lit(None).cast("long"))
+                .withColumn("n", F.lit(None).cast("long"))
+                .mapInPandas(upd, schema=state_schema)
             )
             first.write.mode("overwrite").parquet(str(state))
 
