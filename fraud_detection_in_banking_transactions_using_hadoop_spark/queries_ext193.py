@@ -46,9 +46,9 @@ LOF_EXACT_SQL = f"""
       FROM embeddings),
     dist AS (
       SELECT a.vec_id AS i, b.vec_id AS j,
-             CAST(round(1.0e9 * sqrt(
+             CAST(floor(1.0e9 * sqrt(
                (a.px - b.px) * (a.px - b.px)
-               + (a.py - b.py) * (a.py - b.py)), 0) AS BIGINT) AS dq
+               + (a.py - b.py) * (a.py - b.py)) + 0.5) AS BIGINT) AS dq
       FROM pts a JOIN pts b ON a.vec_id <> b.vec_id),
     knn AS (
       SELECT i, j, dq,
@@ -150,8 +150,8 @@ def q_lof_embedding_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("i"),
         "j",
         F.expr(
-            "CAST(round(1.0e9 * sqrt((px - bx) * (px - bx)"
-            " + (py - by) * (py - by)), 0) AS BIGINT)"
+            "CAST(floor(1.0e9 * sqrt((px - bx) * (px - bx)"
+            " + (py - by) * (py - by)) + 0.5) AS BIGINT)"
         ).alias("dq"),
     )
     knn = dist.select(

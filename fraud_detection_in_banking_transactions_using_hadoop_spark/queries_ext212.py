@@ -80,8 +80,8 @@ def _lof_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DQ_EXPR = (
-    "CAST(round(1.0e9 * sqrt((px - bx) * (px - bx)"
-    " + (py - by) * (py - by)), 0) AS BIGINT)"
+    "CAST(floor(1.0e9 * sqrt((px - bx) * (px - bx)"
+    " + (py - by) * (py - by)) + 0.5) AS BIGINT)"
 )
 
 
@@ -104,8 +104,10 @@ def _dense_tier1(
     pass: group = (cell, chunk of <= _DENSE_CHUNK probes), rows = that
     chunk's probes plus the cell's full 3x3-halo candidate set
     (replicated per chunk). numpy computes the e9-quantized distances
-    with the SAME half-up rounding as _DQ_EXPR (floor(x + 0.5) on a
-    nonnegative x == Spark round HALF_UP) and takes top-k in (dq, j)
+    with LITERALLY THE SAME function as _DQ_EXPR -- floor(x + 0.5) in
+    IEEE doubles on both sides (r10 advice: the earlier Spark
+    round(x, 0) was BigDecimal HALF_UP on the shortest repr, not the
+    same function as np.floor(x + 0.5)) -- and takes top-k in (dq, j)
     order -- output identical to the join tier, but the m^2 term is
     in-task vectorized FLOPs, never shuffled rows. Per-task memory is
     O(_DENSE_CHUNK * |halo|); a deployment expecting 10^8-point pileups

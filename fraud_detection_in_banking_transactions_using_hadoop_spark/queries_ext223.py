@@ -110,9 +110,13 @@ _SVM_DCQ = (
            dcq // {_SVM_BIN_Q} AS bin,
            round((dcq // {_SVM_BIN_Q}) * 0.2, 1) AS lag_lo,
            CAST(sum(np) AS BIGINT) AS n_pairs,
-           round(CAST(sum(sqd) AS DOUBLE)
-                 / (2.0 * CAST(sum(np) AS DOUBLE)) / 1e12, 6) + 0.0
-             AS gamma,
+           -- gamma as an exact-integer HALF-UP division (r10 advice):
+           -- round_half_up(S / (2e6 P)) = (2S + 2e6 P) // (4e6 P),
+           -- never a float round() at a 6-dp half boundary
+           CAST((2 * CAST(sum(sqd) AS HUGEINT)
+                 + 2000000 * CAST(sum(np) AS HUGEINT))
+                // (4000000 * CAST(sum(np) AS HUGEINT)) AS DOUBLE)
+             / 1e6 AS gamma,
            round(CAST({_SVM_CELL} AS DOUBLE) * sqrt(2.0), 6)
              AS max_center_err
     FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM within)
@@ -199,14 +203,13 @@ def q_semivariogram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.col("bin") * 0.2, 1).alias("lag_lo"),
             F.sum("np").cast("bigint").alias("n_pairs"),
-            (
-                F.round(
-                    F.expr("CAST(sum(sqd) AS DOUBLE)")
-                    / (2.0 * F.expr("CAST(sum(np) AS DOUBLE)"))
-                    / 1e12,
-                    6,
-                )
-                + F.lit(0.0)
+            # exact-integer half-up 6-dp gamma (r10 advice); DECIMAL
+            # DIV returns LONG, quotient ~ gamma*1e6 -- far under 2^63
+            F.expr(
+                "CAST((2 * CAST(sum(sqd) AS DECIMAL(38,0))"
+                " + 2000000 * CAST(sum(np) AS DECIMAL(38,0)))"
+                " DIV (4000000 * CAST(sum(np) AS DECIMAL(38,0)))"
+                " AS DOUBLE) / 1e6"
             ).alias("gamma"),
         )
         .select(

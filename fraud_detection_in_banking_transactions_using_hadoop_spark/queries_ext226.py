@@ -209,6 +209,7 @@ def q_johnson_two_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND b.day IN (a.day, a.day + 1, a.day + 2, a.day + 3,
                      a.day + 4, a.day + 5, a.day + 6, a.day + 7)
        AND b.us > a.us AND b.us <= a.us + {_RT_WINDOW_US}
+       AND a.cents > 0
        AND 10 * b.cents >= 8 * a.cents
        AND 10 * b.cents <= 12 * a.cents),
     agg AS (
@@ -261,6 +262,9 @@ def q_round_trip_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(b, ["origin", "middle", "jday"]).where(
         (F.col("us_back") > F.col("us_out"))
         & (F.col("us_back") <= F.col("us_out") + F.lit(_RT_WINDOW_US))
+        # cents_out > 0 guards the sratio division: the 80-120% band
+        # alone admits a 0/0 pair if a zero-value event ever matches
+        & (F.col("cents_out") > 0)
         & (10 * F.col("cents_back") >= 8 * F.col("cents_out"))
         & (10 * F.col("cents_back") <= 12 * F.col("cents_out"))
     )

@@ -53,9 +53,12 @@ _TOUR_PTS_SQL = f"""
       LIMIT {_TOUR_N})
 """
 
+# floor(x + 0.5) -- the same IEEE function the driver fold applies
+# (r10 advice: DuckDB round(,0) is nearbyint ties-to-even, not the
+# fold's half-up)
 _TOUR_DQ = (
-    "CAST(round(1.0e9 * sqrt((a_px - p.px) * (a_px - p.px)"
-    " + (a_py - p.py) * (a_py - p.py)), 0) AS BIGINT)"
+    "CAST(floor(1.0e9 * sqrt((a_px - p.px) * (a_px - p.px)"
+    " + (a_py - p.py) * (a_py - p.py)) + 0.5) AS BIGINT)"
 )
 
 
@@ -85,8 +88,8 @@ _TOUR_DQ = (
       SELECT step, node, leg_dq FROM tour
       UNION ALL
       SELECT CAST({_TOUR_N + 1} AS BIGINT), s.vec_id,
-             CAST(round(1.0e9 * sqrt((t.a_px - s.px) * (t.a_px - s.px)
-               + (t.a_py - s.py) * (t.a_py - s.py)), 0) AS BIGINT)
+             CAST(floor(1.0e9 * sqrt((t.a_px - s.px) * (t.a_px - s.px)
+               + (t.a_py - s.py) * (t.a_py - s.py)) + 0.5) AS BIGINT)
       FROM tour t CROSS JOIN start s
       WHERE t.step = {_TOUR_N})
     SELECT step, node, leg_dq,
@@ -121,7 +124,9 @@ def q_nn_tour_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         bx, by = P[b]
         return int(
             math.floor(
-                1.0e9 * math.sqrt((ax - bx) ** 2 + (ay - by) ** 2) + 0.5
+                1.0e9
+                * math.sqrt((ax - bx) * (ax - bx) + (ay - by) * (ay - by))
+                + 0.5
             )
         )
 

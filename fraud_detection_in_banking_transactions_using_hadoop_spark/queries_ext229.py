@@ -14,7 +14,8 @@ consistent-hash placement.
   B to minimize combined volatility.
 - consistent_hash_ring: the OTHER classic placement scheme next to
   ext207's rendezvous/HRW -- 16 shards x 8 virtual nodes at md5 ring
-  positions (first 16 hex chars as a 64-bit int, both engines'
+  positions (first 15 hex chars as a 60-bit int -- 16 could overflow
+  signed BIGINT -- both engines'
   identical md5), each customer key owned by the first vnode clockwise
   (wraparound to the ring minimum). Emits per-shard population and
   share, plus the MEASURED reshard movement when shard 17 joins: only
