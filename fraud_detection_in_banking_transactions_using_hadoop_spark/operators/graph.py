@@ -218,3 +218,37 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return nodes.join(ranks, "node").select("node", "d", "r")
+
+
+def cc_forest_merge(
+    state_clusters: DataFrame,
+    delta_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Incremental connected-components maintenance (round 11): fold a
+    batch of NEW edges into a persisted (node, cluster) assignment
+    without touching the old edge set.
+
+    The old assignment is compressed to its SPANNING FOREST -- one
+    (cluster, node) edge per non-root node, O(nodes) rows regardless
+    of how many edges produced it -- and connected_components runs on
+    forest UNION delta only. Exactness: a forest preserves the
+    component partition, min-label is associative across merges, and
+    (because every CC input node has degree >= 1) components have
+    size >= 2, so every old node appears in the forest and no
+    assignment is dropped. A delta edge bridging two old clusters
+    merges them through their forest edges exactly as through the
+    full graph. Cost per snapshot is O(|old nodes| + |delta|), never
+    O(|old edges|) -- the 100 TB ingest-path contract, pytest-gated
+    (tests/test_ext232_invariants.py).
+
+    Same machinery as operators/dedup.incremental_lsh_merge's tail,
+    factored so ANY edge stream (payments, similarity graphs) can be
+    maintained incrementally, not just the LSH pipeline."""
+    forest = state_clusters.where(F.col("node") != F.col("cluster")).select(
+        F.col("cluster").alias(src), F.col("node").alias(dst)
+    )
+    return connected_components(
+        forest.unionByName(delta_edges.select(src, dst)), src=src, dst=dst
+    )

@@ -302,6 +302,7 @@ def registry() -> list[Query]:
         queries_ext229,
         queries_ext230,
         queries_ext231,
+        queries_ext232,
         queries_feat,
         queries_funcs,
         queries_funcs2,
