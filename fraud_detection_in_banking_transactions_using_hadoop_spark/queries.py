@@ -304,6 +304,7 @@ def registry() -> list[Query]:
         queries_ext231,
         queries_ext232,
         queries_ext233,
+        queries_ext234,
         queries_feat,
         queries_funcs,
         queries_funcs2,
