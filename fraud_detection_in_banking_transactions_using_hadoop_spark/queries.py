@@ -305,6 +305,7 @@ def registry() -> list[Query]:
         queries_ext232,
         queries_ext233,
         queries_ext234,
+        queries_ext235,
         queries_feat,
         queries_funcs,
         queries_funcs2,
