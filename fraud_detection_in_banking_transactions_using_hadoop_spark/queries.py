@@ -306,6 +306,7 @@ def registry() -> list[Query]:
         queries_ext233,
         queries_ext234,
         queries_ext235,
+        queries_ext236,
         queries_feat,
         queries_funcs,
         queries_funcs2,
