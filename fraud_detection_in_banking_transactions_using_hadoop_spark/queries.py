@@ -308,6 +308,7 @@ def registry() -> list[Query]:
         queries_ext235,
         queries_ext236,
         queries_ext237,
+        queries_ext238,
         queries_feat,
         queries_funcs,
         queries_funcs2,
