@@ -309,6 +309,7 @@ def registry() -> list[Query]:
         queries_ext236,
         queries_ext237,
         queries_ext238,
+        queries_ext239,
         queries_feat,
         queries_funcs,
         queries_funcs2,
