@@ -310,6 +310,7 @@ def registry() -> list[Query]:
         queries_ext237,
         queries_ext238,
         queries_ext239,
+        queries_ext240,
         queries_feat,
         queries_funcs,
         queries_funcs2,
