@@ -1026,6 +1026,20 @@ EAGER = {
     "betweenness_brandes_nations",
     "graph_eccentricity_nations",
     "payment_backbone_mst",
+    # r11 bounded driver folds (classification-ledger class): SimRank
+    # on the 25-node backbone, PPMI power iteration over the 31-type
+    # vocab, the calendar-bounded segmentation scans, the 8-band
+    # Sinkhorn scaling fold, and the ER-methodology queries whose
+    # truth/candidate counts are eager by construction
+    "simrank_backbone",
+    "ppmi_spectral_embedding",
+    "binary_segmentation_changepoints",
+    "sinkhorn_ot_plan",
+    "blocking_quality",
+    "fellegi_sunter_weights",
+    # r11 streaming replays (32nd/33rd)
+    "streaming_pcsa_replay",
+    "streaming_mmd_replay",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
