@@ -312,6 +312,7 @@ def registry() -> list[Query]:
         queries_ext239,
         queries_ext240,
         queries_ext241,
+        queries_ext242,
         queries_feat,
         queries_funcs,
         queries_funcs2,

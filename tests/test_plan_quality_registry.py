@@ -1040,6 +1040,8 @@ EAGER = {
     # r11 streaming replays (32nd/33rd)
     "streaming_pcsa_replay",
     "streaming_mmd_replay",
+    # r11 bounded geometry fold (50 centroid points)
+    "convex_hull_centroids",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
