@@ -313,6 +313,7 @@ def registry() -> list[Query]:
         queries_ext240,
         queries_ext241,
         queries_ext242,
+        queries_ext243,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -1042,6 +1042,8 @@ EAGER = {
     "streaming_mmd_replay",
     # r11 bounded geometry fold (50 centroid points)
     "convex_hull_centroids",
+    # r11 bounded matching fold (25x25 trade-weight collect)
+    "gale_shapley_stable",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
