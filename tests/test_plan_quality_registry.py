@@ -143,6 +143,11 @@ ALLOWED_NESTED_LOOP = {
     "anderson_darling_2s",
     "brunner_munzel",
     "cucconi_location_scale",
+    # r11: constant 64-bucket register spine cross the ~30-day frame
+    # (PCSA readout -- 64 x days rows, bucket-count bounded)
+    "pcsa_distinct_sketch",
+    # r11: 1-row x 1-row moment-gap cross (the h1/h2 aggregate frames)
+    "mmd_poly_drift",
     "ann_cosine_topk",
     "embedding_dup_pairs",
     "source_mixture",
