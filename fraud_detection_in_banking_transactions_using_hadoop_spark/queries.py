@@ -314,6 +314,7 @@ def registry() -> list[Query]:
         queries_ext241,
         queries_ext242,
         queries_ext243,
+        queries_ext244,
         queries_feat,
         queries_funcs,
         queries_funcs2,
