@@ -315,6 +315,7 @@ def registry() -> list[Query]:
         queries_ext242,
         queries_ext243,
         queries_ext244,
+        queries_ext245,
         queries_feat,
         queries_funcs,
         queries_funcs2,

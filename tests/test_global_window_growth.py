@@ -290,6 +290,8 @@ DOMAIN = {
     "by_fdr_dependent": ("cust_nations", "customer_rows"),
     "borda_copeland_nations": ("cust_nations", "customer_rows"),
     "kendall_distance_rankings": ("cust_nations", "customer_rows"),
+    # r11: schedule windows run over the 25-nation job aggregate
+    "smiths_rule_wspt": ("cust_nations", "customer_rows"),
 }
 
 PROBES = {

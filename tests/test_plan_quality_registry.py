@@ -619,6 +619,8 @@ ALLOWED_NESTED_LOOP = {
 # to block (use operators/rank.with_global_rank instead). Keyed
 # name -> justification (input table the window runs over).
 ALLOWED_GLOBAL_WINDOW = {
+    # r11: three schedule orders over the 25-row nation-job aggregate
+    "smiths_rule_wspt": "25-row nation job frame (post-agg)",
     # operators/rank two-level ranking: B-row bucket-count offset table
     # (+ 10-row decile summary for the ntile queries)
     "gini_coefficient": "B-row bucket offsets",
@@ -1049,6 +1051,8 @@ EAGER = {
     "convex_hull_centroids",
     # r11 bounded matching fold (25x25 trade-weight collect)
     "gale_shapley_stable",
+    # r11 bounded actuarial fold (8-band severity + 3 scalars collect)
+    "panjer_aggregate_pmf",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
