@@ -316,6 +316,7 @@ def registry() -> list[Query]:
         queries_ext243,
         queries_ext244,
         queries_ext245,
+        queries_ext246,
         queries_feat,
         queries_funcs,
         queries_funcs2,

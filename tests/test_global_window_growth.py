@@ -262,6 +262,7 @@ CALENDAR = {
     "henderson_trend": "orders_months",
     "bass_diffusion_fit": "orders_months",
     "xmr_individuals_chart": "orders_days",
+    "christoffersen_var_backtest": "orders_days",
     "wrights_experience_curve": "orders_months",
     "bollinger_bands_daily": "orders_days",
     "hedge_expert_weights": "orders_days",

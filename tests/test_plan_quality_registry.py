@@ -148,6 +148,10 @@ ALLOWED_NESTED_LOOP = {
     "pcsa_distinct_sketch",
     # r11: 1-row x 1-row moment-gap cross (the h1/h2 aggregate frames)
     "mmd_poly_drift",
+    # r11: 1-row vocab-totals broadcast onto the 31-word table (DSIR)
+    "dsir_importance_weights",
+    # r11: 1-row train-threshold broadcast onto the day spine
+    "christoffersen_var_backtest",
     "ann_cosine_topk",
     "embedding_dup_pairs",
     "source_mixture",
@@ -621,6 +625,8 @@ ALLOWED_NESTED_LOOP = {
 ALLOWED_GLOBAL_WINDOW = {
     # r11: three schedule orders over the 25-row nation-job aggregate
     "smiths_rule_wspt": "25-row nation job frame (post-agg)",
+    # r11: rn/lead over the ~30-day daily revenue spine
+    "christoffersen_var_backtest": "daily revenue series (lag spine)",
     # operators/rank two-level ranking: B-row bucket-count offset table
     # (+ 10-row decile summary for the ntile queries)
     "gini_coefficient": "B-row bucket offsets",
