@@ -317,6 +317,7 @@ def registry() -> list[Query]:
         queries_ext244,
         queries_ext245,
         queries_ext246,
+        queries_ext247,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -1059,6 +1059,10 @@ EAGER = {
     "gale_shapley_stable",
     # r11 bounded actuarial fold (8-band severity + 3 scalars collect)
     "panjer_aggregate_pmf",
+    # r11 live replay #34 (order-sensitive LRU recency-list state)
+    "streaming_lru_replay",
+    # r11 bounded geometry fold (hull-vertex state, 3-snapshot replay)
+    "incremental_hull_update",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
