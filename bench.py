@@ -89,6 +89,13 @@ HEADLINE = [
     "semivariogram_moments",  # density-growth twin: per-cell moments only
     "incremental_lsh_update",  # frozen-plane delta signature + TV drift
     "multimodal_rice_stats",  # Golomb-Rice entropy coder (10th real codec)
+    # round-11 flagship operators
+    "fuzzy_name_match_djoin",  # delete-1 ER twin (the r10 weak, closed)
+    "incremental_cc_update",  # forest+delta connected components
+    "pcsa_distinct_sketch",  # OR-monoid FM registers, exact-integer 2^(S/64)
+    "mmd_poly_drift",  # kernel two-sample as six moment sums
+    "multimodal_base64",  # 13th real codec (JVM vs 6-bit repack oracle)
+    "cache_replay_lru_belady",  # LRU vs clairvoyant OPT trace replay
 ]
 
 

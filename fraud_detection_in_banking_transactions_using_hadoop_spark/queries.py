@@ -318,6 +318,7 @@ def registry() -> list[Query]:
         queries_ext245,
         queries_ext246,
         queries_ext247,
+        queries_ext248,
         queries_feat,
         queries_funcs,
         queries_funcs2,

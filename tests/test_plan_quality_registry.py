@@ -1063,6 +1063,8 @@ EAGER = {
     "streaming_lru_replay",
     # r11 bounded geometry fold (hull-vertex state, 3-snapshot replay)
     "incremental_hull_update",
+    # r11 bounded decomposition fold (31x31 count matrix collect)
+    "nmf_topics",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
