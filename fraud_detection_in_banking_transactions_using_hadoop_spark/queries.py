@@ -319,6 +319,7 @@ def registry() -> list[Query]:
         queries_ext246,
         queries_ext247,
         queries_ext248,
+        queries_ext249,
         queries_feat,
         queries_funcs,
         queries_funcs2,

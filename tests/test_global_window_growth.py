@@ -295,7 +295,15 @@ DOMAIN = {
     "smiths_rule_wspt": ("cust_nations", "customer_rows"),
 }
 
+# r11: the degree CCDF window runs over DISTINCT out-degree values --
+# a slowly-growing domain; probed directly
+DOMAIN["graph_degree_powerlaw"] = ("event_user_degrees", "events_rows")
+
 PROBES = {
+    "event_user_degrees": (
+        "SELECT count(DISTINCT d) FROM (SELECT count(DISTINCT"
+        " json_extract(props, '$.k')) AS d FROM events GROUP BY user_id)"
+    ),
     "cent_div16_buckets": (
         "SELECT count(DISTINCT CAST(round(o_totalprice * 100, 0) AS BIGINT)"
         " // 65536) FROM orders"

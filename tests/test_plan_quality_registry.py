@@ -152,6 +152,8 @@ ALLOWED_NESTED_LOOP = {
     "dsir_importance_weights",
     # r11: 1-row train-threshold broadcast onto the day spine
     "christoffersen_var_backtest",
+    # r11: 1-row alpha broadcast onto the distinct-degree spine
+    "graph_degree_powerlaw",
     "ann_cosine_topk",
     "embedding_dup_pairs",
     "source_mixture",
@@ -627,6 +629,8 @@ ALLOWED_GLOBAL_WINDOW = {
     "smiths_rule_wspt": "25-row nation job frame (post-agg)",
     # r11: rn/lead over the ~30-day daily revenue spine
     "christoffersen_var_backtest": "daily revenue series (lag spine)",
+    # r11: CCDF prefix over the distinct-degree spine (domain-bounded)
+    "graph_degree_powerlaw": "distinct out-degree spine",
     # operators/rank two-level ranking: B-row bucket-count offset table
     # (+ 10-row decile summary for the ntile queries)
     "gini_coefficient": "B-row bucket offsets",
@@ -1065,6 +1069,8 @@ EAGER = {
     "incremental_hull_update",
     # r11 bounded decomposition fold (31x31 count matrix collect)
     "nmf_topics",
+    # r11 bounded calipers fold (hull-vertex collect + in-fold law assert)
+    "hull_diameter_calipers",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
