@@ -320,6 +320,7 @@ def registry() -> list[Query]:
         queries_ext247,
         queries_ext248,
         queries_ext249,
+        queries_ext250,
         queries_feat,
         queries_funcs,
         queries_funcs2,

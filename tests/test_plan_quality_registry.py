@@ -1071,6 +1071,8 @@ EAGER = {
     "nmf_topics",
     # r11 bounded calipers fold (hull-vertex collect + in-fold law assert)
     "hull_diameter_calipers",
+    # r11 bounded percolation fold (25-node backbone union-find per level)
+    "targeted_attack_robustness",
 }
 
 _LAZY = [q for q in registry() if q.name not in EAGER]
