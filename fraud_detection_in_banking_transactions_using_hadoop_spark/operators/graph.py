@@ -249,6 +249,18 @@ def cc_forest_merge(
     forest = state_clusters.where(F.col("node") != F.col("cluster")).select(
         F.col("cluster").alias(src), F.col("node").alias(dst)
     )
-    return connected_components(
+    merged = connected_components(
         forest.unionByName(delta_edges.select(src, dst)), src=src, dst=dst
     )
+    # Totality guard (r11 ADVICE): a singleton state row (node == cluster,
+    # component size 1) contributes no forest edge, so it would be absent
+    # from `merged` unless a delta edge touches it. CC-produced states
+    # never contain such rows (every CC input node has degree >= 1), but a
+    # hand-built or filtered state might -- union singleton roots back as
+    # self-clusters so no assignment is ever dropped regardless of caller.
+    singles = (
+        state_clusters.select("node")
+        .join(merged.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("cluster"))
+    )
+    return merged.unionByName(singles)

@@ -41,8 +41,9 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers 
     "incremental_cc_update",
     f"""
     WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs),
+    edges AS (SELECT DISTINCT a, b FROM (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs)),
     nodes AS (SELECT DISTINCT a AS n FROM edges),
     reach(node, r) AS (
       SELECT n, n FROM nodes

@@ -75,3 +75,16 @@ def test_delta_cost_contract(spark):
     merged2 = cc_forest_merge(state, _edges_df(spark, [(11, 99)]))
     lab = _labels(merged2)
     assert lab[99] == 0 and len(lab) == 13
+
+
+def test_singleton_state_rows_survive(spark):
+    """Totality guard (r11 ADVICE): a hand-built state containing
+    singleton clusters (node == cluster, size 1 -- impossible from CC
+    output, possible from a filtered/synthetic state) must not lose
+    those assignments: untouched singletons come back as themselves,
+    and a delta edge can absorb one into a cluster."""
+    state = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7), (9, 9)], "node long, cluster long"
+    )
+    merged = cc_forest_merge(state, _edges_df(spark, [(2, 9)]))
+    assert _labels(merged) == {1: 1, 2: 1, 9: 1, 7: 7}
