@@ -267,7 +267,7 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND list_dot_product(a.v, b.v) /
           (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.5
     """,
-    tags=("similarity", "dedup"),
+    tags=("similarity", "dedup", "brute-baseline"),
 )
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import cosine

@@ -125,7 +125,7 @@ def lof_chain_from_knn(knn: DataFrame) -> DataFrame:
 @register(
     "lof_embedding_plane",
     LOF_EXACT_SQL,
-    tags=("anomaly", "density", "embedding"),
+    tags=("anomaly", "density", "embedding", "brute-baseline"),
 )
 def q_lof_embedding_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Outlier Factor (k=5) over the embedding-plane points: a

@@ -68,6 +68,11 @@ _LZ_ORACLE = """
     -- linearity class). A day whose remainder is entirely a known
     -- phrase ends with that remainder as the in-flight partial cur,
     -- exactly like the char fold.
+    -- Per-level cost fix (r12): the old inner filter ran substr(s,
+    -- pos, len(w)) -- one ALLOCATION per dict entry per level, O(P^2)
+    -- allocations per day (~10M at sf0.1, ~25 s). The remainder is now
+    -- materialized ONCE per level (`rem`) and each dict entry does an
+    -- allocation-free starts_with prefix compare instead.
     fold AS (
       SELECT day, CAST(1 AS BIGINT) AS pos,
              CAST([] AS VARCHAR[]) AS dict, '' AS cur
@@ -76,19 +81,20 @@ _LZ_ORACLE = """
       SELECT day,
              CASE WHEN bestlen = r THEN n + 1 ELSE pos + bestlen + 1 END,
              CASE WHEN bestlen = r THEN dict
-                  ELSE list_append(dict, substr(s, CAST(pos AS INTEGER),
-                                    CAST(bestlen + 1 AS INTEGER))) END,
-             CASE WHEN bestlen = r THEN substr(s, CAST(pos AS INTEGER))
-                  ELSE '' END
+                  ELSE list_append(dict,
+                         substr(rem, 1, CAST(bestlen + 1 AS INTEGER))) END,
+             CASE WHEN bestlen = r THEN rem ELSE '' END
       FROM (
-        SELECT f.day, f.pos, f.dict, s.s, s.n,
-               s.n - f.pos + 1 AS r,
+        SELECT day, pos, dict, n, r, rem,
                coalesce(list_aggregate(list_transform(
-                 list_filter(f.dict,
-                   w -> w = substr(s.s, CAST(f.pos AS INTEGER), len(w))),
+                 list_filter(dict, w -> starts_with(rem, w)),
                  w -> len(w)), 'max'), 0) AS bestlen
-        FROM fold f JOIN strs s ON s.day = f.day
-        WHERE f.pos <= s.n)),
+        FROM (
+          SELECT f.day, f.pos, f.dict, s.n,
+                 s.n - f.pos + 1 AS r,
+                 substr(s.s, CAST(f.pos AS INTEGER)) AS rem
+          FROM fold f JOIN strs s ON s.day = f.day
+          WHERE f.pos <= s.n))),
     fin AS (
       SELECT f.day, f.dict, f.cur, d.n FROM fold f
       JOIN days d ON d.day = f.day AND f.pos = d.n + 1)

@@ -71,8 +71,6 @@ def q_streaming_transition_replay(
     import tempfile
     from pathlib import Path
 
-    import pandas as pd
-
     from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.merge import (
         atomic_overwrite,
         recover_table,
@@ -89,9 +87,12 @@ def q_streaming_transition_replay(
         base / "cnt",
     )
     ev = _events_typed(spark, sf_dir)
+    # Checkpoint BEFORE the 4-way filter loop: `parts` is referenced
+    # once per split file and would otherwise re-run the global ntile
+    # window (a full sort of the fact table) four times.
     parts = ev.select(
         "*", F.ntile(4).over(Window.orderBy("us", "event_id")).alias("pt")
-    )
+    ).localCheckpoint(eager=True)
     for p in range(1, 5):
         parts.where(F.col("pt") == p).drop("pt").coalesce(1).write.parquet(
             str(src / f"part{p}")
@@ -103,73 +104,80 @@ def q_streaming_transition_replay(
         .parquet(str(src / "part*"))
     )
 
+    # Per-batch fold, entirely JVM-side (r12: the r11 CRC-replay lesson
+    # applied -- the old per-user applyInPandas stitch paid Python
+    # per-group overhead on ~20k single-user groups per batch, 53 s at
+    # sf0.1). Within-batch transitions come from a lag() window; the
+    # boundary transition is a broadcast equi-join of the carried
+    # (user -> last_type) state against each user's FIRST in-batch
+    # event; the new carried state is each user's LAST in-batch event
+    # unioned with untouched users. Bit-identical to the sequential
+    # stitch: within-batch pairs + exactly one boundary pair per user
+    # with prior state.
     def fold(batch_df, batch_id):
-        def stitch(pdf):
-            sr = pdf[pdf["kind"] == "last"]
-            seed = sr["event_type"].iloc[0] if len(sr) else None
-            er = pdf[pdf["kind"] == "event"].sort_values(["us", "event_id"])
-            types = er["event_type"].to_list()
-            rows = []
-            prev = seed
-            for t in types:
-                if prev is not None:
-                    rows.append((prev, t))
-                prev = t
-            out = pd.DataFrame(
-                rows or [(None, None)], columns=["from_type", "to_type"]
-            )
-            out["user_id"] = pdf["user_id"].iloc[0]
-            out["last_type"] = prev
-            return out[["user_id", "from_type", "to_type", "last_type"]]
-
-        b = batch_df.select(
-            "user_id", "us", "event_id", "event_type",
-            F.lit("event").alias("kind"),
-        )
-        try:
-            recover_table(spark, str(last_state))
-            prev_last = spark.read.parquet(str(last_state)).select(
-                "user_id",
-                F.lit(None).cast("long").alias("us"),
-                F.lit(None).cast("long").alias("event_id"),
-                F.col("last_type").alias("event_type"),
-                F.lit("last").alias("kind"),
-            )
-            b = b.unionByName(prev_last)
-            have_cnt = True
-        except Exception:
-            have_cnt = False
-        trans = b.groupBy("user_id").applyInPandas(
-            stitch,
-            schema=(
-                "user_id LONG, from_type STRING, to_type STRING,"
-                " last_type STRING"
-            ),
+        w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        seq = batch_df.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev"),
         ).localCheckpoint(eager=True)
-        new_last = trans.groupBy("user_id").agg(
-            F.max("last_type").alias("last_type")
-        )
-        new_cnt = (
-            trans.where(F.col("from_type").isNotNull())
-            .groupBy("from_type", "to_type")
+        within = (
+            seq.where(F.col("prev").isNotNull())
+            .groupBy(
+                F.col("prev").alias("from_type"),
+                F.col("event_type").alias("to_type"),
+            )
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         )
-        if have_cnt:
+        ends = batch_df.groupBy("user_id").agg(
+            F.expr("min_by(event_type, struct(us, event_id))").alias(
+                "first_type"
+            ),
+            F.expr("max_by(event_type, struct(us, event_id))").alias(
+                "last_type"
+            ),
+        ).localCheckpoint(eager=True)
+        try:
+            recover_table(spark, str(last_state))
+            prev_last = spark.read.parquet(str(last_state))
+            have_state = True
+        except Exception:
+            have_state = False
+        if have_state:
+            boundary = (
+                F.broadcast(
+                    prev_last.withColumnRenamed("last_type", "prev_type")
+                )
+                .join(ends.select("user_id", "first_type"), "user_id")
+                .groupBy(
+                    F.col("prev_type").alias("from_type"),
+                    F.col("first_type").alias("to_type"),
+                )
+                .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            )
+            new_cnt = within.unionByName(boundary)
             try:
                 recover_table(spark, str(cnt_state))
-                prev_cnt = spark.read.parquet(str(cnt_state))
-                new_cnt = (
-                    new_cnt.unionByName(prev_cnt)
-                    .groupBy("from_type", "to_type")
-                    .agg(F.sum("n").cast("bigint").alias("n"))
+                new_cnt = new_cnt.unionByName(
+                    spark.read.parquet(str(cnt_state))
                 )
             except Exception:
                 pass
+            new_cnt = new_cnt.groupBy("from_type", "to_type").agg(
+                F.sum("n").cast("bigint").alias("n")
+            )
+            new_last = ends.select("user_id", "last_type").unionByName(
+                prev_last.join(
+                    ends.select("user_id"), "user_id", "left_anti"
+                )
+            )
             atomic_overwrite(new_cnt, str(cnt_state), f"tc{batch_id}")
             atomic_overwrite(new_last, str(last_state), f"tl{batch_id}")
         else:
-            new_cnt.write.mode("overwrite").parquet(str(cnt_state))
-            new_last.write.mode("overwrite").parquet(str(last_state))
+            within.write.mode("overwrite").parquet(str(cnt_state))
+            ends.select("user_id", "last_type").write.mode(
+                "overwrite"
+            ).parquet(str(last_state))
 
     q = (
         stream.writeStream.foreachBatch(fold)

@@ -147,7 +147,7 @@ def q_percentile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.c_nationkey = b.c_nationkey AND a.c_name < b.c_name
     WHERE levenshtein(a.c_name, b.c_name) <= 1
     """,
-    tags=("functions", "fuzzy", "dedup"),
+    tags=("functions", "fuzzy", "dedup", "brute-baseline"),
 )
 def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-identical customer names inside a nation block -- the

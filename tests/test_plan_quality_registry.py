@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import pytest
 
+from registry_slice import slice_queries
+
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
 
 # documented exceptions:
@@ -1075,7 +1077,7 @@ EAGER = {
     "targeted_attack_robustness",
 }
 
-_LAZY = [q for q in registry() if q.name not in EAGER]
+_LAZY = slice_queries(q for q in registry() if q.name not in EAGER)
 
 
 def _bracket_groups(s: str) -> list[str]:

@@ -7,10 +7,12 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from registry_slice import slice_queries
+
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry, resolve_sql
 from tools.oracle_check import TABLES, canon_rows
 
-_QUERIES = registry()
+_QUERIES = slice_queries(registry())
 _ORACLED = [q for q in _QUERIES if q.sql is not None]
 # schema per query name, populated by test_query_matches_oracle so the
 # schema-only assertion below doesn't re-invoke fns that do eager work

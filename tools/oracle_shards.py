@@ -32,7 +32,24 @@ def main() -> int:
 
     from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import registry
 
-    names = sorted(q.name for q in registry())
+    qs = registry()
+    # Sweep policy (r11 verdict item 4, the explicit decision): queries
+    # tagged `brute-baseline` are DECLARED quadratic baselines whose
+    # registered scale twins (fuzzy_name_match_djoin, semantic_dedup_
+    # prune, lof_grid_knn) run everywhere. Re-proving the quadratic
+    # sides at sf0.1 costs ~75 s of sweep time per round to re-verify a
+    # documented fact, so the sweep runner skips them at sf >= 0.1 and
+    # keeps them in the sf0.001/sf0.01 sweeps (where they stay green
+    # and falsifiable). oracle_check.py still runs them anywhere when
+    # named explicitly.
+    sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        big_sf = float(sf_label) >= 0.1
+    except ValueError:
+        big_sf = False
+    baseline_names = sorted(q.name for q in qs if "brute-baseline" in q.tags)
+    skipped_baselines = baseline_names if big_sf else []
+    names = sorted(q.name for q in qs if q.name not in skipped_baselines)
     # Interleave sorted names across shards: adjacent names share a
     # family (same ext batch prefix), so round-robin spreads each
     # family's heavy members instead of stacking one shard with them.
@@ -80,7 +97,14 @@ def main() -> int:
             rc = 1
         print(f"--- shard {i} done (rc={p.returncode}) ---", flush=True)
     lines.sort()
+    for name in skipped_baselines:
+        lines.append(
+            f"SKIP-BASELINE {name}: declared brute-force baseline, "
+            "oracled at sf0.001/sf0.01; scale twin runs in this sweep"
+        )
     summary = f"\n{n_pass} pass, {n_fail} fail, {n_skip} rows-only"
+    if skipped_baselines:
+        summary += f", {len(skipped_baselines)} brute-baseline skipped at sf>=0.1"
     body = "\n".join(lines) + summary + f"\nwall: {time.time() - t0:.0f}s\n"
     if out_log is not None:
         out_log.write_text(body)
