@@ -1075,6 +1075,11 @@ EAGER = {
     "hull_diameter_calipers",
     # r11 bounded percolation fold (25-node backbone union-find per level)
     "targeted_attack_robustness",
+    # r12 ext251: Newton-fold spine + doc frame localCheckpointed at
+    # call time (ext137 GLM class); the decontamination hit frame is
+    # checkpointed before its islands window for the same reason
+    "quality_classifier_calibration",
+    "decontamination_span_filter",
 }
 
 _LAZY = slice_queries(q for q in registry() if q.name not in EAGER)

@@ -86,6 +86,15 @@ HEAVY = [
     "probit_newton_1d",
     "lsh_recall_eval",
     "pagerank_sim_graph",
+    # r12: the sf0.1 sweep's new top-10 lines whose engine-side scaling
+    # was asserted, not measured (r11 verdict item 3), plus the two
+    # replay-tail queries rewritten this round
+    "fellegi_sunter_weights",
+    "mg_heavy_hitters_daily",
+    "twoway_fe_within",
+    "entity_resolution_golden",
+    "rich_club_coefficient",
+    "lz78_daily_complexity",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
