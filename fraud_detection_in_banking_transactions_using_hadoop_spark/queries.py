@@ -322,6 +322,7 @@ def registry() -> list[Query]:
         queries_ext249,
         queries_ext250,
         queries_ext251,
+        queries_ext252,
         queries_feat,
         queries_funcs,
         queries_funcs2,

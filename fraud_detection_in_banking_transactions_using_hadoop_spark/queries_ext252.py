@@ -1,0 +1,496 @@
+"""Extension batch 252 (round 12): data valuation + deterministic
+bandit replay.
+
+- knn_shapley_valuation: EXACT per-training-point data Shapley under
+  the K-NN utility (Jia et al. 2019 closed form) -- the LLM-curation
+  "which documents are worth keeping" operator. For each eval point,
+  training points are ranked by an EXACT-INTEGER squared L2 key (each
+  float coordinate is e6-quantized BEFORE any arithmetic; the 64-term
+  sum of squared integer diffs stays < 2^53, so even the double path
+  is exact and both engines produce identical BIGINT keys -- no float
+  ordering anywhere). The Jia recursion telescopes to a SUFFIX SUM:
+  phi_t(j) = sum_{l>=j} (u_l - u_{l+1}) / max(l, K) with the base term
+  u_m / m, so the whole valuation is one partitioned window, no
+  iteration. Terms are e9-quantized per (eval, rank) cell; sums are
+  exact integers. The eval set is a CONSTANT-SIZE md5 bottom-50 sample
+  (TakeOrdered, scale-free), so the distance scan is O(50 n) -- linear
+  in the corpus, the 100 TB valuation shape.
+
+- ucb1_bandit_replay: the UCB1 policy (Auer et al. 2002) replayed
+  deterministically over the daily event-type share series -- arms =
+  the 5 event types, reward(day, arm) = the arm's share of the day's
+  events in exact e9 integers ((1e9 * c_a) DIV c_day). Pulls each arm
+  once in type order, then argmax of mean + sqrt(2 ln(t-1) / n_a)
+  (smallest index on ties); regret = best-fixed-arm total minus
+  collected total, all in exact e9. Bounded driver fold over the
+  collected 30x5 reward table (the r8 fold class) mirroring a
+  recursive-CTE oracle with the 5-arm state pivoted to columns.
+
+- streaming_ucb1_replay: the 35th live replay -- UCB1's carried state
+  ((n_a, s_a) per arm, day counter, per-arm hindsight totals,
+  collected total) folded across four in-order micro-batches of days.
+  Order-sensitive: every decision depends on the carried statistics,
+  so a batch boundary that replayed a day or lost a pull would change
+  every later decision and mismatch the hash gate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+
+_DIM = 64
+_K = 5
+_N_EVAL = 50
+
+
+def _l2e6_terms(a: str, b: str, one_based: bool) -> str:
+    """SQL text of the exact-integer squared L2 distance between two
+    float-array fragments: every coordinate e6-quantized (floor(x*1e6
+    + 0.5), identical in both engines), diffs squared and summed as
+    exact <2^53 integers. Spark arrays index from 0, DuckDB lists
+    from 1 -- the flag picks the base."""
+    lo = 1 if one_based else 0
+    terms = " + ".join(
+        f"(floor(({a})[{i}] * 1e6 + 0.5) - floor(({b})[{i}] * 1e6 + 0.5))"
+        f" * (floor(({a})[{i}] * 1e6 + 0.5) - floor(({b})[{i}] * 1e6 + 0.5))"
+        for i in range(lo, lo + _DIM)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+_KNN_SHAPLEY_SQL = f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v, label,
+             md5(CAST(vec_id AS VARCHAR)) AS h
+      FROM embeddings),
+    ev AS (SELECT vec_id, v, label FROM e
+           ORDER BY h, vec_id LIMIT {_N_EVAL}),
+    tr AS (SELECT vec_id, v, label FROM e
+           WHERE vec_id NOT IN (SELECT vec_id FROM ev)),
+    pairs AS (
+      SELECT t.vec_id AS tid, t.label AS tl,
+             r.vec_id AS rid, r.label AS rl,
+             {_l2e6_terms('t.v', 'r.v', True)} AS dkey
+      FROM ev t CROSS JOIN tr r),
+    ranked AS (
+      SELECT tid, rid, rl,
+             CASE WHEN rl = tl THEN 1 ELSE 0 END AS u,
+             row_number() OVER (PARTITION BY tid ORDER BY dkey, rid)
+               AS j,
+             count(*) OVER (PARTITION BY tid) AS m
+      FROM pairs),
+    terms AS (
+      SELECT tid, rid, rl, j,
+             CASE WHEN j = m THEN
+               CAST(floor(CAST(u AS DOUBLE) / m * 1e9 + 0.5) AS BIGINT)
+             ELSE
+               CAST(floor(CAST(u - lead(u) OVER
+                      (PARTITION BY tid ORDER BY j) AS DOUBLE)
+                    / greatest(j, {_K}) * 1e9 + 0.5) AS BIGINT)
+             END AS d_e9
+      FROM ranked),
+    s AS (
+      SELECT tid, rid, rl,
+             sum(d_e9) OVER (PARTITION BY tid ORDER BY j
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS s_e9
+      FROM terms),
+    phi AS (
+      SELECT rid, rl, CAST(count(*) AS BIGINT) AS n_eval,
+             CAST(sum(s_e9) AS BIGINT) AS phi_e9
+      FROM s GROUP BY rid, rl)
+    SELECT rid AS vec_id, CAST(rl AS INTEGER) AS label, n_eval,
+           CAST(phi_e9 // (1000 * n_eval) AS BIGINT) AS phi_ppm
+    FROM phi
+    ORDER BY phi_e9 DESC, vec_id
+    LIMIT 20
+    """
+
+
+@register(
+    "knn_shapley_valuation",
+    _KNN_SHAPLEY_SQL,
+    tags=("llm", "data-curation", "valuation", "similarity", "exact-arith"),
+)
+def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most valuable training embeddings by exact K-NN data
+    Shapley toward a fixed 50-point eval sample (module docstring).
+    One broadcast of the constant eval set, exact-integer distance
+    keys, the telescoped suffix-sum instead of the per-point
+    recursion, everything partitioned by eval point."""
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        "label",
+        F.md5(F.col("vec_id").cast("string")).alias("h"),
+    )
+    ev = e.orderBy("h", "vec_id").limit(_N_EVAL).select(
+        F.col("vec_id").alias("tid"),
+        F.col("v").alias("tv"),
+        F.col("label").alias("tl"),
+    )
+    tr = e.join(
+        ev.select(F.col("tid").alias("vec_id")), "vec_id", "left_anti"
+    ).select(
+        F.col("vec_id").alias("rid"), F.col("v").alias("rv"),
+        F.col("label").alias("rl"),
+    )
+    pairs = tr.crossJoin(F.broadcast(ev)).select(
+        "tid",
+        "tl",
+        "rid",
+        "rl",
+        F.expr(_l2e6_terms("tv", "rv", False)).alias("dkey"),
+    )
+    wd = Window.partitionBy("tid").orderBy("dkey", "rid")
+    wc = Window.partitionBy("tid")
+    ranked = pairs.select(
+        "tid",
+        "rid",
+        "rl",
+        F.when(F.col("rl") == F.col("tl"), 1).otherwise(0).alias("u"),
+        F.row_number().over(wd).alias("j"),
+        F.count(F.lit(1)).over(wc).alias("m"),
+    )
+    wj = Window.partitionBy("tid").orderBy("j")
+    d_e9 = F.when(
+        F.col("j") == F.col("m"),
+        F.floor(F.col("u").cast("double") / F.col("m") * 1e9 + 0.5),
+    ).otherwise(
+        F.floor(
+            (F.col("u") - F.lead("u").over(wj)).cast("double")
+            / F.greatest(F.col("j"), F.lit(_K))
+            * 1e9
+            + 0.5
+        )
+    )
+    terms = ranked.select(
+        "tid", "rid", "rl", "j", d_e9.cast("bigint").alias("d_e9")
+    )
+    ws = (
+        Window.partitionBy("tid")
+        .orderBy("j")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    s = terms.select(
+        "tid", "rid", "rl", F.sum("d_e9").over(ws).alias("s_e9")
+    )
+    phi = s.groupBy("rid", "rl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+        F.sum("s_e9").cast("bigint").alias("phi_e9"),
+    )
+    return (
+        phi.orderBy(F.col("phi_e9").desc(), "rid")
+        .limit(20)
+        .select(
+            F.col("rid").alias("vec_id"),
+            F.col("rl").cast("integer").alias("label"),
+            "n_eval",
+            F.expr("CAST(phi_e9 DIV (1000 * n_eval) AS BIGINT)").alias(
+                "phi_ppm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UCB1 over the daily event-type shares
+# ---------------------------------------------------------------------------
+
+
+def ucb1_fold(rewards, state=None):
+    """Fold in-order (day, [r_e9 x 5]) rows into UCB1 state
+    (t, n[5], s_e9[5], tot_e9[5], collected_e9). Pull arm t-1 for the
+    first 5 days, then argmax of mean + sqrt(2 ln(t-1) / n_a) with the
+    smallest index on ties. Shared by the batch fold, the streaming
+    replay, and the invariant tests -- one formulation, mirrored by
+    the recursive-CTE oracle."""
+    if state is None:
+        state = {"t": 0, "n": [0] * 5, "s": [0] * 5,
+                 "tot": [0] * 5, "col": 0}
+    t, n, s = state["t"], list(state["n"]), list(state["s"])
+    tot, col = list(state["tot"]), state["col"]
+    for _day, rs in rewards:
+        t += 1
+        if t <= 5:
+            a = t - 1
+        else:
+            best, bs = 0, None
+            for i in range(5):
+                score = (float(s[i]) / 1e9) / float(n[i]) + math.sqrt(
+                    2.0 * math.log(float(t - 1)) / float(n[i])
+                )
+                if bs is None or score > bs:
+                    best, bs = i, score
+            a = best
+        n[a] += 1
+        s[a] += rs[a]
+        col += rs[a]
+        for i in range(5):
+            tot[i] += rs[i]
+    return {"t": t, "n": n, "s": s, "tot": tot, "col": col}
+
+
+def _ucb1_emit(spark: SparkSession, st) -> DataFrame:
+    best = max(range(5), key=lambda i: (st["tot"][i], -i))
+    regret_e9 = st["tot"][best] - st["col"]
+    rows = [
+        (
+            a,
+            st["n"][a],
+            st["s"][a] // (1000 * st["n"][a]),
+            st["tot"][a] // (1000 * st["t"]),
+            best,
+            regret_e9 // 1000,
+            st["t"],
+        )
+        for a in range(5)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "arm int, n_pulls long, pulled_mean_ppm long,"
+        " hindsight_mean_ppm long, best_arm int, regret_ppm long,"
+        " n_days long",
+    )
+
+
+def _arm_case(score: str) -> str:
+    """CASE text choosing the smallest arm index whose score is >= all
+    other arms' scores (argmax with smallest-index tiebreak)."""
+    branches = []
+    for i in range(5):
+        conds = " AND ".join(
+            f"({score.format(a=i)}) >= ({score.format(a=jj)})"
+            for jj in range(5)
+            if jj != i
+        )
+        branches.append(f"WHEN {conds} THEN {i}")
+    return "CASE " + " ".join(branches) + " END"
+
+
+def _pick5(prefix: str, idx: str) -> str:
+    """CASE text selecting {prefix}{i} by the integer expression idx."""
+    branches = " ".join(
+        f"WHEN {idx} = {i} THEN {prefix}{i}" for i in range(5)
+    )
+    return f"(CASE {branches} END)"
+
+
+def _ucb1_oracle() -> str:
+    """The UCB1 recursion with the 5-arm state pivoted to columns (the
+    r8 bounded-state pattern): one level per day, pick computed in an
+    inner subquery from the PRE-update state (f.t = completed days, so
+    ln(f.t) is the Auer exploration term and the first five levels pick
+    arm f.t directly)."""
+    score = (
+        "(CAST(f.s{a} AS DOUBLE) / 1e9) / CAST(f.n{a} AS DOUBLE)"
+        " + sqrt(2.0 * ln(CAST(f.t AS DOUBLE)) / CAST(f.n{a} AS DOUBLE))"
+    )
+    chooser = _arm_case(score)
+    seed = ", ".join(
+        [f"CAST(0 AS BIGINT) AS n{i}" for i in range(5)]
+        + [f"CAST(0 AS BIGINT) AS s{i}" for i in range(5)]
+        + [f"CAST(0 AS BIGINT) AS tot{i}" for i in range(5)]
+    )
+    upd = ", ".join(
+        [
+            f"ff.n{i} + CASE WHEN ff.pick = {i} THEN 1 ELSE 0 END AS n{i}"
+            for i in range(5)
+        ]
+        + [
+            f"ff.s{i} + CASE WHEN ff.pick = {i} THEN ff.r{i} ELSE 0 END"
+            f" AS s{i}"
+            for i in range(5)
+        ]
+        + [f"ff.tot{i} + ff.r{i} AS tot{i}" for i in range(5)]
+    )
+    col_upd = _pick5("ff.r", "ff.pick")
+    carry = ", ".join(
+        [f"f.n{i}" for i in range(5)]
+        + [f"f.s{i}" for i in range(5)]
+        + [f"f.tot{i}" for i in range(5)]
+    )
+    rcols = ", ".join(f"d.r{i}" for i in range(5))
+    shares = ", ".join(
+        f"(1000000000 * coalesce(max(CASE WHEN a = {i} THEN c END), 0))"
+        f" // sum(c) AS r{i}"
+        for i in range(5)
+    )
+    return f"""
+    WITH RECURSIVE ev AS (
+      SELECT CAST(ts AS DATE) AS day, substr(event_type, 1, 1) AS ch
+      FROM events),
+    arms AS (
+      SELECT ch, CAST(row_number() OVER (ORDER BY ch) - 1 AS INTEGER)
+               AS a
+      FROM (SELECT DISTINCT ch FROM ev)),
+    cells AS (
+      SELECT e.day, a.a, CAST(count(*) AS BIGINT) AS c
+      FROM ev e JOIN arms a ON a.ch = e.ch GROUP BY 1, 2),
+    days AS MATERIALIZED (
+      SELECT day, row_number() OVER (ORDER BY day) AS idx, {shares}
+      FROM cells GROUP BY day),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM days),
+    fold AS (
+      SELECT CAST(0 AS BIGINT) AS t, {seed}, CAST(0 AS BIGINT) AS col
+      FROM (SELECT 1)
+      UNION ALL
+      SELECT ff.t + 1, {upd}, ff.col + {col_upd}
+      FROM (
+        SELECT f.t, {carry}, f.col, {rcols},
+               CASE WHEN f.t < 5 THEN CAST(f.t AS INTEGER)
+                    ELSE {chooser} END AS pick
+        FROM fold f JOIN days d ON d.idx = f.t + 1) ff),
+    fin AS (SELECT f.* FROM fold f JOIN nd ON f.t = nd.n_days),
+    best AS (SELECT {_arm_case("fin.tot{a}")} AS b FROM fin)
+    SELECT CAST(armv.arm AS INTEGER) AS arm,
+           CAST({_pick5("fin.n", "armv.arm")} AS BIGINT) AS n_pulls,
+           CAST({_pick5("fin.s", "armv.arm")}
+                // (1000 * {_pick5("fin.n", "armv.arm")}) AS BIGINT)
+             AS pulled_mean_ppm,
+           CAST({_pick5("fin.tot", "armv.arm")} // (1000 * fin.t)
+                AS BIGINT) AS hindsight_mean_ppm,
+           CAST(best.b AS INTEGER) AS best_arm,
+           CAST(({_pick5("fin.tot", "best.b")} - fin.col) // 1000
+                AS BIGINT) AS regret_ppm,
+           fin.t AS n_days
+    FROM (SELECT unnest(range(5)) AS arm) armv
+    CROSS JOIN fin CROSS JOIN best
+    ORDER BY arm
+    """
+
+
+def _daily_rewards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, r0..r4) exact e9 share rewards, arms = event-type
+    initials in alphabetical order."""
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    arms = (
+        ev.select("ch")
+        .distinct()
+        .select(
+            "ch",
+            (F.row_number().over(Window.orderBy("ch")) - 1)
+            .cast("integer")
+            .alias("a"),
+        )
+    )
+    cells = ev.join(F.broadcast(arms), "ch").groupBy("day").agg(
+        F.sum(F.lit(1)).cast("bigint").alias("c_day"),
+        *[
+            F.sum(F.when(F.col("a") == i, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i in range(5)
+        ],
+    )
+    return cells.select(
+        "day",
+        *[
+            F.expr(f"CAST((1000000000 * c{i}) DIV c_day AS BIGINT)").alias(
+                f"r{i}"
+            )
+            for i in range(5)
+        ],
+    )
+
+
+@register(
+    "ucb1_bandit_replay",
+    _ucb1_oracle(),
+    tags=("bandit", "sequential", "stateful", "exact-arith"),
+)
+def q_ucb1_bandit_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UCB1 replayed over the daily event-type share series (module
+    docstring): bounded driver fold over the collected 30x5 reward
+    table; per-arm pulls, means, the hindsight-best arm, and the exact
+    pseudo-regret."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.fold import (
+        collect_nonempty,
+    )
+
+    rows = collect_nonempty(
+        _daily_rewards(spark, sf_dir).orderBy("day"), "ucb1 daily rewards"
+    )
+    rewards = [
+        (r["day"], [int(r[f"r{i}"]) for i in range(5)]) for r in rows
+    ]
+    return _ucb1_emit(spark, ucb1_fold(rewards))
+
+
+@register(
+    "streaming_ucb1_replay",
+    _ucb1_oracle(),
+    tags=("streaming", "bandit", "stateful", "replay"),
+)
+def q_streaming_ucb1_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live UCB1 over four in-order micro-batches of days (35th
+    replay): the carried state is the full bandit memory -- per-arm
+    (pulls, collected e9), the day counter, the per-arm hindsight
+    totals, and the collected total. Every decision depends on the
+    carried statistics, so the boundary stitch is load-bearing: final
+    state must equal the one-shot fold (shared oracle) exactly."""
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.merge import (
+        recover_table,
+    )
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.session import (
+        normalize_runtime_conf,
+    )
+
+    normalize_runtime_conf(spark)
+    base = Path(tempfile.mkdtemp(prefix="ucb1_stream_"))
+    src, state = base / "src", base / "state"
+    feed = _daily_rewards(spark, sf_dir)
+    parts = feed.select(
+        "*", F.ntile(4).over(Window.orderBy("day")).alias("pt")
+    ).localCheckpoint(eager=True)
+    for p in range(1, 5):
+        parts.where(F.col("pt") == p).drop("pt").coalesce(1).write.parquet(
+            str(src / f"part{p}")
+        )
+
+    stream = (
+        spark.readStream.schema(feed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "part*"))
+    )
+
+    def fold(batch_df, batch_id):
+        rows = batch_df.orderBy("day").collect()
+        rewards = [
+            (str(r["day"]), [int(r[f"r{i}"]) for i in range(5)])
+            for r in rows
+        ]
+        try:
+            recover_table(spark, str(state))
+            st = json.loads(
+                spark.read.parquet(str(state)).first()["payload"]
+            )
+        except Exception:
+            st = None
+        st = ucb1_fold(rewards, state=st)
+        spark.createDataFrame(
+            [(json.dumps(st),)], "payload string"
+        ).write.mode("overwrite").parquet(str(state))
+
+    q = (
+        stream.writeStream.foreachBatch(fold)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    st = json.loads(spark.read.parquet(str(state)).first()["payload"])
+    return _ucb1_emit(spark, st)

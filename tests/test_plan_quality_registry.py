@@ -23,6 +23,10 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import r
 #   build side is a 1-ROW aggregate (global mean / threshold), so the
 #   "nested loop" degenerates to a map-side constant join: O(n), scale-safe.
 ALLOWED_NESTED_LOOP = {
+    # r12: KNN-Shapley's distance scan against the CONSTANT 50-point
+    # md5-sampled eval broadcast -- O(50 n) by construction, the ann
+    # family shape (the eval set does not grow with the corpus)
+    "knn_shapley_valuation",
     # 1-row valuation-year / factor-row / severity broadcasts over the
     # bounded run-off triangle (ext199 reserving)
     "chain_ladder_factors",
@@ -1080,6 +1084,10 @@ EAGER = {
     # checkpointed before its islands window for the same reason
     "quality_classifier_calibration",
     "decontamination_span_filter",
+    # r12 ext252: bounded driver folds (30x5 reward collect) / live
+    # streaming replay #35
+    "ucb1_bandit_replay",
+    "streaming_ucb1_replay",
 }
 
 _LAZY = slice_queries(q for q in registry() if q.name not in EAGER)
