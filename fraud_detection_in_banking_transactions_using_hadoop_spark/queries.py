@@ -323,6 +323,7 @@ def registry() -> list[Query]:
         queries_ext250,
         queries_ext251,
         queries_ext252,
+        queries_ext253,
         queries_feat,
         queries_funcs,
         queries_funcs2,

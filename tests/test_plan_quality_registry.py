@@ -1088,6 +1088,9 @@ EAGER = {
     # streaming replay #35
     "ucb1_bandit_replay",
     "streaming_ucb1_replay",
+    # r12 ext253: bounded driver fold (20-row pairwise matrix collect +
+    # 120-permutation enumeration)
+    "kemeny_ranking",
 }
 
 _LAZY = slice_queries(q for q in registry() if q.name not in EAGER)
