@@ -324,6 +324,7 @@ def registry() -> list[Query]:
         queries_ext251,
         queries_ext252,
         queries_ext253,
+        queries_ext254,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -1091,6 +1091,10 @@ EAGER = {
     # r12 ext253: bounded driver fold (20-row pairwise matrix collect +
     # 120-permutation enumeration)
     "kemeny_ranking",
+    # r12 ext254: bounded driver folds (28-cell lag-covariance collect
+    # + power iteration; <=8-row EM pattern collect)
+    "ssa_trend_cycle",
+    "fellegi_sunter_em",
 }
 
 _LAZY = slice_queries(q for q in registry() if q.name not in EAGER)
