@@ -325,6 +325,7 @@ def registry() -> list[Query]:
         queries_ext252,
         queries_ext253,
         queries_ext254,
+        queries_ext255,
         queries_feat,
         queries_funcs,
         queries_funcs2,

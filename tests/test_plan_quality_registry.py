@@ -1095,6 +1095,9 @@ EAGER = {
     # + power iteration; <=8-row EM pattern collect)
     "ssa_trend_cycle",
     "fellegi_sunter_em",
+    # r12 ext255: anchor-cell frame localCheckpointed at call time
+    "location_quotient_cells",
+    "krugman_specialization",
 }
 
 _LAZY = slice_queries(q for q in registry() if q.name not in EAGER)
