@@ -258,8 +258,13 @@ def cc_forest_merge(
     # never contain such rows (every CC input node has degree >= 1), but a
     # hand-built or filtered state might -- union singleton roots back as
     # self-clusters so no assignment is ever dropped regardless of caller.
+    # Only ROOT rows (node == cluster) can be absent from `merged`: a
+    # non-root row always contributes a forest edge, so restricting the
+    # anti-join's left side to roots keeps the guard O(#clusters), not
+    # O(#nodes) (r12: the all-nodes guard cost +1.7 s at sf0.1).
     singles = (
-        state_clusters.select("node")
+        state_clusters.where(F.col("node") == F.col("cluster"))
+        .select("node")
         .join(merged.select("node"), "node", "left_anti")
         .select("node", F.col("node").alias("cluster"))
     )
