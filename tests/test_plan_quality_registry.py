@@ -156,6 +156,8 @@ ALLOWED_NESTED_LOOP = {
     "mmd_poly_drift",
     # r11: 1-row vocab-totals broadcast onto the 31-word table (DSIR)
     "dsir_importance_weights",
+    # r12: 1-row blocking-totals broadcast onto the <=20-row block table
+    "soundex_blocking",
     # r11: 1-row train-threshold broadcast onto the day spine
     "christoffersen_var_backtest",
     # r11: 1-row alpha broadcast onto the distinct-degree spine
@@ -1098,6 +1100,9 @@ EAGER = {
     # r12 ext255: anchor-cell frame localCheckpointed at call time
     "location_quotient_cells",
     "krugman_specialization",
+    # r12 ext256: signature frame localCheckpointed at call time
+    # (referenced on both sides of the blocking self-join)
+    "soundex_er_pairs",
 }
 
 _LAZY = slice_queries(q for q in registry() if q.name not in EAGER)
