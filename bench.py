@@ -96,6 +96,12 @@ HEADLINE = [
     "mmd_poly_drift",  # kernel two-sample as six moment sums
     "multimodal_base64",  # 13th real codec (JVM vs 6-bit repack oracle)
     "cache_replay_lru_belady",  # LRU vs clairvoyant OPT trace replay
+    # round-12 flagship operators
+    "knn_shapley_valuation",  # exact K-NN data Shapley (suffix-sum window)
+    "decontamination_span_filter",  # span-based train/eval decontamination
+    "quality_classifier_calibration",  # trained curation gate + reliability
+    "varint_delta_codec",  # 14th real codec (LEB128, byte-exact hash)
+    "ssa_trend_cycle",  # data-derived Henderson taps (exact-int SSA)
 ]
 
 
