@@ -36,14 +36,14 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers 
 # exact truth pairs: levenshtein <= 1 inside a nation (the delete-1
 # candidate join + verifier -- the ext231 construction, re-derived)
 _TRUTH_SQL = """
-    vars AS (
+    vars AS MATERIALIZED (
       SELECT c_nationkey AS nk, c_name AS name,
              CASE WHEN i = 0 THEN c_name
                   ELSE substr(c_name, 1, i - 1) || substr(c_name, i + 1)
              END AS v
       FROM customer,
            LATERAL (SELECT unnest(range(0, length(c_name) + 1)) AS i) t),
-    truth AS (
+    truth AS MATERIALIZED (
       SELECT DISTINCT a.name AS name_a, b.name AS name_b
       FROM vars a JOIN vars b
         ON a.nk = b.nk AND a.v = b.v AND a.name < b.name
@@ -212,30 +212,40 @@ def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM truth t
       JOIN customer a ON a.c_name = t.name_a
       JOIN customer b ON b.c_name = t.name_b),
+    nonmatch_m AS MATERIALIZED (SELECT * FROM nonmatch),
+    mpairs_m AS MATERIALIZED (SELECT * FROM mpairs),
+    magg AS MATERIALIZED (
+      SELECT CAST(sum(CASE WHEN na = nb THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_nat,
+             CAST(sum(CASE WHEN levenshtein(name_a, name_b) <= 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a_lev,
+             CAST(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_seg,
+             CAST(count(*) AS BIGINT) AS n
+      FROM mpairs_m),
+    uagg AS MATERIALIZED (
+      SELECT CAST(sum(CASE WHEN na = nb THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_nat,
+             CAST(sum(CASE WHEN levenshtein(name_a, name_b) <= 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS a_lev,
+             CAST(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_seg,
+             CAST(count(*) AS BIGINT) AS n
+      FROM nonmatch_m),
+    -- single-pass sums per side (the old per-field scalar subqueries
+    -- re-inlined nonmatch/mpairs SIX times each under DuckDB's
+    -- multiple-reference CTE inlining -- the r6 build-notes trap;
+    -- 25.8 s -> ~4 s at sf0.1)
     stats AS (
-      SELECT 'nation' AS field,
-             (SELECT CAST(sum(CASE WHEN na = nb THEN 1 ELSE 0 END) AS BIGINT)
-              FROM mpairs) AS m_agree,
-             (SELECT CAST(count(*) AS BIGINT) FROM mpairs) AS m_n,
-             (SELECT CAST(sum(CASE WHEN na = nb THEN 1 ELSE 0 END) AS BIGINT)
-              FROM nonmatch) AS u_agree,
-             (SELECT CAST(count(*) AS BIGINT) FROM nonmatch) AS u_n
+      SELECT 'nation' AS field, m.a_nat AS m_agree, m.n AS m_n,
+             u.a_nat AS u_agree, u.n AS u_n
+      FROM magg m CROSS JOIN uagg u
       UNION ALL
-      SELECT 'name_lev1',
-             (SELECT CAST(sum(CASE WHEN levenshtein(name_a, name_b) <= 1
-                              THEN 1 ELSE 0 END) AS BIGINT) FROM mpairs),
-             (SELECT CAST(count(*) AS BIGINT) FROM mpairs),
-             (SELECT CAST(sum(CASE WHEN levenshtein(name_a, name_b) <= 1
-                              THEN 1 ELSE 0 END) AS BIGINT) FROM nonmatch),
-             (SELECT CAST(count(*) AS BIGINT) FROM nonmatch)
+      SELECT 'name_lev1', m.a_lev, m.n, u.a_lev, u.n
+      FROM magg m CROSS JOIN uagg u
       UNION ALL
-      SELECT 'mktsegment',
-             (SELECT CAST(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END) AS BIGINT)
-              FROM mpairs),
-             (SELECT CAST(count(*) AS BIGINT) FROM mpairs),
-             (SELECT CAST(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END) AS BIGINT)
-              FROM nonmatch),
-             (SELECT CAST(count(*) AS BIGINT) FROM nonmatch))
+      SELECT 'mktsegment', m.a_seg, m.n, u.a_seg, u.n
+      FROM magg m CROSS JOIN uagg u)
     SELECT field,
            CAST(1000000 * (m_agree + 1) // (m_n + 2) AS BIGINT) AS m_e6,
            CAST(1000000 * (u_agree + 1) // (u_n + 2) AS BIGINT) AS u_e6,
@@ -348,29 +358,38 @@ def q_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def agg(df, agree_expr):
+    def agg3(df):
+        """ONE pass computing all three agreement sums + the count --
+        the old per-field agg re-ran the (un-checkpointed) pair frames
+        three times each (6 jobs, ~29 s at sf0.1)."""
         r = df.agg(
-            F.sum(F.when(F.expr(agree_expr), 1).otherwise(0))
+            F.sum(F.when(F.expr("na = nb"), 1).otherwise(0))
             .cast("bigint")
-            .alias("a"),
+            .alias("a_nat"),
+            F.sum(
+                F.when(F.expr("levenshtein(name_a, name_b) <= 1"), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("a_lev"),
+            F.sum(F.when(F.expr("ma = mb"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("a_seg"),
             F.count(F.lit(1)).cast("bigint").alias("n"),
         ).collect()[0]
-        return int(r["a"]), int(r["n"])
+        return (
+            {"nation": int(r["a_nat"]), "name_lev1": int(r["a_lev"]),
+             "mktsegment": int(r["a_seg"])},
+            int(r["n"]),
+        )
 
     import math
 
+    m_sums, mn = agg3(mpairs)
+    u_sums, un = agg3(nonmatch)
     out = []
-    for field, mexpr, uexpr in (
-        ("nation", "na = nb", "na = nb"),
-        (
-            "name_lev1",
-            "levenshtein(name_a, name_b) <= 1",
-            "levenshtein(name_a, name_b) <= 1",
-        ),
-        ("mktsegment", "ma = mb", "ma = mb"),
-    ):
-        ma_, mn = agg(mpairs, mexpr)
-        ua, un = agg(nonmatch, uexpr)
+    for field in ("nation", "name_lev1", "mktsegment"):
+        ma_, ua = m_sums[field], u_sums[field]
         m = (ma_ + 1) / (mn + 2)
         u = (ua + 1) / (un + 2)
         out.append(
