@@ -1103,6 +1103,10 @@ EAGER = {
     # r12 ext256: signature frame localCheckpointed at call time
     # (referenced on both sides of the blocking self-join)
     "soundex_er_pairs",
+    # r12 ext257: calendar-bounded driver folds (daily-return collect +
+    # 12-cell GARCH grid recursion; direction-series checkpoint + count)
+    "garch_11_fit",
+    "transfer_entropy_daily",
 }
 
 _LAZY = slice_queries(q for q in registry() if q.name not in EAGER)
