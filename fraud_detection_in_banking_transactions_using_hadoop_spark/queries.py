@@ -328,6 +328,7 @@ def registry() -> list[Query]:
         queries_ext255,
         queries_ext256,
         queries_ext257,
+        queries_ext258,
         queries_feat,
         queries_funcs,
         queries_funcs2,

@@ -1107,6 +1107,10 @@ EAGER = {
     # 12-cell GARCH grid recursion; direction-series checkpoint + count)
     "garch_11_fit",
     "transfer_entropy_daily",
+    # r12 ext258: calendar-bounded sign fold / 25x25 weight collect +
+    # power-iteration fold
+    "hmm_forward_filter",
+    "eigenvector_centrality",
 }
 
 _LAZY = slice_queries(q for q in registry() if q.name not in EAGER)
