@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+TWO JSON lines: the FULL artifact first ({"metric": ..., "value":
+total_sec, "unit": "sec", "queries": {name: sec}, "queries_cpu": ...,
+"sf": ...}, also persisted to bench_out.json), then a BOUNDED scalar
+summary LAST (metric/value/unit/n/cpu_total/loadavg_start/sf, no
+per-query map) sized so the driver's tail-window capture always parses
+(r11 verdict item 1; length pinned by tests/test_bench_contract.py).
 """
 
 from __future__ import annotations
