@@ -1111,6 +1111,10 @@ EAGER = {
     # power-iteration fold
     "hmm_forward_filter",
     "eigenvector_centrality",
+    # r12 ext259: eager LSH candidate pipeline + per-threshold
+    # bounded aggregates / live replay #36
+    "dedup_threshold_sensitivity",
+    "streaming_forward_replay",
 }
 
 _LAZY = slice_queries(q for q in registry() if q.name not in EAGER)
