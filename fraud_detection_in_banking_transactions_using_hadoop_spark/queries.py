@@ -330,6 +330,7 @@ def registry() -> list[Query]:
         queries_ext257,
         queries_ext258,
         queries_ext259,
+        queries_ext260,
         queries_feat,
         queries_funcs,
         queries_funcs2,

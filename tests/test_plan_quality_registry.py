@@ -1115,6 +1115,10 @@ EAGER = {
     # bounded aggregates / live replay #36
     "dedup_threshold_sensitivity",
     "streaming_forward_replay",
+    # r12 ext260: bounded collects (4-count row + 9 log-factorial
+    # sums; per-customer rate frame checkpoint)
+    "bayes_factor_conversion",
+    "empirical_bayes_rates",
 }
 
 _LAZY = slice_queries(q for q in registry() if q.name not in EAGER)
