@@ -95,6 +95,10 @@ HEAVY = [
     "entity_resolution_golden",
     "rich_club_coefficient",
     "lz78_daily_complexity",
+    # r12 flagships with a data-sized scan worth tracking: the O(50n)
+    # KNN-Shapley distance pass and the LSH-candidate Jaccard curve
+    "knn_shapley_valuation",
+    "dedup_threshold_sensitivity",
 ]
 
 SFS = ["sf0.001", "sf0.01", "sf0.1"]
