@@ -246,26 +246,38 @@ def cc_forest_merge(
     Same machinery as operators/dedup.incremental_lsh_merge's tail,
     factored so ANY edge stream (payments, similarity graphs) can be
     maintained incrementally, not just the LSH pipeline."""
-    forest = state_clusters.where(F.col("node") != F.col("cluster")).select(
+    # One eager checkpoint per fold: the state frame is scanned twice
+    # below (forest + roots) and AGAIN by the next fold in a multi-
+    # snapshot replay; without this the second fold re-runs the first
+    # fold's whole merge lineage per scan (r12: the guard's extra scan
+    # alone cost ~1 s at sf0.1). State is O(nodes) rows -- cheap to pin.
+    state = state_clusters.localCheckpoint(eager=True)
+    delta = delta_edges.select(src, dst).localCheckpoint(eager=True)
+    forest = state.where(F.col("node") != F.col("cluster")).select(
         F.col("cluster").alias(src), F.col("node").alias(dst)
     )
-    merged = connected_components(
-        forest.unionByName(delta_edges.select(src, dst)), src=src, dst=dst
-    )
+    merged = connected_components(forest.unionByName(delta), src=src, dst=dst)
     # Totality guard (r11 ADVICE): a singleton state row (node == cluster,
     # component size 1) contributes no forest edge, so it would be absent
     # from `merged` unless a delta edge touches it. CC-produced states
     # never contain such rows (every CC input node has degree >= 1), but a
     # hand-built or filtered state might -- union singleton roots back as
     # self-clusters so no assignment is ever dropped regardless of caller.
-    # Only ROOT rows (node == cluster) can be absent from `merged`: a
-    # non-root row always contributes a forest edge, so restricting the
-    # anti-join's left side to roots keeps the guard O(#clusters), not
-    # O(#nodes) (r12: the all-nodes guard cost +1.7 s at sf0.1).
+    # r13: derive absence from the INPUT frames, not from `merged` --
+    # merged's node set is exactly forest-srcs ∪ forest-dsts ∪ delta
+    # endpoints, and a state root can only appear there as a forest SRC
+    # (each node has one state row, so a root never shows up as another
+    # cluster's member) or as a delta endpoint. Anti-joining roots
+    # against those two cheap checkpointed frames skips re-evaluating
+    # the CC output lineage entirely (the r12 verdict's +1 s).
+    touched = delta.select(F.col(src).alias("node")).union(
+        delta.select(F.col(dst).alias("node"))
+    )
     singles = (
-        state_clusters.where(F.col("node") == F.col("cluster"))
+        state.where(F.col("node") == F.col("cluster"))
         .select("node")
-        .join(merged.select("node"), "node", "left_anti")
+        .join(forest.select(F.col(src).alias("node")), "node", "left_anti")
+        .join(touched, "node", "left_anti")
         .select("node", F.col("node").alias("cluster"))
     )
     return merged.unionByName(singles)

@@ -22,6 +22,12 @@ def slice_queries(queries):
     if not spec:
         return list(queries)
     i, k = (int(x) for x in spec.split("/"))
+    # r12 ADVICE: a malformed spec like "6/6" would silently collect
+    # zero tests (trivially green shard) -- error loudly instead.
+    if not (k > 0 and 0 <= i < k):
+        raise ValueError(
+            f"PYTEST_REGISTRY_SLICE={spec!r}: need 0 <= i < k (k > 0)"
+        )
     return [
         q
         for q in queries

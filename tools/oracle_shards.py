@@ -42,11 +42,24 @@ def main() -> int:
     # keeps them in the sf0.001/sf0.01 sweeps (where they stay green
     # and falsifiable). oracle_check.py still runs them anywhere when
     # named explicitly.
-    sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        big_sf = float(sf_label) >= 0.1
-    except ValueError:
-        big_sf = False
+    # r12 ADVICE: fail CLOSED when the sf label cannot be parsed -- an
+    # unrecognized (possibly large) directory must NOT silently run the
+    # declared-quadratic baselines. Override with ORACLE_SWEEP_BIG_SF=0/1.
+    big_env = os.environ.get("ORACLE_SWEEP_BIG_SF")
+    if big_env is not None:
+        big_sf = big_env not in ("0", "false", "False")
+    else:
+        sf_label = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            big_sf = float(sf_label) >= 0.1
+        except ValueError:
+            print(
+                f"[oracle_shards] WARNING: cannot parse scale from {sf_dir!r};"
+                " failing CLOSED (treating as big SF, brute baselines skipped)."
+                " Set ORACLE_SWEEP_BIG_SF=0 to force-run them.",
+                flush=True,
+            )
+            big_sf = True
     baseline_names = sorted(q.name for q in qs if "brute-baseline" in q.tags)
     skipped_baselines = baseline_names if big_sf else []
     names = sorted(q.name for q in qs if q.name not in skipped_baselines)
