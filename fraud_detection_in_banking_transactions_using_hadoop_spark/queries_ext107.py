@@ -97,18 +97,28 @@ def q_copurchase_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     px = part.select(F.col("p_partkey").alias("x"), F.col("p_brand").alias("bx"))
     py = part.select(F.col("p_partkey").alias("y"), F.col("p_brand").alias("by_"))
     lab = e.join(F.broadcast(px), "x").join(F.broadcast(py), "y")
-    m = lab.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # r13: `lab` (the data-sized co-purchase self-join) used to feed
+    # FOUR separate aggregates, each re-running its lineage (the
+    # CLAUDE.md multi-reference rule). One grouped pass collapses it
+    # to a <=|brands|^2-row contingency frame; m/within/deg are exact
+    # integer rollups of that tiny checkpointed frame.
+    bb = (
+        lab.groupBy("bx", "by_")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    m = bb.agg(F.sum("cnt").cast("bigint").alias("m"))
     within = (
-        lab.where(F.col("bx") == F.col("by_"))
+        bb.where(F.col("bx") == F.col("by_"))
         .groupBy(F.col("bx").alias("brand"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("mc"))
+        .agg(F.sum("cnt").cast("bigint").alias("mc"))
     )
     deg = (
-        lab.groupBy(F.col("bx").alias("brand"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        bb.groupBy(F.col("bx").alias("brand"))
+        .agg(F.sum("cnt").cast("bigint").alias("d"))
         .unionByName(
-            lab.groupBy(F.col("by_").alias("brand")).agg(
-                F.count(F.lit(1)).cast("bigint").alias("d")
+            bb.groupBy(F.col("by_").alias("brand")).agg(
+                F.sum("cnt").cast("bigint").alias("d")
             )
         )
         .groupBy("brand")

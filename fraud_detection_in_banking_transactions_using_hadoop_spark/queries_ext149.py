@@ -88,69 +88,51 @@ def q_bwt_compressibility_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-run counts of the BWT string are compared with the raw
     text's (bwt_run_ppm < 1e6 means BWT made the text more
     RLE-compressible -- the whole point of bzip2's first stage).
-    Everything is per-document windows over an O(corpus chars)
-    rotation table; run totals are exact integers."""
-    docs = read_table(spark, sf_dir, "documents").where(F.length("text") >= 2)
-    d = docs.select(
-        "doc_id",
-        "source",
-        "text",
-        F.length("text").alias("n"),
-        F.concat("text", "text").alias("dd"),
+    r13 plan change: the relational rotation sort shuffles O(sum n^2)
+    BYTES (every rotation row carries its full n-char string through
+    the per-doc window sort -- ~1.5 GB of sort traffic at sf0.1, the
+    sweep's heaviest Spark side). The BWT is a PER-DOCUMENT pure
+    function, so the scale-correct plan is an embarrassingly parallel
+    mapInPandas fold: no data-sized shuffle at all, only the tiny
+    per-source aggregate moves. The DuckDB oracle keeps the relational
+    rotation-sort formulation, so the hash gate now compares two
+    INDEPENDENT constructions of the BWT (stronger than shared text).
+    Sort parity: rotations are lowercase ASCII + space, so Python
+    code-point order == BINARY collation; equal rotations share a last
+    char, so the index tiebreak cannot change the BWT string."""
+    import pandas as pd
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.length("text") >= 2)
+        .select("doc_id", "source", "text")
     )
-    rot = d.select(
-        "doc_id",
-        "source",
-        F.explode(F.expr("sequence(0, n - 1)")).alias("i"),
-        "dd",
-        "n",
-    ).select(
-        "doc_id",
-        "source",
-        "i",
-        F.expr("substr(dd, i + 1, n)").alias("r"),
-        F.expr("substr(dd, i + n, 1)").alias("last_ch"),
-    )
-    wb = Window.partitionBy("doc_id").orderBy("r", "i")
-    bwt = rot.select(
-        "doc_id",
-        "source",
-        "last_ch",
-        F.lag("last_ch").over(wb).alias("prev_ch"),
-    )
-    bruns = bwt.groupBy("doc_id", "source").agg(
-        F.sum(
-            F.when(
-                F.col("prev_ch").isNull()
-                | (F.col("prev_ch") != F.col("last_ch")),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("runs_bwt")
-    )
-    raw_ch = d.select(
-        "doc_id",
-        F.explode(F.expr("sequence(0, n - 1)")).alias("i"),
-        "text",
-    ).select("doc_id", "i", F.expr("substr(text, i + 1, 1)").alias("ch"))
-    wr = Window.partitionBy("doc_id").orderBy("i")
-    rraw = (
-        raw_ch.select("doc_id", "ch", F.lag("ch").over(wr).alias("prev_ch"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("prev_ch").isNull()
-                    | (F.col("prev_ch") != F.col("ch")),
-                    1,
-                ).otherwise(0)
+
+    def _bwt_fold(batches):
+        for pdf in batches:
+            out = []
+            for did, src, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                n = len(text)
+                dd = text + text
+                order = sorted(range(n), key=lambda i: dd[i : i + n])
+                last = "".join(dd[i + n - 1] for i in order)
+                runs_bwt = 1 + sum(
+                    1 for j in range(1, n) if last[j] != last[j - 1]
+                )
+                runs_raw = 1 + sum(
+                    1 for j in range(1, n) if text[j] != text[j - 1]
+                )
+                out.append((did, src, runs_bwt, runs_raw))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "source", "runs_bwt", "runs_raw"]
             )
-            .cast("bigint")
-            .alias("runs_raw")
-        )
+
+    j = docs.mapInPandas(
+        _bwt_fold,
+        "doc_id bigint, source string, runs_bwt bigint, runs_raw bigint",
     )
-    j = bruns.join(rraw, "doc_id")
     return (
         j.groupBy("source")
         .agg(

@@ -42,7 +42,7 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers 
     "incremental_minhash_dedup",
     f"""
     WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+    edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     nodes AS (SELECT DISTINCT a AS n FROM edges),
     reach(node, r) AS (

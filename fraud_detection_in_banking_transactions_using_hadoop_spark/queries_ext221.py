@@ -55,7 +55,7 @@ def _trunc_div_e6(v: int) -> int:
 
 
 _ELO_GAMES_SQL = """
-    mrev AS (
+    mrev AS MATERIALIZED (
       SELECT c.c_nationkey AS nation,
              date_trunc('month', o.o_orderdate) AS m,
              CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
@@ -72,11 +72,11 @@ _ELO_GAMES_SQL = """
       JOIN mrev b ON a.m = b.m AND a.nation <> b.nation
         AND a.rev <> b.rev
       JOIN months mo ON mo.m = a.m),
-    gml AS (
+    gml AS MATERIALIZED (
       SELECT t, list(struct_pack(i := i, j := j, s := s)
                      ORDER BY i, j) AS gl
       FROM gm GROUP BY t),
-    tmax AS (SELECT CAST(max(t) AS BIGINT) AS tm FROM months)
+    tmax AS MATERIALIZED (SELECT CAST(max(t) AS BIGINT) AS tm FROM months)
 """
 
 # per-nation monthly Elo delta, from START-of-month ratings r (e9 ints)

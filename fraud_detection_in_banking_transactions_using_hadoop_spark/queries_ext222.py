@@ -49,6 +49,9 @@ def _game_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("rev")
         )
+        # ~25 nations x ~84 months rows; pinned so the self-join below
+        # doesn't run the orders aggregation twice (CLAUDE.md rule).
+        .localCheckpoint(eager=True)
     )
     a, b = mrev.alias("a"), mrev.alias("b")
     return a.join(
@@ -109,9 +112,12 @@ def q_streaming_elo_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = Path(tempfile.mkdtemp(prefix="elo_stream_"))
     src, state = base / "src", base / "state"
     feed = _game_feed(spark, sf_dir)
+    # r13: pin the partitioned feed ONCE -- the loop below writes four
+    # slices, and without this each write re-ran the ntile window AND
+    # the unpersisted mrev self-join behind it (~8x the orders agg).
     parts = feed.select(
         "*", F.ntile(4).over(Window.orderBy("m", "i", "j")).alias("pt")
-    )
+    ).localCheckpoint(eager=True)
     for p in range(1, 5):
         parts.where(F.col("pt") == p).drop("pt").coalesce(1).write.parquet(
             str(src / f"part{p}")

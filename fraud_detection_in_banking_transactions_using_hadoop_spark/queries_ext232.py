@@ -41,7 +41,7 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers 
     "incremental_cc_update",
     f"""
     WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
-    edges AS (SELECT DISTINCT a, b FROM (
+    edges AS MATERIALIZED (SELECT DISTINCT a, b FROM (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION ALL SELECT doc_b, doc_a FROM pairs)),
     nodes AS (SELECT DISTINCT a AS n FROM edges),

@@ -35,7 +35,7 @@ _CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
     "cluster_size_histogram",
     f"""
     WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+    edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     nodes AS (SELECT DISTINCT a AS n FROM edges),
     reach(node, r) AS (

@@ -28,7 +28,7 @@ _SHINGLE_PAIRS_CTE = """
       SELECT doc_id, CAST(i // 2 AS INTEGER) AS band_id,
              md5(string_agg(h, '|' ORDER BY i)) AS band_hash
       FROM hashed GROUP BY doc_id, CAST(i // 2 AS INTEGER)),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_hash = b.band_hash
@@ -43,7 +43,7 @@ _SHINGLE_PAIRS_CTE = """
     "dedup_clusters",
     f"""
     WITH RECURSIVE {_SHINGLE_PAIRS_CTE},
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+    edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     nodes AS (SELECT DISTINCT a AS n FROM edges),
     reach(node, r) AS (
@@ -176,7 +176,7 @@ def _pagerank_sql(n_iter: int = 5) -> str:
         GROUP BY e.b) s ON s.node = nd.node)""")
     return f"""
     WITH {_SHINGLE_PAIRS_CTE},
-    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+    edges AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs
               UNION ALL SELECT doc_b, doc_a FROM pairs),
     deg AS (SELECT a, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY a),
     nodes AS (SELECT a AS node FROM deg),
