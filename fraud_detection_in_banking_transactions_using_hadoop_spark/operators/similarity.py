@@ -182,6 +182,22 @@ def ivf_train_centroids(
     (the incremental-index path trains once on a snapshot and FREEZES
     the centroids): deterministic md5-bucket sample of the base,
     driver-side seeded Lloyd. Bounded work regardless of base size."""
+    X = ivf_train_matrix(base, id_col, vec_col, n_cells, train_sample_per_cell)
+    return fit_ivf_quantizer(X, n_cells, seed, max_iter)
+
+
+def ivf_train_matrix(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    n_cells: int = 16,
+    train_sample_per_cell: int = 256,
+) -> np.ndarray:
+    """The bounded deterministic training matrix behind every quantizer
+    fit (coarse IVF AND PQ codebooks): md5-bucket sample of the base,
+    collected once, sorted by id for a stable row order. Factored out
+    (r13) so IVF-PQ fits its coarse quantizer and its m codebooks from
+    ONE collection instead of re-sampling per fit."""
     base_v = base.select(id_col, vec_col)
     n = base_v.count()
     n_buckets = ivf_train_bucket_count(n, n_cells, train_sample_per_cell)
@@ -195,8 +211,7 @@ def ivf_train_centroids(
         )
         train = base_v.filter(bucket == 0)
     pdf = train.sort(id_col).toPandas()
-    X = np.array(pdf[vec_col].to_list(), dtype=np.float64)
-    return fit_ivf_quantizer(X, n_cells, seed, max_iter)
+    return np.array(pdf[vec_col].to_list(), dtype=np.float64)
 
 
 def ivf_assign_cells(
@@ -235,6 +250,171 @@ def ivf_assign_cells(
         return pd.Series(idx)
 
     return df.withColumn(out_col, _assign(F.col(vec_col)))
+
+
+def fit_pq_codebooks(
+    X: np.ndarray, m: int = 8, ks: int = 16, seed: int = 42, max_iter: int = 10
+) -> list[np.ndarray]:
+    """Product-quantization codebooks: split the dim axis into m equal
+    subspaces and run the SAME deterministic driver-side Lloyd
+    (fit_ivf_quantizer) independently per subspace -- m codebooks of
+    ks centroids x (dim/m) dims. Shared verbatim by ivfpq_adc_topk and
+    the ann_ivfpq_topk oracle-SQL generator so both engines inline
+    IDENTICAL codebook literals. Training cost is bounded by the
+    sample (a few thousand rows) regardless of base size -- the FAISS
+    IVF-PQ split: train once on one node, encode distributed."""
+    d = X.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return [
+        fit_ivf_quantizer(X[:, s * dsub : (s + 1) * dsub], ks, seed, max_iter)
+        for s in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[np.ndarray],
+    vec_col: str = "v",
+    out_col: str = "_codes",
+) -> DataFrame:
+    """One vectorized Arrow pass encoding each vector to its m PQ codes
+    (per-subspace argmin against the FROZEN codebooks). Distances
+    accumulate SEQUENTIALLY over the subspace's dim axis
+    (0 + z1 + z2 + ...), the exact left-to-right chain the DuckDB
+    oracle's generated SQL evaluates -- bit-identical d2 both engines;
+    argmin ties resolve to the LOWEST code via strict < (== the
+    oracle's row_number ORDER BY d2, code). After this pass the index
+    stores only (id, cell, m codes) -- m bytes-ish per vector instead
+    of dim floats, the reason IVF-PQ is what a 100 TB ANN index
+    actually ships."""
+    from pyspark.sql.functions import pandas_udf
+
+    CB = [np.asarray(c, dtype=np.float64) for c in codebooks]
+    m = len(CB)
+    dsub = CB[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _enc(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = np.zeros((len(X), m), dtype=np.int32)
+        for s in range(m):
+            Xs = X[:, s * dsub : (s + 1) * dsub]
+            cb = CB[s]
+            best = np.full(len(X), np.inf)
+            idx = np.zeros(len(X), dtype=np.int32)
+            for c in range(len(cb)):
+                dvec = np.zeros(len(X))
+                for t in range(dsub):
+                    diff = Xs[:, t] - cb[c, t]
+                    dvec += diff * diff
+                upd = dvec < best
+                best[upd] = dvec[upd]
+                idx[upd] = c
+            out[:, s] = idx
+        return pd.Series(out.tolist())
+
+    return df.withColumn(out_col, _enc(F.col(vec_col)))
+
+
+def ivfpq_adc_topk(
+    base: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    train_sample_per_cell: int = 256,
+) -> DataFrame:
+    """IVF-PQ approximate top-k with asymmetric-distance (ADC) ranking
+    -- the operator a 100 TB ANN index actually ships (FAISS IVFPQ):
+
+      train   coarse quantizer (n_cells) + m PQ codebooks (ks each) on
+              ONE bounded md5-hash sample, driver-side numpy;
+      index   one Arrow pass assigns each base vector a cell and m PQ
+              codes, then DROPS the raw vector -- the index is
+              (id, cell, codes), ~m bytes/vector;
+      search  each query probes its n_probe nearest cells and ranks
+              candidates by ADC: sum over subspaces of the exact
+              distance from the query SUB-vector to the candidate's
+              RECONSTRUCTED sub-vector (codebook centroid). No
+              candidate vector is ever read at query time.
+
+    Cross-engine discipline: each per-subspace d2 is the left-to-right
+    dim chain (bit-identical to the oracle's generated SQL), quantized
+    to an e9 integer per TERM before the cross-subspace sum, so the
+    total is order-free exact integer arithmetic (the r10 float-sum
+    rule). Output adc_e9 = sum_s floor(d2_s * 1e9 + 0.5)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    base_v = base.select(id_col, vec_col)
+    X = ivf_train_matrix(base_v, id_col, vec_col, n_cells, train_sample_per_cell)
+    C = fit_ivf_quantizer(X, n_cells, seed, max_iter)
+    CB = fit_pq_codebooks(X, m=m, ks=ks, seed=seed, max_iter=max_iter)
+    dsub = X.shape[1] // m
+
+    assigned = ivf_assign_cells(base_v, C.tolist(), vec_col)
+    index = pq_encode(assigned, CB, vec_col).select(id_col, "_cell", "_codes")
+
+    centroids = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
+    cent_df = queries.sparkSession.createDataFrame(
+        centroids, ["_cell", "_centroid"]
+    ).select("_cell", F.col("_centroid").cast("array<double>").alias("_centroid"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    dist2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("_centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_d2").asc(), F.col("_cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("_d2", dist2)
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "qv", "_cell")
+    )
+
+    @pandas_udf("long")
+    def _adc(qvs: pd.Series, codess: pd.Series) -> pd.Series:
+        if len(qvs) == 0:
+            return pd.Series([], dtype="int64")
+        Q = np.stack(qvs.to_numpy()).astype(np.float64)
+        Cd = np.stack(codess.to_numpy()).astype(np.int64)
+        total = np.zeros(len(Q), dtype=np.int64)
+        for s in range(m):
+            cb = CB[s]
+            sel = cb[Cd[:, s]]
+            acc = np.zeros(len(Q))
+            for t in range(dsub):
+                diff = Q[:, s * dsub + t] - sel[:, t]
+                acc += diff * diff
+            total += np.floor(acc * 1e9 + 0.5).astype(np.int64)
+        return pd.Series(total)
+
+    cands = index.join(F.broadcast(probes), "_cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    sims = cands.withColumn("adc_e9", _adc(F.col("qv"), F.col("_codes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_e9").asc(), F.col(id_col).asc()
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "adc_e9", "rk"
+        )
+    )
 
 
 def ivf_cosine_topk(

@@ -331,6 +331,7 @@ def registry() -> list[Query]:
         queries_ext258,
         queries_ext259,
         queries_ext260,
+        queries_ext261,
         queries_feat,
         queries_funcs,
         queries_funcs2,

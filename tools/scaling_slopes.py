@@ -26,6 +26,8 @@ HEAVY = [
     "minhash_shingle_pairs",
     "dedup_clusters",
     "ann_ivf_topk",
+    # r13: the IVF-PQ ADC path (codes-only candidate scoring)
+    "ann_ivfpq_topk",
     "semantic_dedup_prune",
     "interval_overlap_pairs",
     # r6: the current top-of-bench lines (r5 verdict item 3)
