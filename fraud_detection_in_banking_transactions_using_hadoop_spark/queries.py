@@ -332,6 +332,7 @@ def registry() -> list[Query]:
         queries_ext259,
         queries_ext260,
         queries_ext261,
+        queries_ext262,
         queries_feat,
         queries_funcs,
         queries_funcs2,
