@@ -333,6 +333,7 @@ def registry() -> list[Query]:
         queries_ext260,
         queries_ext261,
         queries_ext262,
+        queries_ext263,
         queries_feat,
         queries_funcs,
         queries_funcs2,
