@@ -106,6 +106,10 @@ HEADLINE = [
     "quality_classifier_calibration",  # trained curation gate + reliability
     "varint_delta_codec",  # 14th real codec (LEB128, byte-exact hash)
     "ssa_trend_cycle",  # data-derived Henderson taps (exact-int SSA)
+    # round-13 flagship operators
+    "ann_ivfpq_topk",  # IVF-PQ ADC: codes-only candidate ranking
+    "multimodal_mdct_stats",  # 15th real codec (fixed-point MDCT)
+    "curation_pipeline_e2e",  # fused dedup->quality->decon->pack DAG
 ]
 
 

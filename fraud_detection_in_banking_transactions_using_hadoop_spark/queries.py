@@ -334,6 +334,8 @@ def registry() -> list[Query]:
         queries_ext261,
         queries_ext262,
         queries_ext263,
+        queries_ext264,
+        queries_ext265,
         queries_feat,
         queries_funcs,
         queries_funcs2,

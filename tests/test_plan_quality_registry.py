@@ -879,10 +879,14 @@ EAGER = {
     "streaming_outer_join_replay",
     "minhash_lsh_pairs", "minhash_shingle_pairs", "dedup_clusters",
     "pagerank_sim_graph", "ann_ivf_topk", "incremental_watermark",
-    # ext261: driver-side coarse+PQ codebook fit at plan-construction
-    # time (the ann_ivf_topk shape); only cross join is the 8-row
-    # centroid broadcast for probe selection
+    # ext261/264: driver-side coarse+PQ codebook fit at plan-
+    # construction time (the ann_ivf_topk shape); only cross join is
+    # the 8-row centroid broadcast for probe selection
     "ann_ivfpq_topk",
+    "ann_ivfpq_refine",
+    "pq_reconstruction_error",
+    # ext265: streaming MDCT replay (foreachBatch over written feed)
+    "streaming_mdct_replay",
     # ext213: driver-side quantizer fit + eager state checkpoint (the
     # persisted-index stand-in); the only cross joins are 1-row
     # total/drift broadcasts over the 8-row cell spine
