@@ -336,6 +336,7 @@ def registry() -> list[Query]:
         queries_ext263,
         queries_ext264,
         queries_ext265,
+        queries_ext266,
         queries_feat,
         queries_funcs,
         queries_funcs2,

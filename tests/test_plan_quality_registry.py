@@ -32,6 +32,9 @@ ALLOWED_NESTED_LOOP = {
     "chain_ladder_factors",
     # 1-row month-span/moments broadcasts over the dense month spine
     "bass_diffusion_fit",
+    # ext266: 1-row budget/water-level broadcasts over the 20-row
+    # per-source spine (waterfilling closed form)
+    "token_budget_waterfill",
     # exact all-pairs variogram estimator (LOF/ripley brute-force
     # family) -- retained as the documented exact baseline; the
     # REGISTERED scale path is semivariogram_grid (queries_ext212),
