@@ -1894,9 +1894,7 @@ MDCT_BITS = 12   # fixed-point scale of the windowed-cosine table
 MDCT_QUANT = tuple(128 * (k + 1) for k in range(MDCT_N))
 
 
-def mdct_table() -> tuple[tuple[int, ...], ...]:
-    """T[k][n] = round(2^B * w[n] * cos(pi/N (n+1/2+N/2)(k+1/2))),
-    round-half-up. 8 x 16 integers; shared verbatim with the oracle."""
+def _mdct_table_impl() -> tuple[tuple[int, ...], ...]:
     import math
 
     N = MDCT_N
@@ -1916,6 +1914,17 @@ def mdct_table() -> tuple[tuple[int, ...], ...]:
         )
         for k in range(N)
     )
+
+
+_MDCT_TABLE_CACHE = _mdct_table_impl()
+
+
+def mdct_table() -> tuple[tuple[int, ...], ...]:
+    """T[k][n] = round(2^B * w[n] * cos(pi/N (n+1/2+N/2)(k+1/2))),
+    round-half-up. 8 x 16 integers; shared verbatim with the oracle.
+    Computed once at import (encode/decode and the streaming fold call
+    this per invocation -- 15k rebuilds per replay before caching)."""
+    return _MDCT_TABLE_CACHE
 
 
 def mdct_rdiv(a: int, d: int) -> int:
