@@ -92,6 +92,7 @@ def connected_components(
     max_iter: int = 20,
     check_every: int = 2,
     driver_max_edges: int = 500_000,
+    input_materialized: bool = False,
 ) -> DataFrame:
     """Returns (node, cluster): cluster = min node id in the component.
     Nodes = every id appearing in `pairs`; join singletons back with
@@ -114,31 +115,54 @@ def connected_components(
     # Checkpoint the raw pair projection ONCE: `pairs` is typically the
     # tail of an expensive LSH pipeline, and deriving nodes and edges
     # from the un-checkpointed frame would run that pipeline twice.
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
-        eager=True
-    )
+    # Callers that already hold materialized inputs (cc_forest_merge
+    # folds a checkpointed forest + checkpointed delta) pass
+    # input_materialized=True to skip this redundant materialization job
+    # (r13 optimization: a 3-fold incremental replay paid it 3x).
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not input_materialized:
+        e = e.localCheckpoint(eager=True)
+    edges_lazy = e.filter(F.col("a") != F.col("b")).distinct()
+    # ONE job decides the path AND fetches the driver-path data: the
+    # limit probe collects at most cap+1 rows (bounded driver memory,
+    # ~16 B/edge over Arrow), so distinct+limit+transfer fuse into a
+    # single action instead of the old checkpoint -> count -> toPandas
+    # triple (r13: three jobs x three folds of fixed scheduling cost in
+    # the incremental replay). The distributed path re-derives the
+    # distinct from the checkpointed projection -- one extra pass, paid
+    # only on >cap edge sets where the star loop dominates anyway.
+    pdf = edges_lazy.limit(driver_max_edges + 1).toPandas()
+
+    if len(pdf) <= driver_max_edges:
+        labels = _driver_union_find(zip(pdf["a"].to_list(), pdf["b"].to_list()))
+        spark = pairs.sparkSession
+        # The union-find labels EVERY endpoint of `edges`, so the label
+        # frame IS the assignment -- no data-sized nodes-distinct + join
+        # back (r13: that pass appeared once per fold in incremental
+        # replays). The only node set it can miss: ids whose every edge
+        # is a self-loop (a==b) -- rare to empty in practice; recovered
+        # with a tiny anti-join against the driver-built label frame.
+        label_df = spark.createDataFrame(
+            list(labels.items()) or [(None, None)],
+            schema=edges_lazy.select("a", "b").schema,
+        ).select(F.col("a").alias("node"), F.col("b").alias("cluster"))
+        if not labels:
+            label_df = label_df.where(F.lit(False))
+        self_only = (
+            e.filter(F.col("a") == F.col("b"))
+            .select(F.col("a").alias("node"))
+            .distinct()
+            .join(F.broadcast(label_df.select("node")), "node", "left_anti")
+            .select("node", F.col("node").alias("cluster"))
+        )
+        return label_df.unionByName(self_only)
+
+    edges = edges_lazy.localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .distinct()
     )
-    edges = e.filter(F.col("a") != F.col("b")).distinct().localCheckpoint(eager=True)
-
-    if edges.count() <= driver_max_edges:  # count on materialized data: cheap
-        # Arrow transfer + column iteration, not .collect(): a million
-        # PySpark Row objects cost ~100x the raw ints in Python heap
-        pdf = edges.toPandas()
-        labels = _driver_union_find(zip(pdf["a"].to_list(), pdf["b"].to_list()))
-        if not labels:
-            return nodes.select("node", F.col("node").alias("cluster"))
-        spark = pairs.sparkSession
-        label_df = spark.createDataFrame(
-            list(labels.items()), schema=edges.select("a", "b").schema
-        ).select(F.col("a").alias("node"), F.col("b").alias("cluster"))
-        return nodes.join(label_df, "node", "left").select(
-            "node", F.coalesce("cluster", F.col("node")).alias("cluster")
-        )
-
     for i in range(max_iter):
         new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         converged = False
@@ -225,6 +249,7 @@ def cc_forest_merge(
     delta_edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
+    delta_materialized: bool = False,
 ) -> DataFrame:
     """Incremental connected-components maintenance (round 11): fold a
     batch of NEW edges into a persisted (node, cluster) assignment
@@ -252,11 +277,20 @@ def cc_forest_merge(
     # fold's whole merge lineage per scan (r12: the guard's extra scan
     # alone cost ~1 s at sf0.1). State is O(nodes) rows -- cheap to pin.
     state = state_clusters.localCheckpoint(eager=True)
-    delta = delta_edges.select(src, dst).localCheckpoint(eager=True)
+    # delta_materialized: the caller already holds the delta on a
+    # checkpointed frame (a snapshot replay slicing one persisted pair
+    # table) -- re-checkpointing it would be one more full-width
+    # materialization job per fold for nothing. Default False keeps the
+    # pin for expensive delta lineages (the LSH band join).
+    delta = delta_edges.select(src, dst)
+    if not delta_materialized:
+        delta = delta.localCheckpoint(eager=True)
     forest = state.where(F.col("node") != F.col("cluster")).select(
         F.col("cluster").alias(src), F.col("node").alias(dst)
     )
-    merged = connected_components(forest.unionByName(delta), src=src, dst=dst)
+    merged = connected_components(
+        forest.unionByName(delta), src=src, dst=dst, input_materialized=True
+    )
     # Totality guard (r11 ADVICE): a singleton state row (node == cluster,
     # component size 1) contributes no forest edge, so it would be absent
     # from `merged` unless a delta edge touches it. CC-produced states

@@ -79,9 +79,14 @@ def q_incremental_cc_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "snap", F.pmod(F.col("doc_a") * 31 + F.col("doc_b"), F.lit(3))
     ).localCheckpoint(eager=True)
 
-    state = connected_components(snap.where("snap = 0"))
+    # snap is checkpointed above, so every slice of it is cheap lineage:
+    # skip the redundant per-fold materialization jobs inside the
+    # operators (input_materialized / delta_materialized).
+    state = connected_components(snap.where("snap = 0"), input_materialized=True)
     for k in (1, 2):
-        state = cc_forest_merge(state, snap.where(f"snap = {k}"))
+        state = cc_forest_merge(
+            state, snap.where(f"snap = {k}"), delta_materialized=True
+        )
 
     return docs.join(state, docs.doc_id == state.node, "left").select(
         "doc_id",

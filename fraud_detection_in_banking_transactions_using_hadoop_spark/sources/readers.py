@@ -41,6 +41,47 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Fan a narrow scan out across the cluster before CPU-heavy
+    per-row work (md5 fan-outs, codec mapInPandas/Arrow stages).
+
+    The local testdata ships each table as ONE parquet row group, so
+    every scan plans as a single task regardless of core count and any
+    expensive map stage downstream of it runs serially -- the
+    "unsplittable input" case of the optimization guide (2.5: repartition
+    immediately after the read). The exchange moves only the projected
+    input (KBs here), the per-row compute then uses every core.
+
+    Scale-adaptive, not a local[32] constant: the target is the
+    session's defaultParallelism and the repartition is a NO-OP whenever
+    the plan is already at least that parallel -- at 100 TB a scan has
+    thousands of row groups and this never inserts an exchange. Round
+    robin (keyless) repartition keeps the row->partition map
+    deterministic under retries (sortBeforeRepartition is on by
+    default), and every oracled output downstream is order-free
+    (aggregates / exact-integer quantized sums per the build notes), so
+    partitioning cannot change results.
+    """
+    target = parts or df.sparkSession.sparkContext.defaultParallelism
+    # Cheap no-op test: parquet effective scan parallelism is bounded by
+    # the row-group count (byte-range splits that miss a row-group
+    # midpoint read zero rows), and the driver testdata ships one row
+    # group per file -- so #input files is the honest parallelism bound.
+    # df.rdd.getNumPartitions() would be exact but costs a full physical
+    # planning pass per call (~0.2 s via py4j); inputFiles() is a
+    # file-listing lookup (~10 ms). Non-scan inputs (checkpointed or
+    # in-memory frames, empty listing) fall through to the repartition:
+    # they are tiny replay feeds in this codebase, and an extra
+    # round-robin exchange on an already-parallel frame is harmless.
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= target:
+        return df
+    return df.repartition(target)
+
+
 def events_stream_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     """Schema to hand `readStream` for the events table, matching the
     ON-DISK encoding. The driver has shipped two layouts: INT64
