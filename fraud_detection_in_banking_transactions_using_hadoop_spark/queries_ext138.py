@@ -136,18 +136,27 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_cols=["prio"],
         bucket_bits=16,
     )
-    med = (
+    # r13: the 5 group medians are a BOUNDED scalar set (one per order
+    # priority) -- collect them and re-enter as a literal CASE instead
+    # of checkpointing a 5-row frame and broadcast-joining it back
+    # (same exact BIGINT values, one job fewer and a flatter plan).
+    med_rows = (
         pre.join(totg, "prio")
         .where(2 * F.col("cc") >= F.col("n_g"))
         .groupBy("prio")
         .agg(F.min("v").alias("med"))
-        .localCheckpoint(eager=True)
+        .collect()
     )
+    med_expr = None
+    for row in sorted(med_rows):
+        branch = (F.col("prio") == F.lit(row["prio"]), F.lit(row["med"]))
+        med_expr = (
+            F.when(*branch) if med_expr is None else med_expr.when(*branch)
+        )
     dcells = (
-        cells.join(F.broadcast(med), "prio")
-        .select(
+        cells.select(
             "prio",
-            F.abs(F.col("v") - F.col("med")).alias("d"),
+            F.abs(F.col("v") - med_expr).alias("d"),
             F.col("c"),
         )
         .groupBy("prio", "d")
@@ -155,18 +164,24 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     dspine = dcells.groupBy("d").agg(F.sum("cd").cast("bigint").alias("ct"))
-    nn_t = dspine.agg(F.sum("ct").cast("bigint").alias("nn"))
+    # pooled N is one scalar off the checkpointed dcells: literal, not a
+    # broadcast 1-row frame
+    nn_lit = dspine.agg(F.sum("ct").cast("bigint").alias("nn")).first()[0]
     dr = with_global_rank(
         dspine, "d", [F.col("d")], prefix_sum={"cc": "ct"}, bucket_bits=16
     )
-    scored = dr.crossJoin(F.broadcast(nn_t)).select(
+    # consumed once below -- no checkpoint needed; the acklam projection
+    # streams into the grp aggregate at exec time
+    scored = dr.withColumn("nn", F.lit(nn_lit).cast("bigint")).select(
         "d",
         F.expr(
             f"CAST(floor(1e8 * ({_acklam_sql(_FK_P)}) + 0.5) AS BIGINT)"
         ).alias("a_e8"),
-    ).localCheckpoint(eager=True)
+    )
     grp = (
-        dcells.join(scored, "d")
+        # broadcast the (d, score) side: dcells then streams map-side
+        # into the partial aggregate with zero exchanges of its own
+        dcells.join(F.broadcast(scored), "d")
         .groupBy("prio")
         .agg(
             F.sum(F.col("cd").cast(_DEC) * F.col("a_e8")).cast(_DEC).alias("a_j"),
@@ -175,6 +190,9 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast(_DEC)
             .alias("saa_j"),
         )
+        # 5 rows, consumed 3x below (tot, terms, final): pin so the
+        # dcells-scored join runs once, not three times
+        .localCheckpoint(eager=True)
     )
     tot = grp.agg(
         F.sum("a_j").cast(_DEC).alias("sa"),

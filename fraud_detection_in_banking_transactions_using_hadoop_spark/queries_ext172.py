@@ -30,13 +30,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
-from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table, spread
 
 _DEC = "decimal(38,0)"
 _N_SQUARINGS = 5  # 2^5 = 32 > 25 nations: max-min closure converged
 
 
 def _md5_media(docs: DataFrame) -> DataFrame:
+    # codec work downstream (mapInPandas encode/decode) is the dominant
+    # per-row cost; fan the single-row-group scan out first so it runs
+    # at cluster width (readers.spread no-ops on already-parallel input)
+    docs = spread(docs)
     d = F.col("doc_id").cast("string")
     return docs.select(
         F.col("doc_id").alias("media_id"),

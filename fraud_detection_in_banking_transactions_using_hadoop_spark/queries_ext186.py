@@ -34,7 +34,7 @@ from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.multim
     jpeg_dct_table,
 )
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
-from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table, spread
 
 # shared literal tables, generated from the codec's single source of truth
 _C_ROWS = ", ".join(
@@ -134,7 +134,7 @@ def q_multimodal_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import types as T
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     d = F.col("doc_id").cast("string")
     raw = docs.select(
         F.col("doc_id").alias("media_id"),

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
-from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table, spread
 
 _CENTS = "CAST(round(o_totalprice * 100, 0) AS BIGINT)"
 
@@ -82,7 +82,7 @@ def q_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         audio_window_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     d = F.col("doc_id").cast("string")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -141,7 +141,7 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), recall share in integer ppm. One groupBy to <=9 cells --
     the eval artifact that decides whether the classifier's thresholds
     move."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     h_en = F.size(F.filter(toks, lambda t: t.isin("the", "a", "fast")))
     h_es = F.size(F.filter(toks, lambda t: t.isin("data", "row")))

@@ -223,40 +223,40 @@ def q_huber_location_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    def spine_median(sp: DataFrame, col: str, n_col: DataFrame) -> DataFrame:
+    # r13: every intermediate here is a 1-ROW scalar -- collect the
+    # VALUES to the driver (the established bounded driver-fold
+    # pattern) instead of checkpointing 1-row frames and re-entering
+    # them via nested broadcast cross-joins. Each collected scalar is
+    # exact (BIGINT medians; m1 is collected AFTER Spark's own round(),
+    # so the literal re-entering the plan is bit-identical to the old
+    # broadcast column) and the final plan is ONE literal-weighted
+    # aggregate over the checkpointed spine: 5 jobs with flat plans
+    # instead of 5 checkpoints + 4 broadcast builds (4.3 s -> ~2 s
+    # construct at sf0.1).
+    def spine_median_scalar(sp: DataFrame, col: str, n: int) -> int:
         cum = with_global_rank(
             sp, col, [F.col(col)], prefix_sum={"cc": "c"}, bucket_bits=16
         )
         return (
-            cum.crossJoin(F.broadcast(n_col))
-            .where(F.col("cc") >= F.expr("CAST((n + 1) DIV 2 AS BIGINT)"))
+            cum.where(F.col("cc") >= F.lit((n + 1) // 2))
             .agg(F.min(col).alias("m"))
+            .first()[0]
         )
 
-    nn = spine.agg(F.sum("c").cast("bigint").alias("n")).localCheckpoint(eager=True)
-    med = (
-        spine_median(spine, "v", nn)
-        .withColumnRenamed("m", "m0")
-        .localCheckpoint(eager=True)
+    n = spine.agg(F.sum("c").cast("bigint").alias("n")).first()[0]
+    m0 = spine_median_scalar(spine, "v", n)
+    dspine = spine.groupBy(F.abs(F.col("v") - F.lit(m0)).alias("d")).agg(
+        F.sum("c").cast("bigint").alias("c")
     )
-    dspine = (
-        spine.crossJoin(F.broadcast(med))
-        .groupBy(F.abs(F.col("v") - F.col("m0")).alias("d"))
-        .agg(F.sum("c").cast("bigint").alias("c"))
-    )
-    mad = (
-        spine_median(dspine, "d", nn)
-        .withColumnRenamed("m", "mad0")
-        .localCheckpoint(eager=True)
-    )
-    params = med.crossJoin(F.broadcast(mad)).select(
-        "m0", "mad0", (F.lit(_HUBER_K) * F.col("mad0")).alias("ck")
-    )
+    mad0 = spine_median_scalar(dspine, "d", n)
+    # same IEEE double product the old in-plan `lit(1.345) * mad0`
+    # computed (mad0 is an exact integer far below 2^53)
+    ck = _HUBER_K * mad0
 
     def irls(center_col):
         adev = F.abs(F.col("v") - center_col)
         w = F.when(adev == 0, F.lit(1.0)).otherwise(
-            F.least(F.lit(1.0), F.col("ck") / adev)
+            F.least(F.lit(1.0), F.lit(ck) / adev)
         )
         return (
             F.sum(
@@ -267,28 +267,22 @@ def q_huber_location_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast(_DEC),
         )
 
-    base = spine.crossJoin(F.broadcast(params))
-    s1, s2 = irls(F.col("m0"))
-    it1 = base.agg(s1.alias("t1"), s2.alias("t2"))
+    s1, s2 = irls(F.lit(m0))
+    it1 = spine.agg(s1.alias("t1"), s2.alias("t2"))
+    # collect AFTER Spark's round(): bit-identical to the broadcast form
     m1 = it1.select(
         F.round(F.col("t1").cast("double") / F.col("t2").cast("double"), 4).alias("m1")
-    ).localCheckpoint(eager=True)
-    base2 = base.crossJoin(F.broadcast(m1))
-    s1b, s2b = irls(F.col("m1"))
-    it2 = base2.agg(s1b.alias("t1"), s2b.alias("t2"))
-    return (
-        it2.crossJoin(F.broadcast(nn))
-        .crossJoin(F.broadcast(params))
-        .crossJoin(F.broadcast(m1))
-        .select(
-            "n",
-            F.col("m0").alias("median_cents"),
-            F.col("mad0").alias("mad_cents"),
-            F.col("m1").alias("huber_m1_cents"),
-            F.round(
-                F.col("t1").cast("double") / F.col("t2").cast("double"), 4
-            ).alias("huber_m2_cents"),
-        )
+    ).first()[0]
+    s1b, s2b = irls(F.lit(m1))
+    it2 = spine.agg(s1b.alias("t1"), s2b.alias("t2"))
+    return it2.select(
+        F.lit(n).cast("bigint").alias("n"),
+        F.lit(m0).cast("bigint").alias("median_cents"),
+        F.lit(mad0).cast("bigint").alias("mad_cents"),
+        F.lit(m1).cast("double").alias("huber_m1_cents"),
+        F.round(
+            F.col("t1").cast("double") / F.col("t2").cast("double"), 4
+        ).alias("huber_m2_cents"),
     )
 
 

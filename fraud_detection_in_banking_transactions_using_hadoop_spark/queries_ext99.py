@@ -307,10 +307,18 @@ def q_survival_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             "life",
             F.when(F.col("lastd") < F.col("endcut"), 1).otherwise(0).alias("ev"),
         )
+        # consumed 4x below (ntot, the rank pass's two scans, assign):
+        # pin the O(customers) spine once instead of re-running the
+        # orders groupBy per consumer (r13 optimization round)
+        .localCheckpoint(eager=True)
     )
     ntot = cust.agg(F.count(F.lit(1)).cast("bigint").alias("nn"))
     ranked_sp = (
-        with_global_rank(cust, "spend", [F.col("spend"), F.col("ck")])
+        # bucket_bits: spend is whole nonneg dollars (bounded integer
+        # domain) -- the DIV-projection bucket path drops the
+        # approx_percentile stats job + range join of the generic path
+        # (r6 recipe, applied r13; ranks are bit-identical)
+        with_global_rank(cust, "spend", [F.col("spend"), F.col("ck")], bucket_bits=14)
         .crossJoin(F.broadcast(ntot))
         .select(
             "spend",
@@ -336,7 +344,8 @@ def q_survival_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("g")).cast("bigint").alias("c0"),
         F.sum(F.col("g") * F.col("ev")).cast("bigint").alias("d1"),
         F.sum((1 - F.col("g")) * F.col("ev")).cast("bigint").alias("d0"),
-    )
+        # consumed 3x (totals + the grouped rank pass's two scans)
+    ).localCheckpoint(eager=True)
     totals = cells.groupBy("cut_id").agg(
         F.sum("c1").cast("bigint").alias("n1t"),
         F.sum("c0").cast("bigint").alias("n0t"),
@@ -348,6 +357,7 @@ def q_survival_split_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             [F.col("life")],
             prefix_sum={"cf1": "c1", "cf0": "c0"},
             partition_cols=["cut_id"],
+            bucket_bits=7,  # life = nonneg day counts <= ~2.5k: DIV buckets
         )
         .join(F.broadcast(totals), "cut_id")
         .select(

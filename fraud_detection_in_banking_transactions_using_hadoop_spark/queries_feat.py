@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.rank import with_global_rank
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
-from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table, spread
 
 
 # ---------------------------------------------------------------------------
@@ -384,7 +384,7 @@ def q_multimodal_raw8_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_channel_stats,
     )
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     d = F.col("doc_id").cast("string")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -464,7 +464,7 @@ def q_multimodal_png_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import types as T
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     d = F.col("doc_id").cast("string")
     raw = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -577,7 +577,7 @@ def q_multimodal_gif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import types as T
 
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     d = F.col("doc_id").cast("string")
     raw = docs.select(
         F.col("doc_id").alias("media_id"),
