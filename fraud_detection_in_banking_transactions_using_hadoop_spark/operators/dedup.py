@@ -21,8 +21,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import spread
-
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Group identical content by md5; keep the smallest id as canonical.
@@ -161,10 +159,6 @@ def minhash_signatures(
     """
     if vocab_broadcast is None:
         vocab_broadcast = shingle_w <= 1
-    # The md5 fan-out below is the dominant per-row cost; make sure it
-    # runs at cluster width even off a single-row-group scan (readers.
-    # spread is a no-op when the input is already parallel).
-    df = spread(df)
     if shingle_w <= 1:
         toks = df.select(
             F.col(id_col), F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
@@ -419,7 +413,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, n_bits: int = 60) -> Da
 
     Returns (id_col, simhash BIGINT).
     """
-    toks = spread(df).select(
+    toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(F.split(text_col, " "))).alias("tok")
     )
     toks = toks.withColumn(

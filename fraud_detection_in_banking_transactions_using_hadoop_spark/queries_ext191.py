@@ -165,15 +165,20 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("pr.a", "pr.b")
             .agg(F.sum("freq").cast("bigint").alias("cnt"))
         )
+        # r13: the winning pair is ONE row of two symbol strings --
+        # collect it (TakeOrdered job, same as before) and re-enter as
+        # literals instead of checkpointing a 1-row frame that every
+        # later round and the final select re-broadcast
         top = (
             pairs.orderBy(F.col("cnt").desc(), "a", "b")
             .limit(1)
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .first()
         )
         tops.append(top)
         v = (
-            v.crossJoin(F.broadcast(top))
+            v.withColumn("a", F.lit(top["a"]))
+            .withColumn("b", F.lit(top["b"]))
             .select(
                 "word",
                 "freq",
@@ -206,15 +211,7 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = metrics.crossJoin(F.broadcast(vocab))
     for r, top in enumerate(tops, start=1):
-        out = out.crossJoin(
-            F.broadcast(
-                top.select(
-                    F.concat(F.col("a"), F.lit("+"), F.col("b")).alias(
-                        f"merge_{r}"
-                    )
-                )
-            )
-        )
+        out = out.withColumn(f"merge_{r}", F.lit(top["a"] + "+" + top["b"]))
     return out.select(
         "n_words",
         *[f"merge_{r}" for r in range(1, _ROUNDS + 1)],

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
-from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table, spread
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
 
 _B64_ALPHA = (
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
@@ -96,7 +96,7 @@ def q_multimodal_base64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real RFC 4648 base64 in-engine (module docstring): Spark's JVM
     base64/unbase64 over BINARY, roundtrip asserted in-plan; oracle
     re-derives the encoding by 6-bit repacking from scratch."""
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = read_table(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
     h = docs.select(
         F.col("doc_id").alias("media_id"),
@@ -212,7 +212,7 @@ def q_hamming74_ecc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming(7,4) SEC in-engine (module docstring): 120 nibbles per
     media, one md5-derived bit flip per codeword, syndrome decode and
     correct -- all pure BIGINT column algebra, no UDF."""
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    docs = read_table(spark, sf_dir, "documents")
     d = F.col("doc_id").cast("string")
     h = docs.select(
         F.col("doc_id").alias("media_id"),

@@ -160,8 +160,9 @@ def q_quality_classifier_calibration(
             ),
             "doc_id",
         )
-        .localCheckpoint(eager=True)
     )
+    # docs is consumed exactly once (the spine groupBy): no checkpoint;
+    # the spine pin below is the only materialization needed
     spine = (
         docs.groupBy("v", "y")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))

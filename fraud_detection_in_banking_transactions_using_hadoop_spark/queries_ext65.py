@@ -349,18 +349,34 @@ def q_kmeans_1d_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = orders.select(
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("v")
     )
-    spine = vals.groupBy("v").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    nn = spine.agg(F.sum("c").cast("bigint").alias("n"))
-    cum = with_global_rank(spine, "v", [F.col("v")], prefix_sum={"cc": "c"})
-    seed = (
-        cum.crossJoin(F.broadcast(nn))
-        .agg(
-            F.min(F.when(8 * F.col("cc") >= F.col("n"), F.col("v"))).alias("c0"),
-            F.min(F.when(8 * F.col("cc") >= 3 * F.col("n"), F.col("v"))).alias("c1"),
-            F.min(F.when(8 * F.col("cc") >= 5 * F.col("n"), F.col("v"))).alias("c2"),
-            F.min(F.when(8 * F.col("cc") >= 7 * F.col("n"), F.col("v"))).alias("c3"),
-        )
+    # r13: the center vector is a BOUNDED EXACT-INTEGER scalar set (4
+    # BIGINTs; seed = order statistics, updates = integer DIV means) --
+    # collect it per round and re-enter as literals (the established
+    # bounded driver-fold pattern) instead of nesting 1-row broadcast
+    # cross-joins, whose builds re-ran the whole un-pinned spine
+    # lineage per reference (the r5 huber trap: 6+ orders-scan+groupBy
+    # evaluations in one plan). The spine itself is pinned once.
+    spine = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    n = spine.agg(F.sum("c").cast("bigint").alias("n")).first()[0]
+    cum = with_global_rank(spine, "v", [F.col("v")], prefix_sum={"cc": "c"})
+    centers = list(
+        cum.agg(
+            F.min(F.when(8 * F.col("cc") >= F.lit(n), F.col("v"))).alias("c0"),
+            F.min(F.when(8 * F.col("cc") >= F.lit(3 * n), F.col("v"))).alias("c1"),
+            F.min(F.when(8 * F.col("cc") >= F.lit(5 * n), F.col("v"))).alias("c2"),
+            F.min(F.when(8 * F.col("cc") >= F.lit(7 * n), F.col("v"))).alias("c3"),
+        ).first()
+    )
+
+    def with_centers(df: DataFrame, cs) -> DataFrame:
+        out = df
+        for i in range(_KM_K):
+            out = out.withColumn(f"c{i}", F.lit(cs[i]).cast("bigint"))
+        return out
 
     def assign(df: DataFrame) -> DataFrame:
         dists = [F.abs(F.col("v") - F.col(f"c{i}")) for i in range(_KM_K)]
@@ -375,25 +391,25 @@ def q_kmeans_1d_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             cl = F.when(cond, i) if cl is None else cl.when(cond, i)
         return df.withColumn("cl", cl)
 
-    centers = seed
     for _ in range(_KM_ITERS):
-        asg = assign(spine.crossJoin(F.broadcast(centers)))
-        upd = asg.agg(
-            *[
-                F.coalesce(
-                    F.expr(
-                        f"CAST(sum(CASE WHEN cl = {i} THEN v * c END)"
-                        f" DIV nullif(sum(CASE WHEN cl = {i} THEN c END), 0) AS BIGINT)"
-                    ),
-                    F.max(f"c{i}"),
-                )
-                .cast("bigint")
-                .alias(f"c{i}")
-                for i in range(_KM_K)
-            ]
+        asg = assign(with_centers(spine, centers))
+        centers = list(
+            asg.agg(
+                *[
+                    F.coalesce(
+                        F.expr(
+                            f"CAST(sum(CASE WHEN cl = {i} THEN v * c END)"
+                            f" DIV nullif(sum(CASE WHEN cl = {i} THEN c END), 0) AS BIGINT)"
+                        ),
+                        F.max(f"c{i}"),
+                    )
+                    .cast("bigint")
+                    .alias(f"c{i}")
+                    for i in range(_KM_K)
+                ]
+            ).first()
         )
-        centers = upd
-    final = assign(spine.crossJoin(F.broadcast(centers)))
+    final = assign(with_centers(spine, centers))
     center_of = (
         F.when(F.col("cl") == 0, F.col("c0"))
         .when(F.col("cl") == 1, F.col("c1"))

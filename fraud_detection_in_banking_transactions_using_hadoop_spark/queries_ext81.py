@@ -223,8 +223,13 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. Complements lang_id (heuristic) and langid_confusion
     (its error matrix) with an actually-trained classifier."""
     docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    # pin: the token explosion feeds FOUR consumers (class totals,
+    # vocab, word counts, the scoring grid) -- materialize it once
+    # instead of four re-explodes
+    toks = (
+        docs
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("tok"))
+        .localCheckpoint(eager=True)
     )
     cls = toks.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("ntok"))
     vocab = toks.agg(F.countDistinct("tok").cast("bigint").alias("v"))

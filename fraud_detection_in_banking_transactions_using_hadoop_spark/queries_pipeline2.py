@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
-from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table, spread
 
 
 # ---------------------------------------------------------------------------
@@ -405,7 +405,7 @@ def q_semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         signature_bucket,
     )
 
-    emb = read_table(spark, sf_dir, "embeddings").select(
+    emb = spread(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # Normalize ONCE per row (norm as its own column so it isn't
