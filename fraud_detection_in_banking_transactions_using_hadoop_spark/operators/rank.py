@@ -77,10 +77,13 @@ def with_global_rank(
     Rows with NULL in `value_col` are dropped (a global order over
     NULLs has no business meaning here; callers filter first).
 
-    `bucket_bits` is the cheap path for BOUNDED NON-NEGATIVE INTEGER
-    value domains (cent amounts, epoch days): the bucket is the pure
-    projection `value DIV 2**bucket_bits` -- monotone in the value, so
-    ties still never straddle buckets -- which removes BOTH stats
+    `bucket_bits` is the cheap path for BOUNDED INTEGER value domains
+    (cent amounts, epoch days): the bucket is the pure projection
+    `value DIV 2**bucket_bits` -- monotone in the value (trunc division
+    is nondecreasing for negatives too, so signed domains like acctbal
+    cents are fine; negative values just share bucket 0's id with small
+    positives, which only affects balance, never order), so ties still
+    never straddle buckets -- which removes BOTH stats
     passes of the percentile path (no approx_percentile job, no
     broadcast range join; the join-back becomes a broadcast EQUI join
     on the bucket id). The offset table is bounded by

@@ -143,6 +143,15 @@ def q_logistic_newton_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
+    # r13: every 1-row frame here (moments, coefficient iterates) is a
+    # bounded scalar set -- collect the values and re-enter as literals
+    # (the kmeans/huber driver-fold pattern). The transcendental init
+    # (ln of the base-rate odds) stays IN-ENGINE via a 1-row local job
+    # so the double is the JVM's, bit-identical to the old broadcast
+    # column; the Newton updates are pure IEEE +-*/ on collected exact
+    # DECIMAL sums, identical in Python and JVM. Saves 5 checkpoint
+    # jobs + every broadcast build and fuses the deviance and
+    # null-likelihood passes into ONE spine aggregate.
     mom = spine.agg(
         F.sum("c").cast(_DEC).alias("n"),
         F.sum(F.col("v").cast(_DEC) * F.col("c")).cast(_DEC).alias("sx"),
@@ -150,107 +159,69 @@ def q_logistic_newton_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(_DEC)
         .alias("sxx"),
         F.sum(F.col("y") * F.col("c")).cast(_DEC).alias("sy"),
-    ).localCheckpoint(eager=True)
-    it = mom.select(
-        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mu"),
-        (
-            F.sqrt(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                    "double"
-                )
-            )
-            / F.col("n").cast("double")
-        ).alias("sg"),
-        F.log(
-            F.col("sy").cast("double") / (F.col("n") - F.col("sy")).cast("double")
-        ).alias("b0"),
-        F.lit(0.0).alias("b1"),
-    ).localCheckpoint(eager=True)
+    ).first()
+    n_i, sx_i, sxx_i, sy_i = (int(mom[k]) for k in ("n", "sx", "sxx", "sy"))
+    import math
 
-    def sigmoid_terms(df: DataFrame) -> DataFrame:
-        x = (F.col("v").cast("double") - F.col("mu")) / F.col("sg")
-        p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * x)))
+    mu = float(sx_i) / float(n_i)
+    sg = math.sqrt(float(n_i * sxx_i - sx_i * sx_i)) / float(n_i)
+    spark = spine.sparkSession
+    b0 = spark.range(1).select(
+        F.log(F.lit(float(sy_i) / float(n_i - sy_i))).alias("b0")
+    ).first()["b0"]
+    b1 = 0.0
+
+    def sigmoid_terms(b0v: float, b1v: float):
+        x = (F.col("v").cast("double") - F.lit(mu)) / F.lit(sg)
+        p = 1.0 / (1.0 + F.exp(-(F.lit(b0v) + F.lit(b1v) * x)))
         cd = F.col("c").cast("double")
-        return df.groupBy("b0", "b1", "mu", "sg").agg(
+        return spine.agg(
             F.sum(_e9(cd * (F.col("y") - p))).cast(_DEC).alias("g0"),
             F.sum(_e9(cd * (F.col("y") - p) * x)).cast(_DEC).alias("g1"),
             F.sum(_e9(cd * p * (1.0 - p))).cast(_DEC).alias("h00"),
             F.sum(_e9(cd * p * (1.0 - p) * x)).cast(_DEC).alias("h01"),
             F.sum(_e9(cd * p * (1.0 - p) * x * x)).cast(_DEC).alias("h11"),
-        )
+        ).first()
 
     for _ in range(_N_ROUNDS):
-        stat = sigmoid_terms(spine.crossJoin(F.broadcast(it)))
-        det = F.col("h00").cast("double") * F.col("h11").cast("double") - F.col(
-            "h01"
-        ).cast("double") * F.col("h01").cast("double")
-        it = stat.select(
-            "mu",
-            "sg",
-            (
-                F.col("b0")
-                + (
-                    F.col("h11").cast("double") * F.col("g0")
-                    - F.col("h01").cast("double") * F.col("g1")
-                )
-                / det
-            ).alias("b0"),
-            (
-                F.col("b1")
-                + (
-                    F.col("h00").cast("double") * F.col("g1")
-                    - F.col("h01").cast("double") * F.col("g0")
-                )
-                / det
-            ).alias("b1"),
-        ).localCheckpoint(eager=True)
+        st = sigmoid_terms(b0, b1)
+        g0, g1, h00, h01, h11 = (
+            float(st[k]) for k in ("g0", "g1", "h00", "h01", "h11")
+        )
+        det = h00 * h11 - h01 * h01
+        b0, b1 = b0 + (h11 * g0 - h01 * g1) / det, b1 + (
+            h00 * g1 - h01 * g0
+        ) / det
 
-    x = (F.col("v").cast("double") - F.col("mu")) / F.col("sg")
-    p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * x)))
+    x = (F.col("v").cast("double") - F.lit(mu)) / F.lit(sg)
+    p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * x)))
     cd = F.col("c").cast("double")
-    dev = (
-        spine.crossJoin(F.broadcast(it))
-        .agg(
-            F.sum(
-                _e9(
-                    cd
-                    * (
-                        F.col("y") * F.log(p)
-                        + (1 - F.col("y")) * F.log(1.0 - p)
-                    )
+    rate = float(sy_i) / float(n_i)
+    lik = spine.agg(
+        F.sum(
+            _e9(cd * (F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1.0 - p)))
+        )
+        .cast(_DEC)
+        .alias("ll"),
+        F.sum(
+            _e9(
+                cd
+                * (
+                    F.col("y") * F.log(F.lit(rate))
+                    + (1 - F.col("y")) * F.log(1.0 - F.lit(rate))
                 )
             )
-            .cast(_DEC)
-            .alias("ll")
         )
-    )
-    rate = F.col("sy").cast("double") / F.col("n").cast("double")
-    ll0 = (
-        spine.crossJoin(F.broadcast(mom))
-        .agg(
-            F.sum(
-                _e9(
-                    cd
-                    * (
-                        F.col("y") * F.log(rate)
-                        + (1 - F.col("y")) * F.log(1.0 - rate)
-                    )
-                )
-            )
-            .cast(_DEC)
-            .alias("ll")
-        )
+        .cast(_DEC)
+        .alias("llz"),
     )
     return (
-        mom.select("n")
-        .crossJoin(F.broadcast(it))
-        .crossJoin(F.broadcast(dev))
-        .crossJoin(F.broadcast(ll0.select(F.col("ll").alias("llz"))))
+        lik
         .select(
-            F.col("n").cast("bigint").alias("n_rows"),
-            (F.round(F.col("b0"), 6) + F.lit(0.0)).alias("beta0"),
-            (F.round(F.col("b1"), 6) + F.lit(0.0)).alias("beta1_per_sd"),
-            F.round(F.exp(F.col("b1")), 6).alias("odds_ratio_per_sd"),
+            F.lit(n_i).cast("bigint").alias("n_rows"),
+            (F.round(F.lit(b0), 6) + F.lit(0.0)).alias("beta0"),
+            (F.round(F.lit(b1), 6) + F.lit(0.0)).alias("beta1_per_sd"),
+            F.round(F.exp(F.lit(b1)), 6).alias("odds_ratio_per_sd"),
             F.round(-2.0 * F.col("ll").cast("double") / 1e9, 6).alias("deviance"),
             (
                 F.round(

@@ -77,7 +77,8 @@ def q_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     s = with_global_rank(
-        base, "x", [F.col("x").asc(), F.col("o_orderkey").asc()], rank_col="i"
+        base, "x", [F.col("x").asc(), F.col("o_orderkey").asc()], rank_col="i",
+        bucket_bits=16,  # cent domain (r13)
     )
     agg = s.agg(
         F.count(F.lit(1)).cast(dec).alias("n"),
@@ -133,7 +134,8 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
     )
     ranked = with_global_rank(
-        base, "x", [F.col("x").asc(), F.col("o_orderkey").asc()], rank_col="i"
+        base, "x", [F.col("x").asc(), F.col("o_orderkey").asc()], rank_col="i",
+        bucket_bits=16,  # cent domain (r13)
     )
     n_row = base.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     s = ranked.crossJoin(F.broadcast(n_row)).select(

@@ -160,14 +160,18 @@ def q_quality_classifier_calibration(
             ),
             "doc_id",
         )
+        # consumed 3x: the spine groupBy, the decile rank pass, n_row
+        .localCheckpoint(eager=True)
     )
-    # docs is consumed exactly once (the spine groupBy): no checkpoint;
-    # the spine pin below is the only materialization needed
     spine = (
         docs.groupBy("v", "y")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
+    # r13: same literal driver-fold as logistic_newton_1d (ext137) --
+    # moments and iterates are bounded scalars; ln stays in-engine via
+    # a 1-row local job; Newton updates are pure IEEE +-*/ on exact
+    # DECIMAL sums, identical in Python and JVM.
     mom = spine.agg(
         F.sum("c").cast(_DEC).alias("n"),
         F.sum(F.col("v").cast(_DEC) * F.col("c")).cast(_DEC).alias("sx"),
@@ -175,68 +179,41 @@ def q_quality_classifier_calibration(
         .cast(_DEC)
         .alias("sxx"),
         F.sum(F.col("y") * F.col("c")).cast(_DEC).alias("sy"),
-    ).localCheckpoint(eager=True)
-    it = mom.select(
-        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mu"),
-        (
-            F.sqrt(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                    "double"
-                )
-            )
-            / F.col("n").cast("double")
-        ).alias("sg"),
-        F.log(
-            F.col("sy").cast("double")
-            / (F.col("n") - F.col("sy")).cast("double")
-        ).alias("b0"),
-        F.lit(0.0).alias("b1"),
-    ).localCheckpoint(eager=True)
+    ).first()
+    n_i, sx_i, sxx_i, sy_i = (int(mom[k]) for k in ("n", "sx", "sxx", "sy"))
+    import math
+
+    mu = float(sx_i) / float(n_i)
+    sg = math.sqrt(float(n_i * sxx_i - sx_i * sx_i)) / float(n_i)
+    b0 = spark.range(1).select(
+        F.log(F.lit(float(sy_i) / float(n_i - sy_i))).alias("b0")
+    ).first()["b0"]
+    b1 = 0.0
 
     for _ in range(_N_ROUNDS):
-        x = (F.col("v").cast("double") - F.col("mu")) / F.col("sg")
-        p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * x)))
+        x = (F.col("v").cast("double") - F.lit(mu)) / F.lit(sg)
+        p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * x)))
         cd = F.col("c").cast("double")
-        stat = (
-            spine.crossJoin(F.broadcast(it))
-            .groupBy("b0", "b1", "mu", "sg")
-            .agg(
-                F.sum(_e9(cd * (F.col("y") - p))).cast(_DEC).alias("g0"),
-                F.sum(_e9(cd * (F.col("y") - p) * x)).cast(_DEC).alias("g1"),
-                F.sum(_e9(cd * p * (1.0 - p))).cast(_DEC).alias("h00"),
-                F.sum(_e9(cd * p * (1.0 - p) * x)).cast(_DEC).alias("h01"),
-                F.sum(_e9(cd * p * (1.0 - p) * x * x)).cast(_DEC).alias("h11"),
-            )
+        st = spine.agg(
+            F.sum(_e9(cd * (F.col("y") - p))).cast(_DEC).alias("g0"),
+            F.sum(_e9(cd * (F.col("y") - p) * x)).cast(_DEC).alias("g1"),
+            F.sum(_e9(cd * p * (1.0 - p))).cast(_DEC).alias("h00"),
+            F.sum(_e9(cd * p * (1.0 - p) * x)).cast(_DEC).alias("h01"),
+            F.sum(_e9(cd * p * (1.0 - p) * x * x)).cast(_DEC).alias("h11"),
+        ).first()
+        g0, g1, h00, h01, h11 = (
+            float(st[k]) for k in ("g0", "g1", "h00", "h01", "h11")
         )
-        det = F.col("h00").cast("double") * F.col("h11").cast(
-            "double"
-        ) - F.col("h01").cast("double") * F.col("h01").cast("double")
-        it = stat.select(
-            "mu",
-            "sg",
-            (
-                F.col("b0")
-                + (
-                    F.col("h11").cast("double") * F.col("g0")
-                    - F.col("h01").cast("double") * F.col("g1")
-                )
-                / det
-            ).alias("b0"),
-            (
-                F.col("b1")
-                + (
-                    F.col("h00").cast("double") * F.col("g1")
-                    - F.col("h01").cast("double") * F.col("g0")
-                )
-                / det
-            ).alias("b1"),
-        ).localCheckpoint(eager=True)
+        det = h00 * h11 - h01 * h01
+        b0, b1 = b0 + (h11 * g0 - h01 * g1) / det, b1 + (
+            h00 * g1 - h01 * g0
+        ) / det
 
-    x = (F.col("v").cast("double") - F.col("mu")) / F.col("sg")
-    p = 1.0 / (1.0 + F.exp(-(F.col("b0") + F.col("b1") * x)))
+    x = (F.col("v").cast("double") - F.lit(mu)) / F.lit(sg)
+    p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * x)))
     cd = F.col("c").cast("double")
     brier = (
-        spine.crossJoin(F.broadcast(it))
+        spine
         .agg(
             F.sum(_e9(cd * (F.col("y") - p) * (F.col("y") - p)))
             .cast(_DEC)
@@ -257,7 +234,6 @@ def q_quality_classifier_calibration(
     n_row = docs.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
     scored = (
         gr.crossJoin(F.broadcast(n_row))
-        .crossJoin(F.broadcast(it))
         .select(
             "y",
             ntile_from_rank(F.col("_i"), F.col("_n"), 10).alias("decile"),

@@ -113,6 +113,7 @@ def q_nearest_spend_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spend",
         [F.col("spend"), F.col("c_custkey")],
         prefix_sum={"cp": "is_control"},
+        bucket_bits=16,  # per-customer cent sums (r13)
     ).select("c_custkey", "is_control", "spend", F.col("cp").cast("bigint").alias("cp"))
     ctl = ranked.where(F.col("is_control") == 1).select(
         F.col("c_custkey").alias("mk"), F.col("spend").alias("ms"), F.col("cp").alias("crn")

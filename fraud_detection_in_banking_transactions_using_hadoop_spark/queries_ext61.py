@@ -202,7 +202,8 @@ def q_wasserstein_price_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("arm").cast(_DEC).alias("c1"),
     ).withColumn("c0", F.col("c") - F.col("c1"))
     cum = with_global_rank(
-        spine, "v", [F.col("v")], rank_col="r", prefix_sum={"a": "c1", "b": "c0"}
+        spine, "v", [F.col("v")], rank_col="r", prefix_sum={"a": "c1", "b": "c0"},
+        bucket_bits=16,  # cent domain (r13)
     ).select("v", "r", F.col("a").cast(_DEC).alias("a"), F.col("b").cast(_DEC).alias("b"))
     tot = spine.agg(
         F.sum("c1").cast(_DEC).alias("n"), F.sum("c0").cast(_DEC).alias("m")

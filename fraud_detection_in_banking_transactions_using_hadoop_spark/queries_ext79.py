@@ -109,6 +109,7 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         [F.col("v")],
         prefix_sum={"cb1": "c1", "cb0": "c0", "sb1": "m1", "sb0": "m0"},
+        bucket_bits=16,  # cent domain: DIV buckets, no stats pass (r13)
     ).select(
         "v",
         "c1",
@@ -407,7 +408,8 @@ def q_ks_two_sample_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.sum("arm")).cast("bigint").alias("c0"),
     )
     pre = with_global_rank(
-        spine, "v", [F.col("v")], prefix_sum={"cc1": "c1", "cc0": "c0"}
+        spine, "v", [F.col("v")], prefix_sum={"cc1": "c1", "cc0": "c0"},
+        bucket_bits=16,  # cent domain (r13)
     ).select("v", "cc1", "cc0")
     tot = spine.agg(
         F.sum("c1").cast("bigint").alias("n1"),

@@ -111,6 +111,7 @@ def q_auc_delong_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         [F.col("v")],
         prefix_sum={"cc1": "c1", "cc0": "c0"},
+        bucket_bits=12,  # event-value cents: small domain (r13)
     ).select(
         "c1",
         "c0",
