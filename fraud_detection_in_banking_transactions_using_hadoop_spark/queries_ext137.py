@@ -320,91 +320,58 @@ def q_poisson_glm_loglink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").cast("bigint").alias("k"))
         .localCheckpoint(eager=True)
     )
+    # r13: same literal driver-fold as logistic_newton_1d above.
     mom = spine.agg(
         F.count(F.lit(1)).cast(_DEC).alias("n"),
         F.sum(F.col("bal").cast(_DEC)).cast(_DEC).alias("sx"),
         F.sum(F.col("bal").cast(_DEC) * F.col("bal")).cast(_DEC).alias("sxx"),
         F.sum("k").cast(_DEC).alias("sk"),
-    ).localCheckpoint(eager=True)
-    it = mom.select(
-        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mu"),
-        (
-            F.sqrt(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-                    "double"
-                )
-            )
-            / F.col("n").cast("double")
-        ).alias("sg"),
-        F.log(F.col("sk").cast("double") / F.col("n").cast("double")).alias("b0"),
-        F.lit(0.0).alias("b1"),
-    ).localCheckpoint(eager=True)
+    ).first()
+    n_i, sx_i, sxx_i, sk_i = (int(mom[k]) for k in ("n", "sx", "sxx", "sk"))
+    import math
+
+    mu = float(sx_i) / float(n_i)
+    sg = math.sqrt(float(n_i * sxx_i - sx_i * sx_i)) / float(n_i)
+    b0 = spine.sparkSession.range(1).select(
+        F.log(F.lit(float(sk_i) / float(n_i))).alias("b0")
+    ).first()["b0"]
+    b1 = 0.0
 
     for _ in range(_N_ROUNDS):
-        x = (F.col("bal").cast("double") - F.col("mu")) / F.col("sg")
-        lam = F.exp(F.col("b0") + F.col("b1") * x)
-        stat = (
-            spine.crossJoin(F.broadcast(it))
-            .groupBy("b0", "b1", "mu", "sg")
-            .agg(
-                F.sum(_e9(F.col("k") - lam)).cast(_DEC).alias("g0"),
-                F.sum(_e9((F.col("k") - lam) * x)).cast(_DEC).alias("g1"),
-                F.sum(_e9(lam)).cast(_DEC).alias("h00"),
-                F.sum(_e9(lam * x)).cast(_DEC).alias("h01"),
-                F.sum(_e9(lam * x * x)).cast(_DEC).alias("h11"),
-            )
+        x = (F.col("bal").cast("double") - F.lit(mu)) / F.lit(sg)
+        lam = F.exp(F.lit(b0) + F.lit(b1) * x)
+        st = spine.agg(
+            F.sum(_e9(F.col("k") - lam)).cast(_DEC).alias("g0"),
+            F.sum(_e9((F.col("k") - lam) * x)).cast(_DEC).alias("g1"),
+            F.sum(_e9(lam)).cast(_DEC).alias("h00"),
+            F.sum(_e9(lam * x)).cast(_DEC).alias("h01"),
+            F.sum(_e9(lam * x * x)).cast(_DEC).alias("h11"),
+        ).first()
+        g0, g1, h00, h01, h11 = (
+            float(st[k]) for k in ("g0", "g1", "h00", "h01", "h11")
         )
-        det = F.col("h00").cast("double") * F.col("h11").cast("double") - F.col(
-            "h01"
-        ).cast("double") * F.col("h01").cast("double")
-        it = stat.select(
-            "mu",
-            "sg",
-            (
-                F.col("b0")
-                + (
-                    F.col("h11").cast("double") * F.col("g0")
-                    - F.col("h01").cast("double") * F.col("g1")
-                )
-                / det
-            ).alias("b0"),
-            (
-                F.col("b1")
-                + (
-                    F.col("h00").cast("double") * F.col("g1")
-                    - F.col("h01").cast("double") * F.col("g0")
-                )
-                / det
-            ).alias("b1"),
-        ).localCheckpoint(eager=True)
+        det = h00 * h11 - h01 * h01
+        b0, b1 = b0 + (h11 * g0 - h01 * g1) / det, b1 + (
+            h00 * g1 - h01 * g0
+        ) / det
 
-    x = (F.col("bal").cast("double") - F.col("mu")) / F.col("sg")
-    lam = F.exp(F.col("b0") + F.col("b1") * x)
-    pearson = (
-        spine.crossJoin(F.broadcast(it))
-        .agg(
-            F.sum(_e9((F.col("k") - lam) * (F.col("k") - lam) / lam))
-            .cast(_DEC)
-            .alias("x2")
-        )
+    x = (F.col("bal").cast("double") - F.lit(mu)) / F.lit(sg)
+    lam = F.exp(F.lit(b0) + F.lit(b1) * x)
+    pearson = spine.agg(
+        F.sum(_e9((F.col("k") - lam) * (F.col("k") - lam) / lam))
+        .cast(_DEC)
+        .alias("x2")
     )
-    return (
-        mom.select("n", "sk")
-        .crossJoin(F.broadcast(it))
-        .crossJoin(F.broadcast(pearson))
-        .select(
-            F.col("n").cast("bigint").alias("n_customers"),
-            F.col("sk").cast("bigint").alias("n_orders"),
-            (F.round(F.col("b0"), 6) + F.lit(0.0)).alias("beta0"),
-            (F.round(F.col("b1"), 6) + F.lit(0.0)).alias("beta1_per_sd"),
-            F.round(F.exp(F.col("b1")), 6).alias("rate_ratio_per_sd"),
-            F.round(
-                F.col("x2").cast("double")
-                / 1e9
-                / (F.col("n").cast("double") - 2.0),
-                6,
-            ).alias("pearson_dispersion"),
-        )
+    return pearson.select(
+        F.lit(n_i).cast("bigint").alias("n_customers"),
+        F.lit(sk_i).cast("bigint").alias("n_orders"),
+        (F.round(F.lit(b0), 6) + F.lit(0.0)).alias("beta0"),
+        (F.round(F.lit(b1), 6) + F.lit(0.0)).alias("beta1_per_sd"),
+        F.round(F.exp(F.lit(b1)), 6).alias("rate_ratio_per_sd"),
+        F.round(
+            F.col("x2").cast("double") / 1e9 / (F.lit(float(n_i)) - 2.0),
+            6,
+        ).alias("pearson_dispersion"),
     )
 
 

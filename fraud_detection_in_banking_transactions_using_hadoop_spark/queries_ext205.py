@@ -153,6 +153,13 @@ def q_probit_newton_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
+    # r13: the literal driver-fold applied to logistic_newton_1d
+    # (ext137) -- moments and Fisher-scoring iterates are bounded
+    # scalars; the shared expression TEXTS are unchanged (b0/b1/mu/sg
+    # are provided as literal COLUMNS of the same names), so every
+    # per-row double op is bit-identical; updates are pure IEEE +-*/
+    # on exact DECIMAL sums. Saves 6 checkpoint jobs + the broadcast
+    # builds, and fuses deviance + null likelihood into one aggregate.
     mom = spine.agg(
         F.sum("c").cast(_DEC).alias("n"),
         F.sum(F.col("v").cast(_DEC) * F.col("c")).cast(_DEC).alias("sx"),
@@ -160,19 +167,13 @@ def q_probit_newton_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast(_DEC)
         .alias("sxx"),
         F.sum(F.col("y") * F.col("c")).cast(_DEC).alias("sy"),
-    ).localCheckpoint(eager=True)
-    it = mom.select(
-        (F.col("sx").cast("double") / F.col("n").cast("double")).alias("mu"),
-        (
-            F.sqrt(
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                .cast("double")
-            )
-            / F.col("n").cast("double")
-        ).alias("sg"),
-        F.lit(0.0).alias("b0"),
-        F.lit(0.0).alias("b1"),
-    ).localCheckpoint(eager=True)
+    ).first()
+    n_i, sx_i, sxx_i, sy_i = (int(mom[k]) for k in ("n", "sx", "sxx", "sy"))
+    import math
+
+    mu = float(sx_i) / float(n_i)
+    sg = math.sqrt(float(n_i * sxx_i - sx_i * sx_i)) / float(n_i)
+    b0, b1 = 0.0, 0.0
 
     t = _probit_terms("", "")
     x_t, u_t, lam_t = t["x"], t["u"], t["lam"]
@@ -183,9 +184,16 @@ def q_probit_newton_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark_e9 = f"CAST(floor(({term}) * 1e9 + 0.5) AS DECIMAL(38,0))"
         return F.expr("sum(" + spark_e9 + ")").cast(_DEC)
 
+    def _with_coefs(df):
+        return (
+            df.withColumn("b0", F.lit(b0))
+            .withColumn("b1", F.lit(b1))
+            .withColumn("mu", F.lit(mu))
+            .withColumn("sg", F.lit(sg))
+        )
+
     for _ in range(_N_ROUNDS):
-        j = spine.crossJoin(F.broadcast(it))
-        stat = j.groupBy("b0", "b1", "mu", "sg").agg(
+        st = _with_coefs(spine).agg(
             _sume9(cd + " * " + u_t).alias("g0"),
             _sume9(cd + " * " + u_t + " * " + x_t).alias("g1"),
             _sume9(cd + " * " + lam_t).alias("h00"),
@@ -193,47 +201,33 @@ def q_probit_newton_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sume9(cd + " * " + lam_t + " * " + x_t + " * " + x_t).alias(
                 "h11"
             ),
+        ).first()
+        g0, g1, h00, h01, h11 = (
+            float(st[k]) for k in ("g0", "g1", "h00", "h01", "h11")
         )
-        det = (
-            F.col("h00").cast("double") * F.col("h11").cast("double")
-            - F.col("h01").cast("double") * F.col("h01").cast("double")
-        )
-        it = stat.select(
-            "mu",
-            "sg",
-            (
-                F.col("b0")
-                + (
-                    F.col("h11").cast("double") * F.col("g0")
-                    - F.col("h01").cast("double") * F.col("g1")
-                )
-                / det
-            ).alias("b0"),
-            (
-                F.col("b1")
-                + (
-                    F.col("h00").cast("double") * F.col("g1")
-                    - F.col("h01").cast("double") * F.col("g0")
-                )
-                / det
-            ).alias("b1"),
-        ).localCheckpoint(eager=True)
+        det = h00 * h11 - h01 * h01
+        b0, b1 = b0 + (h11 * g0 - h01 * g1) / det, b1 + (
+            h00 * g1 - h01 * g0
+        ) / det
 
-    j = spine.crossJoin(F.broadcast(it))
-    dev = j.agg(_sume9(_dev_terms("", "")).alias("ll"))
-    ll0 = spine.crossJoin(F.broadcast(mom)).agg(
-        _sume9(
-            "CAST(c AS DOUBLE) * (y * ln(CAST(sy AS DOUBLE)"
-            " / CAST(n AS DOUBLE)) + (1 - y)"
-            " * ln(1.0 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))"
-        ).alias("ll")
+    lik = (
+        _with_coefs(spine)
+        .withColumn("sy", F.lit(sy_i).cast("bigint"))
+        .withColumn("n", F.lit(n_i).cast("bigint"))
+        .agg(
+            _sume9(_dev_terms("", "")).alias("ll"),
+            _sume9(
+                "CAST(c AS DOUBLE) * (y * ln(CAST(sy AS DOUBLE)"
+                " / CAST(n AS DOUBLE)) + (1 - y)"
+                " * ln(1.0 - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))"
+            ).alias("ll_null"),
+        )
     )
     return (
-        mom.crossJoin(F.broadcast(it))
-        .crossJoin(F.broadcast(dev))
-        .crossJoin(F.broadcast(ll0.select(F.col("ll").alias("ll_null"))))
+        lik.withColumn("b0", F.lit(b0))
+        .withColumn("b1", F.lit(b1))
         .select(
-            F.col("n").cast("bigint").alias("n_rows"),
+            F.lit(n_i).cast("bigint").alias("n_rows"),
             (F.round(F.col("b0"), 6) + 0.0).alias("beta0"),
             (F.round(F.col("b1"), 6) + 0.0).alias("beta1_per_sd"),
             (

@@ -268,7 +268,10 @@ def q_interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("interval 1 month"),
             )
         ).alias("bucket"),
-    )
+        # both sides of the self-join below read this frame, and its
+        # lineage carries the per-group row_number window -- pin it once
+        # (the CLAUDE.md LSH-self-join rule; r13 optimization round)
+    ).localCheckpoint(eager=True)
     a = exploded.alias("a")
     b = exploded.alias("b")
     later_start = F.greatest(F.col("a.start_d"), F.col("b.start_d"))
