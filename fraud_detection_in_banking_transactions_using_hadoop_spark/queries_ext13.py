@@ -281,21 +281,36 @@ def q_rle_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ordered = ranked.join(prev, "r", "left")
 
-    def summarize(col, prev, name):
-        chg = F.sum(
+    # r13 (the r12 fellegi lesson): three per-column .agg() calls each
+    # re-ran the rank pass + adjacency self-join -- fold ALL boundary
+    # counts into ONE aggregate row, pin it, and unpivot with three
+    # trivial selects (identical values, one data pass instead of 3).
+    def chg(col, prev):
+        return F.sum(
             F.when(F.col(prev).isNull() | (F.col(col) != F.col(prev)), 1).otherwise(0)
         )
-        return ordered.agg(
+
+    onerow = ordered.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        chg("rf", "p_rf").cast("bigint").alias("c_rf"),
+        chg("ls", "p_ls").cast("bigint").alias("c_ls"),
+        chg("shipmonth", "p_sm").cast("bigint").alias("c_sm"),
+    ).localCheckpoint(eager=True)
+
+    def row_of(name, c):
+        return onerow.select(
             F.lit(name).alias("col"),
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            chg.cast("bigint").alias("n_runs"),
-            F.round(chg.cast("double") / F.count(F.lit(1)), 6).alias("run_ratio"),
+            "n_rows",
+            F.col(c).alias("n_runs"),
+            F.round(F.col(c).cast("double") / F.col("n_rows"), 6).alias(
+                "run_ratio"
+            ),
         )
 
     return (
-        summarize("rf", "p_rf", "l_returnflag")
-        .unionByName(summarize("ls", "p_ls", "l_linestatus"))
-        .unionByName(summarize("shipmonth", "p_sm", "shipmonth"))
+        row_of("l_returnflag", "c_rf")
+        .unionByName(row_of("l_linestatus", "c_ls"))
+        .unionByName(row_of("shipmonth", "c_sm"))
     )
 
 

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fraud_detection_in_banking_transactions_using_hadoop_spark.queries import register
-from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table
+from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import read_table, spread
 
 _DEC = "decimal(38,0)"
 _DIM = 64
@@ -116,16 +116,30 @@ def q_hubness_skewness(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    anch = base.where(F.col("vec_id") < _N_Q_HUB).select(
-        F.col("vec_id").alias("qa"), F.col("v").alias("va")
+    # the BNLJ below broadcasts the corpus and STREAMS the anchors: on a
+    # one-row-group scan all 200 x n expansion rows (and the per-anchor
+    # top-k WindowGroupLimit) land in a single task -- fan the anchor
+    # side out first (readers.spread, no-op when already parallel)
+    anch = spread(
+        base.where(F.col("vec_id") < _N_Q_HUB).select(
+            F.col("vec_id").alias("qa"), F.col("v").alias("va")
+        )
     )
+    # r13: the three 64-dim dots over 200 x n pairs ran as interpreted
+    # higher-order folds (CodegenFallback, ~5x/element) on the scan's
+    # single partition; dot_unrolled is the codegen'd left-assoc chain,
+    # VALUE-IDENTICAL to the fold incl. the 0.0 seed (similarity.py)
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import (
+        dot_unrolled,
+    )
+
     dists = anch.join(base, F.col("vec_id") != F.col("qa")).select(
         "qa",
         F.col("vec_id").alias("qb"),
         (
-            _fold_dot(F.col("va"), F.col("va"))
-            + _fold_dot(F.col("v"), F.col("v"))
-            - 2.0 * _fold_dot(F.col("va"), F.col("v"))
+            dot_unrolled("va", "va")
+            + dot_unrolled("v", "v")
+            - 2.0 * dot_unrolled("va", "v")
         ).alias("d2"),
     )
     w = Window.partitionBy("qa").orderBy("d2", "qb")
@@ -224,13 +238,21 @@ def q_lid_mle_anchors(spark: SparkSession, sf_dir: str) -> DataFrame:
     anch = base.where(F.col("vec_id") < _N_ANCH_LID).select(
         F.col("vec_id").alias("qa"), F.col("v").alias("va")
     )
+    # r13: the three 64-dim dots over 200 x n pairs ran as interpreted
+    # higher-order folds (CodegenFallback, ~5x/element) on the scan's
+    # single partition; dot_unrolled is the codegen'd left-assoc chain,
+    # VALUE-IDENTICAL to the fold incl. the 0.0 seed (similarity.py)
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.similarity import (
+        dot_unrolled,
+    )
+
     dists = anch.join(base, F.col("vec_id") != F.col("qa")).select(
         "qa",
         F.col("vec_id").alias("qb"),
         (
-            _fold_dot(F.col("va"), F.col("va"))
-            + _fold_dot(F.col("v"), F.col("v"))
-            - 2.0 * _fold_dot(F.col("va"), F.col("v"))
+            dot_unrolled("va", "va")
+            + dot_unrolled("v", "v")
+            - 2.0 * dot_unrolled("va", "v")
         ).alias("d2"),
     )
     w = Window.partitionBy("qa").orderBy("d2", "qb")

@@ -88,7 +88,13 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2).select(
         "doc_a", "doc_b"
     )
-    sh = shingle_rows(docs, "doc_id", "text", w=3).select("doc_id", "tok").distinct()
+    # consumed 3x (both truth-join sides + sizes): pin once (r13)
+    sh = (
+        shingle_rows(docs, "doc_id", "text", w=3)
+        .select("doc_id", "tok")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -106,7 +112,8 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _J_THRESHOLD
         )
         .select("doc_a", "doc_b")
-    )
+        # consumed 2x (count + the hits join): pin the small pair set
+    ).localCheckpoint(eager=True)
     t_n = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     c_n = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
     h_n = cands.join(truth, ["doc_a", "doc_b"]).agg(

@@ -93,11 +93,18 @@ def q_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the five rounds as anti-joins of 1-row argmax frames (each round's
     moment aggregate broadcasts)."""
     orders = read_table(spark, sf_dir, "orders")
+    # r13: the lazy 5-round unroll re-evaluated the whole chain
+    # multiplicatively (each round's argmax frame sat in BOTH the final
+    # union and every later round's anti-join). Pin the daily spine
+    # once and collect each round's single argmax ROW (TakeOrdered, one
+    # action per round -- the r8 bounded-state driver fold); the final
+    # frame re-enters via createDataFrame with the exact collected
+    # BIGINT/DECIMAL values, and r_stat math stays in-engine unchanged.
     d = orders.groupBy(F.col("o_orderdate").alias("dt")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100, 0)).cast("bigint").alias("y")
-    )
+    ).localCheckpoint(eager=True)
     cur = d
-    outs = []
+    out_rows = []
     for i in range(1, _GESD_ROUNDS + 1):
         mom = cur.agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -110,12 +117,14 @@ def q_gesd_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(dev.desc(), "dt")
             .limit(1)
             .select("dt", "y", "n", "s", "s2")
+            .first()
         )
-        outs.append(top.select(F.lit(i).alias("round"), "dt", "y", "n", "s", "s2"))
-        cur = cur.join(top.select("dt"), "dt", "left_anti")
-    allr = outs[0]
-    for o in outs[1:]:
-        allr = allr.unionByName(o)
+        out_rows.append((i, top["dt"], top["y"], top["n"], top["s"], top["s2"]))
+        cur = cur.where(F.col("dt") != F.lit(top["dt"]))
+    allr = spark.createDataFrame(
+        out_rows,
+        "round int, dt date, y bigint, n bigint, s decimal(38,0), s2 decimal(38,0)",
+    )
     nd = F.col("n").cast("double")
     r_stat = (
         F.abs(F.col("n").cast(_DEC) * F.col("y").cast(_DEC) - F.col("s")).cast("double")

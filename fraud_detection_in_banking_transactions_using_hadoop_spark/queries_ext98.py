@@ -245,7 +245,12 @@ def q_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("te").isNotNull(), F.lit("e"))
         .alias("cause"),
     )
-    nu = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # r13: three chained rank passes + two tail joins re-ran this whole
+    # lineage multiplicatively (each rank pass scans its input twice, so
+    # the events groupBy ran up to 16x); pin the per-user frame once and
+    # collect the single scalar n as a literal.
+    labeled = labeled.localCheckpoint(eager=True)
+    n_lit = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("n")).first()[0]
     spine = (
         labeled.where(F.col("t").isNotNull())
         .groupBy("t")
@@ -266,7 +271,7 @@ def q_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "t", "dp", "de", (F.col("cc") - F.col("dall")).alias("fallen")
     )
-    haz = pre.crossJoin(F.broadcast(nu)).select(
+    haz = pre.withColumn("n", F.lit(n_lit).cast("bigint")).select(
         "t",
         "dp",
         "de",
@@ -317,8 +322,13 @@ def q_competing_risks_cif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("cife_e9"),
     )
     cum = with_global_rank(
-        terms, "t", [F.col("t")], prefix_sum={"cp": "cifp_e9", "ce": "cife_e9"}
-    ).select("t", "cp", "ce")
+        # the event-day spine is tiny (~30 rows) but its lineage holds
+        # two rank passes: pin before the doubled tail joins
+        terms.localCheckpoint(eager=True),
+        "t",
+        [F.col("t")],
+        prefix_sum={"cp": "cifp_e9", "ce": "cife_e9"},
+    ).select("t", "cp", "ce").localCheckpoint(eager=True)
     grid = spark.createDataFrame([(d,) for d in _CIF_DAYS], "d int")
     at_d = (
         grid.join(F.broadcast(cum), F.col("t") <= F.col("d"))

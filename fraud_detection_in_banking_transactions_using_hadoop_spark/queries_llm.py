@@ -261,7 +261,8 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
+        # consumed 3x (both self-join sides + sizes): pin once (r13)
+    ).localCheckpoint(eager=True)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = toks.alias("a"), toks.alias("b")
     common = (
