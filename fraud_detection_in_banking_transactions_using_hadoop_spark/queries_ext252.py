@@ -130,14 +130,25 @@ def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.md5(F.col("vec_id").cast("string")).alias("h"),
     )
-    ev = e.orderBy("h", "vec_id").limit(_N_EVAL).select(
-        F.col("vec_id").alias("tid"),
-        F.col("v").alias("tv"),
-        F.col("label").alias("tl"),
+    # r13: the eval side is a CONSTANT 50-row sample -- collect it once
+    # (TakeOrdered, deterministic md5 order independent of partitioning)
+    # and re-enter as a local relation; the anti-join collapses to a
+    # literal NOT IN, so the corpus is scanned once instead of three
+    # times. Arrow round-trips the 64-dim doubles bit-exactly, so every
+    # distance key is unchanged.
+    ev_rows = (
+        e.orderBy("h", "vec_id")
+        .limit(_N_EVAL)
+        .select(
+            F.col("vec_id").alias("tid"),
+            F.col("v").alias("tv"),
+            F.col("label").alias("tl"),
+        )
+        .collect()
     )
-    tr = e.join(
-        ev.select(F.col("tid").alias("vec_id")), "vec_id", "left_anti"
-    ).select(
+    ev = spark.createDataFrame(ev_rows, "tid bigint, tv array<double>, tl int")
+    ev_ids = [r["tid"] for r in ev_rows]
+    tr = e.where(~F.col("vec_id").isin(ev_ids)).select(
         F.col("vec_id").alias("rid"), F.col("v").alias("rv"),
         F.col("label").alias("rl"),
     )
