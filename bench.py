@@ -2,10 +2,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 TWO JSON lines: the FULL artifact first ({"metric": ..., "value":
 total_sec, "unit": "sec", "queries": {name: sec}, "queries_cpu": ...,
-"sf": ...}, also persisted to bench_out.json), then a BOUNDED scalar
-summary LAST (metric/value/unit/n/cpu_total/loadavg_start/sf, no
-per-query map) sized so the driver's tail-window capture always parses
-(r11 verdict item 1; length pinned by tests/test_bench_contract.py).
+"sf": ...}, also persisted to bench_out.json), then the driver-contract
+final line LAST: metric/value/unit/n + the per-query WALL map at the
+finest precision that fits the driver's ~2000-char tail window + sf
+(r13 verdict item 1; length pinned by tests/test_bench_contract.py).
 """
 
 from __future__ import annotations
@@ -197,11 +197,11 @@ def _tail_sample(all_names: list[str], k: int = 5) -> list[str]:
 def _bounded_summary(
     total: float, n: int, cpu_total: float, load_start: float, sf_val
 ) -> dict:
-    """The FINAL printed line's payload (r11 verdict item 1). Contains
+    """Parse-safe fallback payload (r11 verdict item 1). Contains
     scalars only -- never the per-query map -- so its serialized length
-    is bounded (~150 chars) regardless of headline-set growth and the
-    driver's tail-window capture always parses. Per-query detail lives
-    in the full line printed before it and in bench_out.json."""
+    is bounded (~150 chars) regardless of headline-set growth. Used by
+    _final_line only when even the coarsest per-query precision ladder
+    cannot fit the wall map into the driver's tail window."""
     return {
         "metric": "headline_query_wall_clock",
         "value": total,
@@ -211,6 +211,64 @@ def _bounded_summary(
         "loadavg_start": load_start,
         "sf": sf_val,
     }
+
+
+# The driver keeps only the TAIL (exactly 2000 chars) of stdout and
+# json-parses the LAST line: BENCH_r10.parsed carried the per-query map
+# (63 queries, the embedded map still fit), BENCH_r11.parsed was null
+# (map overflowed the window), and the r11 "bounded final line" fix made
+# the line parse again but WITHOUT the map -- so PERF_r12/r13 per_query
+# came back empty and two rounds were judged blind per-query (r13
+# verdict item 1). The final line must therefore EMBED the wall map and
+# stay under the window. 77 full-precision entries serialize to ~2200
+# chars, so the map prints at the FINEST precision ladder that fits a
+# 1990-char budget (line + newline <= 1991 <= the 2000-char window, with
+# slack). At the ladder that fits today's 77-query set, quantization
+# error is at most max(0.05 s, 5%) of any value -- far below the
+# driver's regression thresholds -- and the full-precision map still
+# prints in the artifact line above and persists in bench_out.json.
+_FINAL_LINE_BUDGET = 1990
+
+
+def _collapse(x):
+    """2.0 -> 2: json prints integral floats one to three chars shorter."""
+    return int(x) if isinstance(x, float) and x == int(x) else x
+
+
+_PRECISION_LADDERS = [
+    # <=5% (or 0.005 s absolute) error everywhere
+    lambda v: _collapse(round(v, 2) if v < 1 else (round(v, 1) if v < 10 else round(v))),
+    # <=max(0.05 s, 5%) error
+    lambda v: _collapse(round(v, 1) if v < 10 else round(v)),
+    # last resort before the scalar fallback: whole seconds above 1 s
+    lambda v: _collapse(round(v, 1) if v < 1 else round(v)),
+]
+
+
+def _final_line(total: float, timings: dict[str, float], sf_val) -> str:
+    """Serialize the driver-contract final line: metric/value/unit/n +
+    the per-query wall map + sf, compact separators, at the finest
+    precision that fits _FINAL_LINE_BUDGET. Falls back to the scalar
+    summary (always parses) only if even whole-second precision cannot
+    fit -- which would take ~25 more headline queries than exist."""
+    for ladder in _PRECISION_LADDERS:
+        line = json.dumps(
+            {
+                "metric": "headline_query_wall_clock",
+                "value": round(total, 2),
+                "unit": "sec",
+                "n": len(timings),
+                "queries": {k: ladder(v) for k, v in timings.items()},
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= _FINAL_LINE_BUDGET:
+            return line
+    return json.dumps(
+        _bounded_summary(total, len(timings), -1.0, -1.0, sf_val),
+        separators=(",", ":"),
+    )
 
 
 def main() -> None:
@@ -291,24 +349,20 @@ def main() -> None:
         "tail_sample": tail,
         "sf": sf_val,
     }
-    # Truncation-proofing (r8 item 3, ordering r9 item 2, BOUNDED r11
-    # item 1): the driver keeps only the TAIL (~2000 chars) of stdout, so
-    # the LAST printed line must parse after head-cropping. At 69 headline
-    # queries the old summary (which still embedded the per-query map)
-    # overflowed that window and BENCH_r11.json.parsed came back null. The
-    # final line is now a BOUNDED ~150-char JSON -- metric/value/unit/n/
-    # cpu_total/loadavg_start/sf, NO per-query map -- so growth can never
-    # overflow it again (tests/test_bench_contract.py asserts < 1500
-    # chars). Per-query detail stays in the full line above and in
-    # bench_out.json next to this script.
-    summary = _bounded_summary(
-        total, len(timings), full["cpu_total"], load_start, sf_val
-    )
+    # Truncation-proofing (r8 item 3, ordering r9 item 2, bounded r11
+    # item 1, wall map restored r13 item 1): the driver keeps only the
+    # TAIL (~2000 chars) of stdout and json-parses the LAST line, so the
+    # final line both embeds the per-query WALL map (else PERF per_query
+    # is empty and the round is judged blind, as r12/r13 were) and fits
+    # the window via the _final_line precision ladder
+    # (tests/test_bench_contract.py pins the length against worst-case
+    # magnitudes). Full-precision detail stays in the artifact line
+    # above and in bench_out.json next to this script.
     with open(Path(__file__).resolve().parent / "bench_out.json", "w") as fh:
         json.dump(full, fh)
         fh.write("\n")
     print(json.dumps(full))
-    print(json.dumps(summary))
+    print(_final_line(total, timings, sf_val))
 
 
 if __name__ == "__main__":
