@@ -142,12 +142,12 @@ def connected_components(
         # replays). The only node set it can miss: ids whose every edge
         # is a self-loop (a==b) -- rare to empty in practice; recovered
         # with a tiny anti-join against the driver-built label frame.
+        # r13 ADVICE: build the empty frame directly -- a (None, None)
+        # placeholder row trips schema verification whenever the
+        # projected edge schema is non-nullable.
         label_df = spark.createDataFrame(
-            list(labels.items()) or [(None, None)],
-            schema=edges_lazy.select("a", "b").schema,
+            list(labels.items()), schema=edges_lazy.select("a", "b").schema
         ).select(F.col("a").alias("node"), F.col("b").alias("cluster"))
-        if not labels:
-            label_df = label_df.where(F.lit(False))
         self_only = (
             e.filter(F.col("a") == F.col("b"))
             .select(F.col("a").alias("node"))

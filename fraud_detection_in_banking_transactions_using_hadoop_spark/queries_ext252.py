@@ -148,6 +148,10 @@ def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev = spark.createDataFrame(ev_rows, "tid bigint, tv array<double>, tl int")
     ev_ids = [r["tid"] for r in ev_rows]
+    # NOT-IN instead of left_anti is safe here because vec_id is the
+    # embeddings PRIMARY KEY (non-null by generation; the oracle's
+    # NOT IN subquery relies on the same guarantee) -- a NULL vec_id
+    # would be dropped by NOT IN where left_anti kept it (r13 ADVICE).
     tr = e.where(~F.col("vec_id").isin(ev_ids)).select(
         F.col("vec_id").alias("rid"), F.col("v").alias("rv"),
         F.col("label").alias("rl"),

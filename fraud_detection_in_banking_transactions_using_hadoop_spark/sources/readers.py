@@ -53,14 +53,21 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     input (KBs here), the per-row compute then uses every core.
 
     Scale-adaptive, not a local[32] constant: the target is the
-    session's defaultParallelism and the repartition is a NO-OP whenever
-    the plan is already at least that parallel -- at 100 TB a scan has
-    thousands of row groups and this never inserts an exchange. Round
-    robin (keyless) repartition keeps the row->partition map
-    deterministic under retries (sortBeforeRepartition is on by
-    default), and every oracled output downstream is order-free
-    (aggregates / exact-integer quantized sums per the build notes), so
-    partitioning cannot change results.
+    session's defaultParallelism. The no-op guarantee is SCAN-ONLY
+    (r13 ADVICE): the probe below counts input files, so a direct
+    parquet scan with >= target row groups never gets an exchange --
+    at 100 TB a scan has thousands of row groups and this is a no-op.
+    A non-scan frame (checkpointed / post-shuffle lineage, empty
+    inputFiles) always takes the repartition even when already
+    parallel; callers holding such frames should only spread when the
+    downstream per-row work dwarfs one exchange of the projected
+    input. Keep spread away from tolerance-free approx-sketch inputs:
+    partitioning-dependent outputs are only absorbed today by ppm /
+    percent tolerances. Round robin (keyless) repartition keeps the
+    row->partition map deterministic under retries
+    (sortBeforeRepartition is on by default), and every oracled output
+    downstream is order-free (aggregates / exact-integer quantized
+    sums per the build notes), so partitioning cannot change results.
     """
     target = parts or df.sparkSession.sparkContext.defaultParallelism
     # Cheap no-op test: parquet effective scan parallelism is bounded by

@@ -1130,6 +1130,32 @@ EAGER = {
     # sums; per-customer rate frame checkpoint)
     "bayes_factor_conversion",
     "empirical_bayes_rates",
+    # r13 optimization driver-folds (r13 ADVICE: these became eager at
+    # construction -- bounded collects re-entered as literals -- so
+    # planning them here would run those jobs): 4-center Lloyd rounds /
+    # per-round GESD argmax / 50-row eval sample collect / rank-pass
+    # scalar pins / class-count model collect
+    "kmeans_1d_lloyd",
+    "gesd_outliers",
+    "knn_shapley_valuation",
+    "competing_risks_cif",
+    "naive_bayes_langid",
+    # r14 audit of the same contract (construction-time eager jobs --
+    # localCheckpoint(eager=True) pins, scalar count()/first() folds --
+    # that the gate would otherwise EXECUTE on every run): found by
+    # grepping every registered fn body for eager actions
+    "copurchase_modularity",
+    "siegel_repeated_medians",
+    "rle_compressibility",
+    "staggered_did_att",
+    "meta_analysis_dl",
+    "incremental_cc_update",
+    "token_budget_waterfill",
+    "interval_overlap_pairs",
+    "survival_split_stump",
+    "jaccard_pairs",
+    "tfidf_top_terms",
+    "mixture_schedule",
 }
 
 _LAZY = slice_queries(q for q in registry() if q.name not in EAGER)
