@@ -117,6 +117,10 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine; scores are Acklam-e8 integers so every sum is exact; the
     between-group sum clears /n_j by abs-first integer division
     (identical floor in both engines, ~1e-13 relative effect)."""
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.fold import (
+        collect_nonempty,
+    )
+
     orders = read_table(spark, sf_dir, "orders")
     cells = (
         orders.select(
@@ -127,7 +131,6 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
         .localCheckpoint(eager=True)
     )
-    totg = cells.groupBy("prio").agg(F.sum("c").cast("bigint").alias("n_g"))
     pre = with_global_rank(
         cells,
         "v",
@@ -137,16 +140,21 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_bits=16,
     )
     # r13: the 5 group medians are a BOUNDED scalar set (one per order
-    # priority) -- collect them and re-enter as a literal CASE instead
-    # of checkpointing a 5-row frame and broadcast-joining it back
-    # (same exact BIGINT values, one job fewer and a flatter plan).
-    med_rows = (
-        pre.join(totg, "prio")
+    # priority) -- collect them and re-enter as a literal CASE.
+    # r14 (verdict item 5): the group total n_g is the LAST inclusive
+    # prefix count of the same rank pass, so max(cc) OVER (PARTITION BY
+    # prio) replaces the separate totg aggregate pass + join-back, and
+    # the pooled N (= sum of the five n_g) rides the same collect --
+    # the dspine sum(ct) scalar job disappears too.
+    w_g = Window.partitionBy("prio")
+    med_rows = collect_nonempty(
+        pre.withColumn("n_g", F.max("cc").over(w_g))
         .where(2 * F.col("cc") >= F.col("n_g"))
         .groupBy("prio")
-        .agg(F.min("v").alias("med"))
-        .collect()
+        .agg(F.min("v").alias("med"), F.max("n_g").alias("n_g")),
+        "fligner group medians",
     )
+    nn_lit = int(sum(row["n_g"] for row in med_rows))
     med_expr = None
     for row in sorted(med_rows):
         branch = (F.col("prio") == F.lit(row["prio"]), F.lit(row["med"]))
@@ -161,12 +169,11 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("prio", "d")
         .agg(F.sum("c").cast("bigint").alias("cd"))
+        # consumed twice (dspine + grp join); A/B'd unpinned in r14:
+        # warm 3.2-3.6 s vs 2.9-3.3 s pinned -- keep the pin
         .localCheckpoint(eager=True)
     )
     dspine = dcells.groupBy("d").agg(F.sum("cd").cast("bigint").alias("ct"))
-    # pooled N is one scalar off the checkpointed dcells: literal, not a
-    # broadcast 1-row frame
-    nn_lit = dspine.agg(F.sum("ct").cast("bigint").alias("nn")).first()[0]
     dr = with_global_rank(
         dspine, "d", [F.col("d")], prefix_sum={"cc": "ct"}, bucket_bits=16
     )
@@ -178,9 +185,15 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor(1e8 * ({_acklam_sql(_FK_P)}) + 0.5) AS BIGINT)"
         ).alias("a_e8"),
     )
-    grp = (
-        # broadcast the (d, score) side: dcells then streams map-side
-        # into the partial aggregate with zero exchanges of its own
+    # r14 (verdict item 5): the per-group score sums are a BOUNDED
+    # 5-row exact-integer set -- collect them and fold tot/terms in
+    # Python integers (arbitrary precision, so the DECIMAL(38,0) sums
+    # and the abs-first DIV mirror exactly: Python // on the
+    # non-negative numerator == Spark DIV truncation). Replaces the
+    # 5-row checkpoint + two crossJoin passes; the final double
+    # division + round(6) stays IN-ENGINE on the same DECIMAL(38,0)
+    # literal values, so the emitted double is bit-identical.
+    grp_rows = collect_nonempty(
         dcells.join(F.broadcast(scored), "d")
         .groupBy("prio")
         .agg(
@@ -189,38 +202,41 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cd").cast(_DEC) * F.col("a_e8") * F.col("a_e8"))
             .cast(_DEC)
             .alias("saa_j"),
-        )
-        # 5 rows, consumed 3x below (tot, terms, final): pin so the
-        # dcells-scored join runs once, not three times
-        .localCheckpoint(eager=True)
+        ),
+        "fligner per-group score sums",
     )
-    tot = grp.agg(
-        F.sum("a_j").cast(_DEC).alias("sa"),
-        F.sum("saa_j").cast(_DEC).alias("saa"),
-        F.sum("n_j").cast(_DEC).alias("n"),
-        F.count(F.lit(1)).cast("bigint").alias("k"),
+    sa = sum(int(r["a_j"]) for r in grp_rows)
+    saa = sum(int(r["saa_j"]) for r in grp_rows)
+    n = sum(int(r["n_j"]) for r in grp_rows)
+    k = len(grp_rows)
+    num = 0
+    for r in grp_rows:
+        a_j, n_j = int(r["a_j"]), int(r["n_j"])
+        q = abs(n * a_j - n_j * sa) // n_j
+        num += q * q * n_j
+
+    def _dec(v: int):
+        return F.expr(f"CAST('{v}' AS DECIMAL(38,0))")
+
+    one = spark.range(1).select(
+        _dec(n).alias("n"),
+        F.lit(k).cast("bigint").alias("k"),
+        _dec(num).alias("num"),
+        _dec(sa).alias("sa"),
+        _dec(saa).alias("saa"),
     )
-    q = F.expr("abs(n * a_j - n_j * sa) DIV n_j")
-    terms = (
-        grp.crossJoin(F.broadcast(tot))
-        .select((q.cast(_DEC) * q * F.col("n_j")).alias("term"))
-        .agg(F.sum("term").cast(_DEC).alias("num"))
-    )
-    return (
-        tot.crossJoin(F.broadcast(terms))
-        .select(
-            F.col("n").cast("bigint").alias("n_total"),
-            F.col("k").cast("integer").alias("k_groups"),
-            (F.col("k") - 1).cast("integer").alias("df"),
-            F.round(
-                ((F.col("n") - 1) * F.col("num")).cast("double")
-                / (
-                    F.col("n")
-                    * (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
-                ).cast("double"),
-                6,
-            ).alias("fk_stat"),
-        )
+    return one.select(
+        F.col("n").cast("bigint").alias("n_total"),
+        F.col("k").cast("integer").alias("k_groups"),
+        (F.col("k") - 1).cast("integer").alias("df"),
+        F.round(
+            ((F.col("n") - 1) * F.col("num")).cast("double")
+            / (
+                F.col("n")
+                * (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa"))
+            ).cast("double"),
+            6,
+        ).alias("fk_stat"),
     )
 
 

@@ -67,38 +67,50 @@ def q_fuzzy_name_match_djoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation, deletion variant) generates a candidate set PROVABLY
     complete for levenshtein <= 1; the verifier then filters exact.
     n*(L+1) variant rows, near-unique join keys -> linear scaling where
-    the nation-block join is quadratic in density. Variants frame is
-    persisted: it sits on both sides of the self-join and would
-    otherwise recompute its lineage twice (CLAUDE.md self-join rule)."""
+    the nation-block join is quadratic in density.
+
+    r14 (verdict item 6): the self-join shuffled the n*(L+1)-row
+    variants frame TWICE (both SMJ sides) plus a third exchange for the
+    candidate distinct, with the frame persisted to stop lineage
+    recompute. A bucket is just the set of distinct names sharing one
+    (nation, variant) key, so ONE groupBy exchange + a per-bucket pair
+    expansion produces the identical candidate set: sort_array of the
+    distinct names gives every x < y pair exactly as the a.name <
+    b.name join did, size-1 buckets (the overwhelming majority --
+    near-unique keys) are pruned BEFORE any pair row exists, and the
+    tiny survivor set still passes through DISTINCT + the levenshtein
+    verifier. 3 exchanges of 285k rows + persist -> 1 exchange + a
+    few-hundred-row tail; results provably identical (the candidate
+    sets are equal as sets, pinned by test_ext231_invariants)."""
     cust = read_table(spark, sf_dir, "customer").select("c_nationkey", "c_name")
-    vars_df = (
-        cust.select(
-            "c_nationkey",
-            "c_name",
-            F.explode(F.expr("sequence(0, length(c_name))")).alias("i"),
-        )
-        .select(
-            F.col("c_nationkey").alias("nk"),
-            F.col("c_name").alias("name"),
-            F.expr(
-                "CASE WHEN i = 0 THEN c_name "
-                "ELSE concat(substr(c_name, 1, i - 1), substr(c_name, i + 1)) END"
-            ).alias("v"),
-        )
-        .persist()
+    vars_df = cust.select(
+        "c_nationkey",
+        "c_name",
+        F.explode(F.expr("sequence(0, length(c_name))")).alias("i"),
+    ).select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_name").alias("name"),
+        F.expr(
+            "CASE WHEN i = 0 THEN c_name "
+            "ELSE concat(substr(c_name, 1, i - 1), substr(c_name, i + 1)) END"
+        ).alias("v"),
     )
-    a = vars_df.alias("a")
-    b = vars_df.select(
-        F.col("nk").alias("bnk"), F.col("name").alias("bname"), F.col("v").alias("bv")
-    ).alias("b")
+    buckets = (
+        vars_df.groupBy("nk", "v")
+        .agg(F.sort_array(F.collect_set("name")).alias("names"))
+        .where(F.size("names") >= 2)
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("nk") == F.col("bnk"))
-            & (F.col("v") == F.col("bv"))
-            & (F.col("name") < F.col("bname")),
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(names, (x, i) ->"
+                    " transform(slice(names, i + 2, size(names) - i - 1),"
+                    " y -> struct(x AS name_a, y AS name_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("name").alias("name_a"), F.col("bname").alias("name_b"))
+        .select("p.name_a", "p.name_b")
         .distinct()
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"))

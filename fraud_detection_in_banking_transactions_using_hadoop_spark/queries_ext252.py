@@ -124,6 +124,12 @@ def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     One broadcast of the constant eval set, exact-integer distance
     keys, the telescoped suffix-sum instead of the per-point
     recursion, everything partitioned by eval point."""
+    import math
+
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import (
+        spread,
+    )
+
     e = read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("v"),
@@ -136,6 +142,16 @@ def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # literal NOT IN, so the corpus is scanned once instead of three
     # times. Arrow round-trips the 64-dim doubles bit-exactly, so every
     # distance key is unchanged.
+    # r14 (verdict item 4): quantize each side ONCE instead of inside
+    # every pair term. floor(x*1e6 + 0.5) is the same IEEE computation
+    # in Python (eval side, at collect time) and in one per-corpus-row
+    # transform() (below), so every per-coordinate integer -- and hence
+    # every dkey -- is bit-identical to the old inline form; the pair
+    # Project shrinks from ~1,500 expression nodes (256 FLOORs) to 64
+    # integer diff-squares, cutting both the Janino compile of the
+    # whole-stage and the per-pair work. The corpus scan is also
+    # spread() before the broadcast join: the testdata ships one row
+    # group, so the 50x pair fan-out otherwise runs in ONE task.
     ev_rows = (
         e.orderBy("h", "vec_id")
         .limit(_N_EVAL)
@@ -146,22 +162,36 @@ def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .collect()
     )
-    ev = spark.createDataFrame(ev_rows, "tid bigint, tv array<double>, tl int")
+    ev_q = [
+        (
+            r["tid"],
+            [int(math.floor(x * 1.0e6 + 0.5)) for x in r["tv"]],
+            r["tl"],
+        )
+        for r in ev_rows
+    ]
+    ev = spark.createDataFrame(ev_q, "tid bigint, qt array<bigint>, tl int")
     ev_ids = [r["tid"] for r in ev_rows]
     # NOT-IN instead of left_anti is safe here because vec_id is the
     # embeddings PRIMARY KEY (non-null by generation; the oracle's
     # NOT IN subquery relies on the same guarantee) -- a NULL vec_id
     # would be dropped by NOT IN where left_anti kept it (r13 ADVICE).
-    tr = e.where(~F.col("vec_id").isin(ev_ids)).select(
-        F.col("vec_id").alias("rid"), F.col("v").alias("rv"),
+    tr = spread(e.where(~F.col("vec_id").isin(ev_ids))).select(
+        F.col("vec_id").alias("rid"),
+        F.expr(
+            "transform(v, x -> CAST(FLOOR(x * 1.0e6 + 0.5) AS BIGINT))"
+        ).alias("qr"),
         F.col("label").alias("rl"),
+    )
+    dkey_terms = " + ".join(
+        f"(qt[{i}] - qr[{i}]) * (qt[{i}] - qr[{i}])" for i in range(_DIM)
     )
     pairs = tr.crossJoin(F.broadcast(ev)).select(
         "tid",
         "tl",
         "rid",
         "rl",
-        F.expr(_l2e6_terms("tv", "rv", False)).alias("dkey"),
+        F.expr(f"CAST({dkey_terms} AS BIGINT)").alias("dkey"),
     )
     wd = Window.partitionBy("tid").orderBy("dkey", "rid")
     wc = Window.partitionBy("tid")
@@ -188,13 +218,27 @@ def q_knn_shapley_valuation(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = ranked.select(
         "tid", "rid", "rl", "j", d_e9.cast("bigint").alias("d_e9")
     )
-    ws = (
+    # r14: Spark evaluates a (CURRENT ROW, UNBOUNDED FOLLOWING) sum
+    # frame with UnboundedFollowingWindowFunctionFrame, which RESCANS
+    # the rest of the partition for every row -- O(rows^2) per eval
+    # point (~1.9 s of the old 2.7 s tail at sf0.1). The suffix sum of
+    # exact integers equals partition total minus the EXCLUSIVE prefix
+    # sum, and both of those frames are O(1) per row. Same integers,
+    # same s_e9, oracle SQL untouched.
+    w_tot = Window.partitionBy("tid")
+    w_pre = (
         Window.partitionBy("tid")
         .orderBy("j")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     s = terms.select(
-        "tid", "rid", "rl", F.sum("d_e9").over(ws).alias("s_e9")
+        "tid",
+        "rid",
+        "rl",
+        (
+            F.sum("d_e9").over(w_tot)
+            - F.coalesce(F.sum("d_e9").over(w_pre), F.lit(0))
+        ).alias("s_e9"),
     )
     phi = s.groupBy("rid", "rl").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_eval"),
