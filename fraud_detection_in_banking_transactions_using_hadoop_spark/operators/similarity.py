@@ -249,7 +249,14 @@ def ivf_assign_cells(
             idx[upd] = j
         return pd.Series(idx)
 
-    return df.withColumn(out_col, _assign(F.col(vec_col)))
+    # r14 (guide 4.4): downstream equi-joins on the assignment column
+    # push an isnotnull filter below this projection, and the optimizer
+    # then evaluates the UDF TWICE (ArrowEvalPython under the filter +
+    # again in the projection -- both visible in the r14 before-plan).
+    # The function is pure, but marking it non-deterministic fences the
+    # optimizer from duplicating or reordering it: one Arrow pass per
+    # row, identical values.
+    return df.withColumn(out_col, _assign.asNondeterministic()(F.col(vec_col)))
 
 
 def fit_pq_codebooks(

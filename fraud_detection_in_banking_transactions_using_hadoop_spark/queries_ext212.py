@@ -290,13 +290,25 @@ def grid_exact_knn(
     dense_cells = occ.where(F.col("occ") > _DENSE_CAP).localCheckpoint(
         eager=True
     )
-    sparse_pts = pts.join(
-        F.broadcast(dense_cells.select("cx", "cy")), ["cx", "cy"], "left_anti"
-    )
-    knn1, ok1 = tier(sparse_pts, 1, cell_q)
-    knn1d, ok1d = _dense_tier1(pts, build, dense_cells, k, cell_q)
-    knn1 = knn1.unionByName(knn1d)
-    ok1 = ok1.unionByName(ok1d)
+    # r14 (verdict item 7): the dense tier exists for occupancy
+    # pileups; when the materialized dense-cell set is EMPTY (one
+    # near-free take(1) on the already-checkpointed tiny frame), the
+    # anti-join, the chunked-Arrow applyInPandas subtree, and the two
+    # unions are all identities -- prune them from the plan instead of
+    # scheduling a Python stage over zero rows inside the kNN job. A
+    # corpus with real pileups takes the guarded path unchanged.
+    if len(dense_cells.take(1)) == 0:
+        knn1, ok1 = tier(pts, 1, cell_q)
+    else:
+        sparse_pts = pts.join(
+            F.broadcast(dense_cells.select("cx", "cy")),
+            ["cx", "cy"],
+            "left_anti",
+        )
+        knn1, ok1 = tier(sparse_pts, 1, cell_q)
+        knn1d, ok1d = _dense_tier1(pts, build, dense_cells, k, cell_q)
+        knn1 = knn1.unionByName(knn1d)
+        ok1 = ok1.unionByName(ok1d)
     esc1 = pts.join(ok1.select(F.col("i").alias("vec_id")), "vec_id", "left_anti")
     knn2, ok2 = tier(esc1, 2, 2 * cell_q)
     esc2 = esc1.join(ok2.select(F.col("i").alias("vec_id")), "vec_id", "left_anti")

@@ -72,8 +72,20 @@ def q_incremental_cc_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.sources.readers import (
+        spread,
+    )
+
     docs = read_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "doc_id", "text", n_hashes=8, shingle_w=3)
+    # r14 A/B (A-B-A controlled, sf0.1): spreading the single-row-group
+    # docs scan under the md5 shingle/minhash map stage cuts the warm
+    # replay 4.2 -> 3.1 s here (the 3-fold replay pays the signature
+    # pipeline inside its snapshot pin). The same spread measured
+    # NEUTRAL on minhash_lsh_pairs / dedup_clusters / simhash_docs, so
+    # it stays a per-call-site decision, not an operator default.
+    sigs = minhash_signatures(
+        spread(docs), "doc_id", "text", n_hashes=8, shingle_w=3
+    )
     pairs = lsh_candidate_pairs(sigs, "doc_id", n_hashes=8, band_size=2)
     snap = pairs.withColumn(
         "snap", F.pmod(F.col("doc_a") * 31 + F.col("doc_b"), F.lit(3))
