@@ -214,6 +214,50 @@ def ivf_train_matrix(
     return np.array(pdf[vec_col].to_list(), dtype=np.float64)
 
 
+def _assign_np(X: np.ndarray, cm: np.ndarray) -> np.ndarray:
+    """Coarse-cell argmin shared by every assignment path (batch,
+    incremental, fused IVF-PQ indexing): squared distance accumulated
+    SEQUENTIALLY over the dim axis (0 + z1 + z2 + ...), the exact
+    left-to-right chain the DuckDB oracle's generated SQL evaluates --
+    bit-identical d2 both engines; ties resolve to the lowest cell id
+    via strict <."""
+    best = np.full(len(X), np.inf)
+    idx = np.zeros(len(X), dtype=np.int32)
+    for j in range(len(cm)):
+        d = np.zeros(len(X))
+        for t in range(X.shape[1]):
+            diff = X[:, t] - cm[j, t]
+            d += diff * diff
+        upd = d < best
+        best[upd] = d[upd]
+        idx[upd] = j
+    return idx
+
+
+def _encode_np(X: np.ndarray, CB: list[np.ndarray]) -> np.ndarray:
+    """Per-subspace PQ code argmin shared by pq_encode and the fused
+    IVF-PQ indexing pass: same sequential accumulation and strict-<
+    tie rule as _assign_np, applied independently per subspace."""
+    m = len(CB)
+    dsub = CB[0].shape[1]
+    out = np.zeros((len(X), m), dtype=np.int32)
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        cb = CB[s]
+        best = np.full(len(X), np.inf)
+        idx = np.zeros(len(X), dtype=np.int32)
+        for c in range(len(cb)):
+            dvec = np.zeros(len(X))
+            for t in range(dsub):
+                diff = Xs[:, t] - cb[c, t]
+                dvec += diff * diff
+            upd = dvec < best
+            best[upd] = dvec[upd]
+            idx[upd] = c
+        out[:, s] = idx
+    return out
+
+
 def ivf_assign_cells(
     df: DataFrame,
     centroids: list[list[float]],
@@ -237,17 +281,7 @@ def ivf_assign_cells(
             return pd.Series(np.empty(0, dtype=np.int32))
         cm = np.asarray(C_list, dtype=np.float64)
         X = np.stack(vecs.to_numpy()).astype(np.float64)
-        best = np.full(len(X), np.inf)
-        idx = np.zeros(len(X), dtype=np.int32)
-        for j in range(len(cm)):
-            d = np.zeros(len(X))
-            for t in range(X.shape[1]):
-                diff = X[:, t] - cm[j, t]
-                d += diff * diff
-            upd = d < best
-            best[upd] = d[upd]
-            idx[upd] = j
-        return pd.Series(idx)
+        return pd.Series(_assign_np(X, cm))
 
     # r14 (guide 4.4): downstream equi-joins on the assignment column
     # push an isnotnull filter below this projection, and the optimizer
@@ -299,30 +333,13 @@ def pq_encode(
     from pyspark.sql.functions import pandas_udf
 
     CB = [np.asarray(c, dtype=np.float64) for c in codebooks]
-    m = len(CB)
-    dsub = CB[0].shape[1]
 
     @pandas_udf("array<int>")
     def _enc(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         X = np.stack(vecs.to_numpy()).astype(np.float64)
-        out = np.zeros((len(X), m), dtype=np.int32)
-        for s in range(m):
-            Xs = X[:, s * dsub : (s + 1) * dsub]
-            cb = CB[s]
-            best = np.full(len(X), np.inf)
-            idx = np.zeros(len(X), dtype=np.int32)
-            for c in range(len(cb)):
-                dvec = np.zeros(len(X))
-                for t in range(dsub):
-                    diff = Xs[:, t] - cb[c, t]
-                    dvec += diff * diff
-                upd = dvec < best
-                best[upd] = dvec[upd]
-                idx[upd] = c
-            out[:, s] = idx
-        return pd.Series(out.tolist())
+        return pd.Series(_encode_np(X, CB).tolist())
 
     return df.withColumn(out_col, _enc(F.col(vec_col)))
 
@@ -369,8 +386,33 @@ def ivfpq_adc_topk(
     CB = fit_pq_codebooks(X, m=m, ks=ks, seed=seed, max_iter=max_iter)
     dsub = X.shape[1] // m
 
-    assigned = ivf_assign_cells(base_v, C.tolist(), vec_col)
-    index = pq_encode(assigned, CB, vec_col).select(id_col, "_cell", "_codes")
+    # r14 (guide 4.1/4.5, verdict item 8): the indexing pass previously
+    # stacked TWO Arrow stages over the same rows (assign, then encode),
+    # shipping the 64-dim vector across the Python boundary twice. One
+    # fused struct-returning pass halves the boundary crossings; the
+    # numpy math is the SAME shared helpers the standalone operators
+    # call (_assign_np / _encode_np), so cells and codes are
+    # bit-identical. Non-deterministic mark = the guide-4.4 fence
+    # against the downstream join duplicating the stage.
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    C_np = np.asarray(C, dtype=np.float64)
+
+    @_pudf("_cell int, _codes array<int>")
+    def _index(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"_cell": [], "_codes": []})
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        return pd.DataFrame(
+            {
+                "_cell": _assign_np(X, C_np),
+                "_codes": _encode_np(X, CB).tolist(),
+            }
+        )
+
+    index = base_v.withColumn(
+        "_ix", _index.asNondeterministic()(F.col(vec_col))
+    ).select(id_col, F.col("_ix._cell").alias("_cell"), F.col("_ix._codes").alias("_codes"))
 
     centroids = [(i, [float(x) for x in C[i]]) for i in range(len(C))]
     cent_df = queries.sparkSession.createDataFrame(

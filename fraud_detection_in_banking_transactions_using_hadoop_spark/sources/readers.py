@@ -41,6 +41,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Fan-out floor: keep at least this much compressed scan input per task
+# when spread() widens a small scan (see the cap note inside spread).
+# Deployment knob: SPARK_GRAFT_SPREAD_MIN_BYTES (bytes).
+_SPREAD_MIN_BYTES_PER_TASK = int(
+    __import__("os").environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", 64 << 10)
+)
+
+
 def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
     """Fan a narrow scan out across the cluster before CPU-heavy
     per-row work (md5 fan-outs, codec mapInPandas/Arrow stages).
@@ -86,6 +94,31 @@ def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
         files = []
     if len(files) >= target:
         return df
+    # Size-aware fan-out cap (r13 verdict item 3): past the point where
+    # every task still holds _SPREAD_MIN_BYTES_PER_TASK of compressed
+    # input, extra partitions stop buying wall and only multiply
+    # per-task overhead (worker spin-up, closure unpickle, Arrow batch
+    # setup). Measured on the codec family at sf0.1: 32 partitions of a
+    # 594 KB scan cost 31 CPU-s for the SAME wall that ~10 partitions
+    # (this cap) or 8 cores deliver at ~13 CPU-s. The floor is tiny
+    # compared to scan-sizing guidance (128 MB+/task) because these map
+    # stages run codecs -- orders of magnitude more CPU per input byte
+    # than a scan -- and it only engages on sub-(target*floor) inputs;
+    # at 100 TB the file-count no-op above fires first. Unknown sizes
+    # (non-local files, non-scan frames) keep the uncapped fan-out.
+    if files:
+        try:
+            import os as _os
+            from urllib.parse import urlparse as _urlparse
+
+            nbytes = sum(
+                _os.path.getsize(_urlparse(f).path) for f in files
+            )
+            target = min(
+                target, max(1, -(-nbytes // _SPREAD_MIN_BYTES_PER_TASK))
+            )
+        except OSError:
+            pass
     return df.repartition(target)
 
 

@@ -26,8 +26,24 @@ def test_slices_partition_registry():
         assert seen == names
 
 
-def test_no_env_means_identity():
+def test_no_env_means_default_sample_and_full_flag_restores_identity():
+    """r13 verdict item 2: a plain serial run defaults to the
+    deterministic 0/6 sample (a strict subset of what every sharded run
+    covers); PYTEST_REGISTRY_FULL=1 restores the full matrix."""
     qs = registry()
-    env = {k: v for k, v in os.environ.items() if k != "PYTEST_REGISTRY_SLICE"}
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("PYTEST_REGISTRY_SLICE", "PYTEST_REGISTRY_FULL")
+    }
     with mock.patch.dict(os.environ, env, clear=True):
+        default = [q.name for q in slice_queries(qs)]
+    with mock.patch.dict(
+        os.environ, {**env, "PYTEST_REGISTRY_SLICE": "0/6"}, clear=True
+    ):
+        slice0 = [q.name for q in slice_queries(qs)]
+    assert default == slice0 and len(default) > 0
+    with mock.patch.dict(
+        os.environ, {**env, "PYTEST_REGISTRY_FULL": "1"}, clear=True
+    ):
         assert [q.name for q in slice_queries(qs)] == [q.name for q in qs]
