@@ -285,36 +285,53 @@ def q_qn_scale_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("cents")
     )
-    s = daily.select(
-        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("rn"),
-        "cents",
+    # r14 (the hodges_lehmann fold class): the C(n,2) |diff| pair join
+    # + unpartitioned cumulative-count window cost ~4 s at sf0.1 for a
+    # CALENDAR-BOUNDED day spine (2,405 rows). Collect the daily cents
+    # once and select the k-th order statistic exactly in Python:
+    # binary search on the integer diff value, two-pointer count of
+    # pairs (i < j) with c_j - c_i <= probe over the sorted cents. The
+    # smallest x with count_le(x) >= k IS min(dv | cumulative count >=
+    # k) of the old spine. qn_raw/n/k re-enter as exact literals; the
+    # final dollar rounding stays IN-ENGINE on the same expressions, so
+    # the emitted doubles are bit-identical. Oracle SQL untouched.
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.fold import (
+        collect_nonempty,
     )
-    nn = s.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.expr(
-            "CAST((count(1) DIV 2 + 1) * (count(1) DIV 2) DIV 2 AS BIGINT)"
-        ).alias("k"),
+
+    cs = sorted(
+        int(row["cents"])
+        for row in collect_nonempty(daily.select("cents"), "qn daily cents")
     )
-    a = s.alias("a")
-    b = s.alias("b")
-    diffs = (
-        a.join(b, F.col("a.rn") < F.col("b.rn"))
-        .select(F.abs(F.col("a.cents") - F.col("b.cents")).alias("dv"))
-        .groupBy("dv")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    w = Window.orderBy("dv").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = diffs.select("dv", F.sum("c").over(w).alias("cc"))
-    pick = (
-        ranked.crossJoin(F.broadcast(nn))
-        .where(F.col("cc") >= F.col("k"))
-        .agg(F.min("dv").alias("qn_raw"))
-    )
-    return pick.crossJoin(F.broadcast(nn)).select(
-        F.col("n").alias("n_days"),
-        F.col("k").alias("order_stat_k"),
-        F.round(F.col("qn_raw") / 100.0, 2).alias("qn_raw_dollars"),
-        F.round(F.lit(_QN_D) * F.col("qn_raw") / 100.0, 2).alias(
+    nd = len(cs)
+    k = (nd // 2 + 1) * (nd // 2) // 2
+
+    def count_le(x: int) -> int:
+        cnt = 0
+        i = 0
+        for j in range(nd):
+            while cs[j] - cs[i] > x:
+                i += 1
+            cnt += j - i
+        return cnt
+
+    if nd < 2:
+        # no pairs: the old pick aggregate (and the oracle) yield NULL
+        qn_raw = F.lit(None).cast("bigint")
+    else:
+        lo, hi = 0, cs[-1] - cs[0]
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if count_le(mid) >= k:
+                hi = mid
+            else:
+                lo = mid + 1
+        qn_raw = F.lit(lo).cast("bigint")
+    return spark.range(1).select(
+        F.lit(nd).cast("bigint").alias("n_days"),
+        F.lit(k).cast("bigint").alias("order_stat_k"),
+        F.round(qn_raw / 100.0, 2).alias("qn_raw_dollars"),
+        F.round(F.lit(_QN_D) * qn_raw / 100.0, 2).alias(
             "qn_scaled_dollars"
         ),
     )

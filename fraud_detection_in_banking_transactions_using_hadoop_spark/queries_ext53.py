@@ -146,27 +146,61 @@ def q_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     end), the median comes off the distinct-sum spine cumulative
     counts. The classical robust-and-efficient location estimate."""
     orders = read_table(spark, sf_dir, "orders")
-    days = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
-        F.sum(F.expr(_CENTS)).cast("bigint").alias("c")
+    days = (
+        orders.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum(F.expr(_CENTS)).cast("bigint").alias("c"))
+        # r14: the calendar-bounded day spine sits on BOTH sides of the
+        # Walsh self-join, and the spine/cum/tot consumers re-ran the
+        # full orders scan + aggregate per reference (~4 passes, 5.2 s
+        # for a 30-row frame). Pin once.
+        .localCheckpoint(eager=True)
     )
-    a, b = days.alias("a"), days.alias("b")
-    walsh = a.join(b, F.col("a.d") <= F.col("b.d")).select(
-        (F.col("a.c") + F.col("b.c")).alias("s2")
+    # r14: materializing the ~|days|^2/2 Walsh multiset (2.9M rows at
+    # sf0.1) and ranking it cost 4-5 s however it was planned (the old
+    # unpartitioned-window spine AND a two-level rank rewrite both pay
+    # several full passes over the pair rows). The day spine is
+    # CALENDAR-BOUNDED (2,405 rows at sf0.1 -- the same class as the
+    # garch/transfer-entropy daily-series folds), so collect the daily
+    # cents once and select the r-th smallest pair sum EXACTLY in
+    # Python: binary search on the integer sum value, counting pairs
+    # (i <= j) below the probe with a two-pointer sweep over the sorted
+    # cents -- O(nd log range), all exact ints. The smallest x with
+    # count_le(x) >= r IS min(s2 | cumulative count >= r) of the old
+    # spine; n_pairs = nd(nd+1)/2 by construction. Same two integers
+    # out, oracle SQL untouched.
+    from fraud_detection_in_banking_transactions_using_hadoop_spark.operators.fold import (
+        collect_nonempty,
     )
-    spine = walsh.groupBy("s2").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-    wv = Window.orderBy("s2").rowsBetween(Window.unboundedPreceding, 0)
-    cum = spine.select("s2", F.sum("cnt").over(wv).alias("cc"))
-    tot = spine.agg(
-        F.sum("cnt").cast("bigint").alias("n"),
-        F.expr("CAST((sum(cnt) + 1) DIV 2 AS BIGINT)").alias("r"),
+
+    cs = sorted(
+        int(row["c"])
+        for row in collect_nonempty(days.select("c"), "hodges daily cents")
     )
-    return (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
-            F.max("n").alias("n_pairs"),
-            F.expr(
-                "CAST(min(CASE WHEN cc >= r THEN s2 END) DIV 2 AS BIGINT)"
-            ).alias("hl_cents"),
-        )
-        .select(F.col("n_pairs").cast("bigint").alias("n_pairs"), "hl_cents")
+    nd = len(cs)
+    n_pairs = nd * (nd + 1) // 2
+    r = (n_pairs + 1) // 2
+
+    def count_le(x: int) -> int:
+        cnt = 0
+        j = nd - 1
+        for i in range(nd):
+            if j < i:
+                break
+            while j >= i and cs[i] + cs[j] > x:
+                j -= 1
+            if j < i:
+                break
+            cnt += j - i + 1
+        return cnt
+
+    lo, hi = 2 * cs[0], 2 * cs[-1]
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if count_le(mid) >= r:
+            hi = mid
+        else:
+            lo = mid + 1
+    return spark.range(1).select(
+        F.lit(n_pairs).cast("bigint").alias("n_pairs"),
+        F.lit(lo // 2).cast("bigint").alias("hl_cents"),
     )

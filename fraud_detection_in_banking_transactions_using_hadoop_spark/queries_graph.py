@@ -255,6 +255,11 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("doc_a", "doc_b").alias("b"),
         )
         .distinct()
+        # r14: e sits on THREE sides of the wedge/closure joins plus
+        # the edge-count aggregate -- four consumers re-ran the
+        # dedup distinct (and its exchange) per reference (the
+        # CLAUDE.md self-join rule). O(edges) rows, pin once.
+        .localCheckpoint(eager=True)
     )
     e1 = e.alias("e1")
     e2 = e.select(F.col("a").alias("b2a"), F.col("b").alias("b2b")).alias("e2")

@@ -1145,6 +1145,10 @@ EAGER = {
     # that the gate would otherwise EXECUTE on every run): found by
     # grepping every registered fn body for eager actions
     "copurchase_modularity",
+    # r14: calendar-bounded pairwise-selection driver folds (daily
+    # cents collect + exact two-pointer binary-search selection)
+    "hodges_lehmann",
+    "qn_scale_daily",
     "siegel_repeated_medians",
     "rle_compressibility",
     "staggered_did_att",
