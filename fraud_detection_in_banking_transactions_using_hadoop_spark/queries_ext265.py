@@ -136,6 +136,9 @@ def q_streaming_mdct_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = Path(tempfile.mkdtemp(prefix="mdct_stream_"))
     src, state_dir = base / "src", base / "state"
 
+    # r14 negative A/B: spread() on this scan measured 10.3 s warm vs
+    # 9.2 s unspread -- the replay is trigger/IO-bound (3 parquet
+    # writes + 3 micro-batches), not explode-bound; kept unspread.
     raw = _md5_media(read_table(spark, sf_dir, "documents"))
 
     import pandas as pd
