@@ -129,6 +129,8 @@ def q_fligner_killeen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("prio", "v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        # consumed by the rank pass AND dcells; A/B'd unpinned in r14
+        # (4.9-6.1 s warm vs 2.7-2.8 s pinned) -- keep the pin
         .localCheckpoint(eager=True)
     )
     pre = with_global_rank(
